@@ -1,0 +1,61 @@
+"""Typed error taxonomy for sink/catalog operations.
+
+Capability parity with the reference's Flight error interpreter
+(reference neo4j_arrow_error.py:17-30): map transport/catalog error
+message substrings to typed exceptions so callers can branch on
+semantics ("already exists" is idempotent-ok, "not found" may be
+ignorable on abort) instead of string-matching at every call site.
+"""
+
+from __future__ import annotations
+
+
+class EngineError(Exception):
+    """Base class for engine errors."""
+
+
+class NotFoundError(EngineError):
+    """Entity (database/table/alias/import) does not exist."""
+
+
+class AlreadyExistsError(EngineError):
+    """Entity already exists; often ignorable for idempotent flows."""
+
+
+class InvalidArgumentError(EngineError):
+    """Caller supplied a bad name/config/schema."""
+
+
+class InternalError(EngineError):
+    """Server/engine-side failure."""
+
+
+class UnknownError(EngineError):
+    """Unclassified failure."""
+
+
+_CLASSIFIERS: tuple[tuple[str, type[EngineError]], ...] = (
+    ("NOT_FOUND", NotFoundError),
+    ("DOES NOT EXIST", NotFoundError),
+    ("ALREADY_EXISTS", AlreadyExistsError),
+    ("ALREADY EXISTS", AlreadyExistsError),
+    ("INVALID_ARGUMENT", InvalidArgumentError),
+    ("INVALID ARGUMENT", InvalidArgumentError),
+    ("INTERNAL", InternalError),
+)
+
+
+def interpret(exc: Exception) -> EngineError:
+    """Classify an arbitrary exception into the typed taxonomy by
+    message substring (case-insensitive), preserving the original as
+    ``__cause__``."""
+    msg = str(exc)
+    upper = msg.upper()
+    for marker, cls in _CLASSIFIERS:
+        if marker in upper:
+            err = cls(msg)
+            err.__cause__ = exc
+            return err
+    err = UnknownError(msg)
+    err.__cause__ = exc
+    return err

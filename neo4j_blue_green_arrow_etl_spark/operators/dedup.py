@@ -1,0 +1,314 @@
+"""Deduplication operators for the documents table.
+
+Core to the 100 TB training-data-pipeline mission (BASELINE.json
+north_star): exact dedup, n-gram Jaccard near-dup (oracle-checkable),
+MinHash+LSH (scalable candidate generation), SimHash.
+
+Design for scale:
+- Exact dedup is one hash-shuffle groupBy on the text (at 100 TB,
+  group on a digest — ``sha2(text)`` — so shuffle rows are ~64 bytes,
+  not document bodies).
+- All-pairs n-gram Jaccard is the CORRECTNESS baseline: it joins on
+  shared shingles so only docs sharing at least one shingle ever meet
+  (no cartesian), but its worst case is still quadratic within a
+  shingle bucket. It is the oracle; MinHash-LSH is the scale path.
+- MinHash-LSH: k seeded xxhash64 min-hashes per doc, banded into
+  signatures; candidate pairs come from an equi-join on
+  (band_id, band_hash) — pure shuffle joins, no UDFs, no cartesian.
+  Everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import register
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 32  # signature length
+MINHASH_BANDS = 8  # 8 bands x 4 rows/band
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_x1",
+    oracle="SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1",
+    doc="Exact dedup: keep the lowest doc_id per distinct text. Scale: "
+    "group by sha2 digest instead of raw text so the shuffle carries "
+    "64-byte keys; one aggregation, AQE-coalesced.",
+)
+def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # Group on a 256-bit digest of the text: collision probability is
+    # negligible and the shuffle payload is constant-size per row.
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document, computed
+    with pure array expressions (no Python on the data path)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a AS doc_a, b AS doc_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON a = sa.doc_id
+JOIN sizes sb ON b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=_NGRAM_ORACLE,
+    doc=f"Exact {SHINGLE_N}-gram Jaccard near-dup pairs (threshold "
+    f"{JACCARD_THRESHOLD}). Scale: join on shared shingle (not cartesian); "
+    "docs with no common shingle never meet. Worst case quadratic in a hot "
+    "shingle bucket — the MinHash-LSH variant below is the 100 TB path; "
+    "this is the recall-1.0 oracle.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("x")
+    b = sh.alias("y")
+    common = (
+        a.join(b, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<bigint>) — k seeded xxhash64 min-hashes.
+
+    One aggregation: min of xxhash64(shingle, seed_i) per seed. All
+    JVM-side; the per-doc state is k longs regardless of doc size."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(k)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(k)]).alias("sig")
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=None,  # hash-seeded algorithm; no SQL-expressible oracle.
+    # Recall vs the exact q_dedup_ngram oracle is asserted in tests.
+    doc=f"MinHash({MINHASH_K})+LSH({MINHASH_BANDS} bands) near-dup pairs, "
+    f"verified with exact Jaccard >= {JACCARD_THRESHOLD}. Scale: candidates "
+    "come from equi-joins on (band, band_signature) — shuffle-friendly, "
+    "no cartesian; verification only touches candidate pairs.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(_docs(spark, sf_dir)).cache()
+    sig = minhash_signatures(sh)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard over the shingle sets.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    common = (
+        candidates.join(x, F.col("a") == F.col("x.doc_id"))
+        .join(y, (F.col("b") == F.col("y.doc_id")) & (F.col("x.shingle") == F.col("y.shingle")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # hash-based fingerprint; recall asserted in tests.
+    doc=f"SimHash-{SIMHASH_BITS} near-dup pairs: per-bit majority vote over "
+    "token xxhash64 values, candidates from 16-bit band equality, verified "
+    f"with Hamming distance <= {SIMHASH_MAX_HAMMING} via bit_count(xor). "
+    "Scale: fingerprint is one groupBy; candidate join is equi on bands.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    # per-bit vote: +1 if bit set else -1; simhash bit b = 1 iff vote > 0
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    # pack sign bits into one BIGINT; bit 63 via signed overflow-free expr
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)))
+                .otherwise(0)
+                for b in range(SIMHASH_BITS)
+            ]
+        ).alias("simhash"),
+    )
+    bands = packed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bh")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

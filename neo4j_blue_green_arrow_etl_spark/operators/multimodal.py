@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so DECODE IS STUBBED —
+``decode_image_batch`` raises ``NotImplementedError`` unless the
+deterministic fake decoder is requested — but the Spark-side plumbing
+is real and tested: binary column schema, Arrow-batched ``mapInPandas``
+with a declared output schema, partition-preserving batch iteration.
+
+At 100 TB the shape is: binary payloads stay columnar in Parquet,
+decode/feature-extract runs as Arrow-batched pandas iterators on
+executors (never row-at-a-time Python), and metadata-only queries never
+touch the payload column thanks to Parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .relational import register
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a multimodal table from documents: payload = UTF-8
+    bytes of the text (deterministic stand-in for image bytes), plus
+    typed metadata columns."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("fake/rgb8").alias("mime"),
+        F.struct(
+            F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("width"),
+            F.pmod(F.col("doc_id"), F.lit(48)).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_mm_meta",
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "octet_length(encode(text)) AS n_bytes, "
+        "sha256(text) AS payload_sha FROM documents ORDER BY 1"
+    ),
+    doc="Multimodal metadata pass: payload byte length + content digest "
+    "without decoding. Scale: pure column expressions; with payloads in "
+    "their own parquet column, metadata queries prune the blob entirely.",
+)
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    ).orderBy("media_id")
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
+    """Decode a batch of image payloads.
+
+    Real decoding needs an image codec (Pillow / libvips) that is NOT in
+    this container — STUB: raises unless ``fake=True``, which computes a
+    deterministic byte-level stand-in (length + mean byte value) with
+    the exact batch shape a real decoder would use."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image codec not present in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    lengths = payloads.map(len)
+    means = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+    return pd.DataFrame({"n_bytes": lengths.astype("int64"), "byte_mean": means})
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column via
+    ``mapInPandas`` — the genuine distributed decode path with the fake
+    decoder plugged in."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = decode_image_batch(pdf["payload"], fake=True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": feats["n_bytes"],
+                    # raw double: exact int sum / len is bit-identical to
+                    # the oracle's sum*1.0/length — no round-tie risk
+                    "byte_mean": feats["byte_mean"],
+                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_FEATURE_SCHEMA)
+
+
+@register(
+    "q_mm_features",
+    oracle=(
+        "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, "
+        "list_aggregate(list_transform(range(1, length(text) + 1), "
+        "i -> unicode(text[i])), 'sum') * 1.0 / length(text) AS byte_mean, "
+        "CAST(doc_id % 64 AS INTEGER) AS width, "
+        "CAST(doc_id % 48 AS INTEGER) AS height "
+        "FROM documents ORDER BY 1"
+    ),
+    doc="mapInPandas feature extraction over binary payloads (fake "
+    "decoder: byte stats). Exercises the real multimodal plumbing: Arrow "
+    "batch exchange, declared output schema, struct metadata access. "
+    "Oracle mirrors the byte stats (ASCII text => unicode == byte value).",
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.orderBy("media_id")

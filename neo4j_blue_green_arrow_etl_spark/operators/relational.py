@@ -1,0 +1,601 @@
+"""Relational operator surface: SURVEY.md §2.12 declared query set.
+
+Each query is a pair: a Spark DataFrame builder (the engine under test)
+and a DuckDB oracle SQL string (ANSI-ish, DuckDB dialect). Both sides
+derive any non-base tables from ``fixtures`` — one source of truth.
+
+Output discipline (so cross-engine value-hashing is stable):
+- every computed/aggregate column is aliased identically on both sides;
+- no raw timestamp outputs — format to string or epoch seconds;
+- double aggregates are ROUNDed on both sides (floating sums are
+  order-dependent; rounding removes last-bit divergence);
+- LIMIT queries order by the output keys so selection is deterministic.
+
+Scale notes are attached per query: what shuffles, what broadcasts,
+what pushes down. These choices are the 100 TB design, tested small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import fixtures as FX
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared query: Spark implementation + optional DuckDB oracle."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_s1",
+    oracle=(
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        "strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_str "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ),
+    doc="S1/S3 full parquet scan (reference neo4j_pq.py:275, 116-126). "
+    "Scale: columnar vectorized scan, no shuffle; timestamps projected "
+    "to strings for cross-engine hashing.",
+)
+def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate_str"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_p1",
+    oracle=FX.with_clause("nodes_entity")
+    + " SELECT nodeId, array_to_string(labels, ',') AS labels FROM nodes_entity ORDER BY nodeId",
+    doc="P1-P3 positional rename + CSV label split -> array (reference "
+    "neo4j_pq.py:48-51, 70-81); array re-joined for stable hashing.",
+)
+def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = FX.nodes_entity(spark, sf_dir)
+    return nodes.select(
+        "nodeId", F.array_join("labels", ",").alias("labels")
+    ).orderBy("nodeId")
+
+
+@register(
+    "q_p4",
+    oracle=(
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_orderstatus = 'O' AND o_totalprice > 1000 ORDER BY o_orderkey"
+    ),
+    doc="P4-P8 conjunctive filters (reference orchestrator.py:253-262). "
+    "Scale: both predicates push down to the parquet scan (PushedFilters).",
+)
+def q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_j1",
+    oracle=FX.with_clause("edges", "all_nodes")
+    + " SELECT e.sourceNodeId FROM edges e "
+    "WHERE NOT EXISTS (SELECT 1 FROM all_nodes n WHERE n.nodeId = e.sourceNodeId) "
+    "ORDER BY 1",
+    doc="J-referential-integrity: edges whose source is not a known node "
+    "(expected empty; reference contract neo4j_pq.py:74, 97-100). "
+    "Scale: left_anti equi-join, shuffles on the id key; AQE converts to "
+    "broadcast when the node side is small.",
+)
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = FX.edges(spark, sf_dir)
+    n = FX.all_nodes(spark, sf_dir).select("nodeId")
+    return (
+        e.join(n, e.sourceNodeId == n.nodeId, "left_anti")
+        .select("sourceNodeId")
+        .orderBy("sourceNodeId")
+    )
+
+
+@register(
+    "q_j2",
+    oracle=(
+        "SELECT c_custkey, n_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey"
+    ),
+    doc="Broadcast hash join: tiny dim (nation, 25 rows) broadcast to every "
+    "task — zero shuffle of the fact side at any scale.",
+)
+def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_j3",
+    oracle=FX.with_clause("scanned", "processed")
+    + " SELECT s.customer_id, s.ts FROM scanned s "
+    "WHERE NOT EXISTS (SELECT 1 FROM processed p "
+    "WHERE s.customer_id = p.customer_id AND s.ts = p.ts) ORDER BY 1, 2",
+    doc="J1/J3 left-anti dedup: new snapshots = scanned minus processed "
+    "(reference orchestrator.py:224, 249-251).",
+)
+def q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = FX.scanned_df(spark)
+    p = FX.processed_df(spark)
+    return s.join(p, ["customer_id", "ts"], "left_anti").orderBy("customer_id", "ts")
+
+
+@register(
+    "q_j4",
+    oracle=FX.with_clause("dbs", "aliases")
+    + " SELECT d.name FROM dbs d "
+    "WHERE NOT EXISTS (SELECT 1 FROM aliases a WHERE d.name = a.database) ORDER BY 1",
+    doc="J2 alias guard: databases droppable only if no alias points at them "
+    "(reference orchestrator.py:410-417).",
+)
+def q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = FX.dbs_df(spark)
+    a = FX.aliases_df(spark)
+    return (
+        d.join(a, d.name == a.database, "left_anti").select("name").orderBy("name")
+    )
+
+
+@register(
+    "q_j5",
+    oracle=(
+        "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str, "
+        "l_extendedprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "ORDER BY l_orderkey, l_extendedprice"
+    ),
+    doc="Large-large sort-merge join (merge hint pins the strategy; at 100 TB "
+    "both sides shuffle-sort on the key — the co-location candidate for "
+    "bucketing if this join repeats).",
+)
+def q_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+            "l_extendedprice",
+        )
+        .orderBy("l_orderkey", "l_extendedprice")
+    )
+
+
+@register(
+    "q_j6",
+    oracle=(
+        "SELECT c1.c_custkey AS custkey_a, c2.c_custkey AS custkey_b FROM customer c1 "
+        "JOIN customer c2 ON c1.c_nationkey = c2.c_nationkey "
+        "AND c1.c_acctbal < c2.c_acctbal AND c1.c_custkey < c2.c_custkey "
+        "ORDER BY 1, 2"
+    ),
+    doc="Range/theta self-join with an equi anchor (c_nationkey) so Spark "
+    "executes a hash join on the equi key with residual range predicates — "
+    "NOT a cartesian product; partitions by nation at scale.",
+)
+def q_j6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    c1 = c.alias("c1")
+    c2 = c.alias("c2")
+    return (
+        c1.join(
+            c2,
+            (F.col("c1.c_nationkey") == F.col("c2.c_nationkey"))
+            & (F.col("c1.c_acctbal") < F.col("c2.c_acctbal"))
+            & (F.col("c1.c_custkey") < F.col("c2.c_custkey")),
+        )
+        .select(
+            F.col("c1.c_custkey").alias("custkey_a"),
+            F.col("c2.c_custkey").alias("custkey_b"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_a1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"
+    ),
+    doc="A1-A3 grouped sum/count (TPC-H Q1 core; reference "
+    "load_with_aliases.py:131-132). Scale: partial aggregation map-side, "
+    "one shuffle on (returnflag, linestatus) — 6 groups, trivially balanced.",
+)
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_a2",
+    oracle=FX.with_clause("snapshots")
+    + " SELECT customer_id, MAX(ts) AS max_ts FROM snapshots GROUP BY 1 ORDER BY 1",
+    doc="A4 max-per-group: latest deployment per customer (reference "
+    "orchestrator.py:364-384).",
+)
+def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        FX.snapshots_df(spark)
+        .groupBy("customer_id")
+        .agg(F.max("ts").alias("max_ts"))
+        .orderBy("customer_id")
+    )
+
+
+@register(
+    "q_a3",
+    oracle="SELECT COUNT(DISTINCT l_suppkey) AS n_supp FROM lineitem",
+    doc="Distinct aggregate. Scale: two-phase distinct (partial per-partition "
+    "dedup, then final); approx_count_distinct variant tested separately "
+    "within 5% (tests/test_relational.py).",
+)
+def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.countDistinct("l_suppkey").alias("n_supp"))
+
+
+@register(
+    "q_a4",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+        "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+        "ORDER BY 1 NULLS LAST, 2 NULLS LAST, 3"
+    ),
+    doc="Grouping-set rollup (no reference counterpart; built-in capability "
+    "declared in SURVEY §2.4).",
+)
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+            "cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_w1",
+    oracle=FX.with_clause("snapshots")
+    + " SELECT customer_id, ts FROM (SELECT customer_id, ts, "
+    "ROW_NUMBER() OVER (PARTITION BY customer_id ORDER BY ts DESC) AS rn "
+    "FROM snapshots) WHERE rn <= 2 ORDER BY 1, 2",
+    doc="T1 keep-newest-2 retention window (reference orchestrator.py:386-424 "
+    "sort+slice, re-expressed as row_number).",
+)
+def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("customer_id").orderBy(F.desc("ts"))
+    return (
+        FX.snapshots_df(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("customer_id", "ts")
+        .orderBy("customer_id", "ts")
+    )
+
+
+@register(
+    "q_w2",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total "
+        "FROM orders ORDER BY o_custkey, o_orderkey"
+    ),
+    doc="Analytic window with explicit ROWS frame: per-customer running "
+    "revenue. Scale: one shuffle on o_custkey then in-partition sort.",
+)
+def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q_w3",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value "
+        "FROM events ORDER BY user_id, event_id"
+    ),
+    doc="lag/lead analytic window over the event stream. Spark reads the "
+    "nanosecond ts as long (nanosAsLong) — ordering is identical.",
+)
+def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", F.lag("value").over(w).alias("prev_value")
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_t1",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    doc="Global top-k: Spark runs TakeOrderedAndProject — per-partition "
+    "top-10 then driver merge, no global sort at any scale.",
+)
+def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_u1",
+    oracle=FX.with_clause("nodes_entity", "nodes_address")
+    + " SELECT nodeId FROM nodes_entity UNION ALL "
+    "SELECT nodeId FROM nodes_address ORDER BY 1",
+    doc="U1 union of node-label dirs into one relation (reference "
+    "README.md:182-191, neo4j_pq.py:279-285).",
+)
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ne = FX.nodes_entity(spark, sf_dir).select("nodeId")
+    na = FX.nodes_address(spark, sf_dir).select("nodeId")
+    return ne.unionByName(na).orderBy("nodeId")
+
+
+@register(
+    "q_u2",
+    oracle=(
+        "SELECT c_nationkey FROM customer EXCEPT "
+        "SELECT s_nationkey FROM supplier ORDER BY 1"
+    ),
+    doc="EXCEPT (distinct set difference) — U2/J1 set-membership semantics.",
+)
+def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    return c.subtract(s).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_f1",
+    oracle=FX.with_clause("dbs")
+    + " SELECT name, string_split(name, '-')[-1] AS ts_part, "
+    "UPPER(name) AS upper_name, name LIKE 'customer1-%' AS is_c1 "
+    "FROM dbs ORDER BY name",
+    doc="F1-F6 string functions: split + last element (reference "
+    "orchestrator.py:377-379), upper (neo4j_arrow_error.py:17), prefix test "
+    "(orchestrator.py:371).",
+)
+def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = FX.dbs_df(spark)
+    return d.select(
+        "name",
+        F.element_at(F.split("name", "-"), -1).alias("ts_part"),
+        F.upper("name").alias("upper_name"),
+        F.col("name").startswith("customer1-").alias("is_c1"),
+    ).orderBy("name")
+
+
+@register(
+    "q_f2",
+    oracle=(
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_str, "
+        "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders ORDER BY 1"
+    ),
+    doc="F8 timestamp formatting + epoch seconds (UTC session timezone "
+    "pins the semantics; reference simulate_snapshot.py:17).",
+)
+def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q_f3",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge "
+        "FROM lineitem ORDER BY 1, 2"
+    ),
+    doc="F10 arithmetic expression chain (TPC-H charge). Raw doubles on "
+    "purpose: per-row left-to-right double math is bit-identical across "
+    "engines, while ROUND() tie-breaking at representational boundaries "
+    "is NOT (HALF_UP on exact BigDecimal vs float-multiply) — rounding "
+    "is reserved for order-dependent aggregates.",
+)
+def q_f3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_f4",
+    oracle=(
+        "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY 1"
+    ),
+    doc="F11 JSON field extraction from the event props payload "
+    "(reference neo4j_arrow_client.py:134-139 JSON round-trip).",
+)
+def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")
+
+
+@register(
+    "q_f5",
+    oracle=FX.with_clause("nodes_entity")
+    + " SELECT nodeId, unnest(labels) AS label FROM nodes_entity ORDER BY 1, 2",
+    doc="F13/explode: one output row per label (generator/UDTF-shaped "
+    "surface over the split label array).",
+)
+def q_f5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = FX.nodes_entity(spark, sf_dir)
+    return n.select("nodeId", F.explode("labels").alias("label")).orderBy(
+        "nodeId", "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped semantics (batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_st1",
+    oracle=FX.with_clause("arrivals")
+    + " SELECT customer_id, MAX(ts) AS max_ts FROM arrivals GROUP BY 1 ORDER BY 1",
+    doc="ST2/ST3 latest-wins under out-of-order arrival: micro-batch "
+    "simulation folds arrival batches into per-customer max-ts state; the "
+    "final state must equal the batch answer regardless of arrival order "
+    "(reference orchestrator.py:322-324, 364-384). The true streaming path "
+    "lives in streaming/orchestrator.py and is exercised in tests.",
+)
+def q_st1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrivals = FX.arrivals_df(spark)
+    n_batches = 4
+    state: DataFrame | None = None
+    for b in range(n_batches):
+        batch = arrivals.filter(
+            (F.col("arrival_order") % n_batches) == b
+        ).select("customer_id", "ts")
+        state = batch if state is None else state.unionByName(batch)
+        state = state.groupBy("customer_id").agg(F.max("ts").alias("ts"))
+    assert state is not None
+    return state.select("customer_id", F.col("ts").alias("max_ts")).orderBy("customer_id")
+
+
+@register(
+    "q_st2",
+    oracle=(
+        "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc="Tumbling 1-hour event-time window (batch-mode window(); same "
+    "expression runs under readStream with a watermark).",
+)
+def q_st2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        # ts arrives as long nanoseconds (nanosAsLong); integer-divide to
+        # microseconds (no double roundtrip — ns magnitudes exceed 2^53)
+        "ts",
+        F.timestamp_micros(F.expr("ts DIV 1000")),
+    )
+    return (
+        e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "cnt",
+        )
+        .orderBy("user_id", "window_start_s")
+    )

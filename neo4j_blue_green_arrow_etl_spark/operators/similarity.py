@@ -1,0 +1,213 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+list<float>, label).
+
+Brute-force cosine top-k is the oracle baseline; random-hyperplane LSH
+bucketing is the scale path (candidate set shrinks ~2^bits-fold before
+any distance math). Embedding near-dup (cosine >= threshold pairs) is
+the third surface, oracle-checked brute force.
+
+Scale design: the query vector is broadcast (one row); distances are
+computed with ``zip_with``/``aggregate`` fold expressions — JVM-side,
+codegen-fused, no Python. For batched multi-query top-k at 100 TB the
+same plan shape holds with the query side as a broadcast table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import register
+
+TOP_K = 5
+QUERY_VEC_ID = 0
+# Synthetic embeddings top out near cosine 0.51 pairwise; 0.4 marks the
+# top ~0.1% of pairs as "near-duplicates" so the operator output is
+# non-trivial at every scale factor.
+NEARDUP_COS = 0.4
+# 6 planes / hamming<=2 multiprobe: on near-random vectors (this
+# synthetic set) LSH recall tracks the candidate fraction (~1/3 here);
+# clustered real-world embeddings concentrate much better. The knob
+# trades recall for candidate volume explicitly.
+LSH_PLANES = 6
+LSH_PROBE_HAMMING = 2
+EMB_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum over zip_with products, folded in array order (bit-compatible
+    with the oracle's sequential list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_COS_SQL = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[])))"
+)
+
+
+@register(
+    "q_x2",
+    oracle=(
+        f"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) "
+        f"SELECT e.vec_id, ROUND({_COS_SQL}, 6) AS sim "
+        f"FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID} "
+        f"ORDER BY sim DESC, e.vec_id LIMIT {TOP_K}"
+    ),
+    doc=f"Brute-force cosine top-{TOP_K} neighbors of vec_id={QUERY_VEC_ID}. "
+    "Scale: query vector broadcast; TakeOrderedAndProject avoids a global "
+    "sort (per-partition top-k, driver merge).",
+)
+def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "q_sim_neardup",
+    oracle=(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        f"(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        f"sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        f"(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        f"sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= {NEARDUP_COS} "
+        f"ORDER BY 1, 2"
+    ),
+    doc=f"Embedding near-dup: all pairs with cosine >= {NEARDUP_COS}, "
+    "exact, via blocked BLAS: the right side is broadcast as one dense "
+    "float64 matrix, each Arrow batch of left rows does ONE numpy matmul "
+    "against it (mapInPandas), emitting only threshold-passing pairs. "
+    "~100x faster than per-pair zip_with folds, which run interpreted. "
+    "At 100 TB the broadcast side becomes bucketed chunks and the same "
+    "kernel runs per chunk-pair; q_sim_lsh is the sub-quadratic path.",
+)
+def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = _emb(spark, sf_dir)
+    # Broadcast side: the full (small-dim) matrix + ids + norms. This is
+    # the standard blocked-similarity shape: one side dense in memory,
+    # the other streamed through in Arrow batches.
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def block(it):
+        r_ids, r_mat, r_norms = bc.value
+        for pdf_block in it:
+            l_ids = pdf_block["vec_id"].to_numpy()
+            l_mat = np.vstack(pdf_block["embedding"].map(np.asarray)).astype(np.float64)
+            l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
+            sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
+            li, ri = np.where(sims >= NEARDUP_COS)
+            keep = l_ids[li] < r_ids[ri]  # upper triangle only
+            yield pd.DataFrame(
+                {
+                    "vec_a": l_ids[li][keep],
+                    "vec_b": r_ids[ri][keep],
+                    "cos_sim": np.round(sims[li, ri][keep], 6),
+                }
+            )
+
+    return e.mapInPandas(block, schema=schema).orderBy("vec_a", "vec_b")
+
+
+def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (pure python,
+    seedless LCG so the plan is reproducible without numpy state)."""
+    planes = []
+    state = 42
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            # map to (-1, 1)
+            vec.append((state / 2**63) - 1.0)
+        norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / norm for v in vec])
+    return planes
+
+
+def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplane projections — pure
+    column expressions (dot products against literal arrays)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(col, F.array(*[F.lit(v) for v in p]))
+        bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(0)
+    return bucket
+
+
+@register(
+    "q_sim_lsh",
+    oracle=None,  # approximate; recall vs q_x2 asserted in tests.
+    doc=f"ANN top-{TOP_K} for vec_id={QUERY_VEC_ID} via {LSH_PLANES}-plane "
+    f"random-hyperplane LSH with hamming<={LSH_PROBE_HAMMING} multiprobe, "
+    "then exact cosine rerank of candidates only. Scale: bucket filter "
+    "replaces the cross join; distance math runs on the candidate "
+    "fraction, tunable via planes/probe radius.",
+)
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    planes = _hyperplanes()
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    # probe the query bucket and hamming-1 neighbor buckets (multi-probe)
+    cand = (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+            <= LSH_PROBE_HAMMING
+        )
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(TOP_K)
+    )

@@ -1,0 +1,222 @@
+"""Text analysis operators over the documents table.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting. Everything is built from JVM-side column
+expressions (split/filter/aggregate higher-order functions) — no Python
+UDFs — so the operators stay inside whole-stage codegen and scale
+linearly with one scan and zero shuffles (all are per-row maps followed
+by optional aggregation).
+
+The langid/quality/fingerprint oracles are GENERATED from the same
+constants as the Spark side (stopword lists, score formula, hash
+parameters) so the two implementations cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import register
+
+# Ordered: earlier wins score ties (argmax tie-break is deterministic).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "fr": ("le", "les", "des", "et", "est", "une"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+PUNCT_CLASS = "[^.,;:!?]"
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "q_x3_lang",
+    oracle=(
+        "SELECT lang, COUNT(*) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    doc="Corpus profile: doc count and mean length per language tag.",
+)
+def q_x3_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_x3_tokens",
+    oracle=(
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc="Whitespace token count per document (token-budget accounting).",
+)
+def q_x3_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def _contains_any(words: tuple[str, ...]):
+    """One-arg lambda factory for higher-order F.filter (a default-arg
+    closure would change the lambda's arity and make PySpark pass the
+    element index as the second argument)."""
+    arr = [F.lit(w) for w in words]
+
+    def pred(x):
+        return F.array_contains(F.array(*arr), x)
+
+    return pred
+
+
+def _score_case_sql() -> str:
+    """Shared CASE expression choosing the argmax language from score
+    columns s_<lang> (ties -> earlier lang in STOPWORDS order; all-zero
+    -> 'unknown'). Valid in both Spark SQL and DuckDB."""
+    langs = list(STOPWORDS)
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    whens = []
+    for i, l in enumerate(langs):
+        conds = [f"s_{l} >= s_{o}" for o in langs if o != l]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    return f"CASE WHEN {zero} THEN 'unknown' {' '.join(whens)} ELSE 'unknown' END"
+
+
+def _langid_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{', '.join(repr(w) for w in ws)}], x))) AS s_{l}"
+        for l, ws in STOPWORDS.items()
+    )
+    return (
+        f"WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents) "
+        f"SELECT doc_id, lang AS tagged_lang, {_score_case_sql()} AS predicted_lang "
+        f"FROM scored ORDER BY doc_id"
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=_langid_oracle(),
+    doc="Heuristic language ID: stopword-hit argmax over per-language "
+    "lists; deterministic tie-break. Pure higher-order array expressions "
+    "(filter + isin), one scan, no shuffle.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(toks, _contains_any(ws))).alias(f"s_{l}")
+            for l, ws in STOPWORDS.items()
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        F.expr(_score_case_sql()).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        f"length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS n_punct, "
+        "length(text) AS n_chars_m, "
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{en}], x))) AS n_stop FROM documents) "
+        "SELECT doc_id, n_tokens, "
+        "n_punct * 1.0 / NULLIF(n_chars_m, 0) AS punct_ratio, "
+        "n_stop * 1.0 / NULLIF(n_tokens, 0) AS stopword_ratio, "
+        "(1.0 - n_punct * 1.0 / NULLIF(n_chars_m, 0)) * "
+        "LEAST(1.0, n_tokens * 1.0 / 100.0) AS quality_score "
+        "FROM m ORDER BY doc_id"
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=_quality_oracle(),
+    doc="Quality scoring: token count, punctuation ratio, stopword ratio, "
+    "and a composite score (reference-free heuristics typical of pretrain "
+    "data filtering). Per-row map, no shuffle.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    n_chars_m = F.length("text")
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda x: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS["en"]]), x),
+        )
+    )
+    punct_ratio = n_punct / F.nullif(n_chars_m, F.lit(0))
+    stop_ratio = n_stop / F.nullif(n_tokens, F.lit(0))
+    # raw doubles: per-row division is bit-identical across engines;
+    # ROUND() tie-breaking is not (see q_f3)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((F.lit(1.0) - punct_ratio) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))).alias(
+            "quality_score"
+        ),
+    ).orderBy("doc_id")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Polynomial rolling hash over whitespace tokens:
+    h = fold(h * 31 + (len(tok) * 131 + ascii(first) * 7 + ascii(last))) mod p.
+    Integer math stays < 2^63 (ANSI-safe) and is engine-portable."""
+    def step(acc: Column, t: Column) -> Column:
+        tv = (
+            F.length(t) * 131
+            + F.ascii(F.substring(t, 1, 1)) * 7
+            + F.ascii(F.substring(t, -1, 1))
+        )
+        return (acc * FP_MUL + tv) % FP_MOD
+
+    return F.aggregate(F.split(text, " "), F.lit(0).cast("long"), step)
+
+
+def _fingerprint_oracle() -> str:
+    return (
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(text, ' '), "
+        "t -> CAST(length(t) * 131 + unicode(t[1]) * 7 + unicode(t[-1]) AS BIGINT))), "
+        f"(acc, tv) -> (acc * {FP_MUL} + tv) % {FP_MOD}) AS fingerprint "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=_fingerprint_oracle(),
+    doc="Document fingerprint: polynomial rolling hash folded over tokens "
+    "(mod 1e9+7, multiplier 31). Same fold, same parameters on both "
+    "engines; per-row map, no shuffle.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Single place where scale-relevant knobs live. Local runs use
+``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same builder options
+hold (AQE, Arrow, UTC session time) and ``master`` is simply not set.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "neo4j_blue_green_arrow_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Defaults are chosen so the same logical plans scale from local[32]
+    to a 1000-executor cluster:
+
+    - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+      and dynamic broadcast conversion replace hand-tuned partition counts.
+    - Arrow on: pandas/Arrow UDF exchange is vectorized, and
+      ``maxRecordsPerBatch`` mirrors the reference's 100k-row RecordBatch
+      contract (reference neo4j_pq.py:120, config.yaml:22).
+    - UTC session timezone: deterministic timestamp semantics vs oracles.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects by default; read as long (ns since epoch) and convert
+        # explicitly where timestamp semantics are needed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,136 @@
+"""Snapshot source: directory-partitioned property-graph Parquet.
+
+Data model (reference README.md:179-216):
+
+    data/{customer_id}/{timestamp}/
+      nodes/{Label}/*.parquet
+      relationships/{REL_TYPE}/*.parquet
+
+Column meaning is POSITIONAL at the boundary (reference
+neo4j_pq.py:70-81 for nodes, :93-103 for edges); this module is the one
+place that converts the positional contract into a declared named
+schema, after which everything downstream is schema-first.
+
+Scale note: the normalizations here are pure Catalyst expressions
+(rename + ``F.split``), so they fuse into the parquet scan inside
+whole-stage codegen — no Python on the data path, unlike the
+reference's pandas row-apply label split (neo4j_pq.py:59).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NODE_ID = "nodeId"
+LABELS = "labels"
+SOURCE_ID = "sourceNodeId"
+TARGET_ID = "targetNodeId"
+REL_TYPE = "relationshipType"
+
+
+def normalize_nodes(df: DataFrame) -> DataFrame:
+    """Positional node contract -> named schema.
+
+    Column 0 -> ``nodeId``; column 1 -> ``labels`` as array<string> by
+    splitting the comma-separated label string (reference
+    neo4j_pq.py:48-51, 70-81); columns 2..n pass through unchanged.
+    A single label without a comma still becomes a one-element array
+    (``F.split`` handles both, replacing the reference's scalar-vs-list
+    branch at neo4j_pq.py:49-51).
+    """
+    cols = df.columns
+    if len(cols) < 2:
+        raise ValueError(f"node table needs >= 2 columns (id, labels); got {cols}")
+    renamed = df.toDF(NODE_ID, LABELS, *cols[2:])
+    return renamed.withColumn(LABELS, F.split(F.col(LABELS).cast("string"), ","))
+
+
+def normalize_edges(df: DataFrame) -> DataFrame:
+    """Positional edge contract -> named schema.
+
+    Column 0 -> ``sourceNodeId``, column 1 -> ``targetNodeId``,
+    column 2 -> ``relationshipType`` (reference neo4j_pq.py:93-103);
+    columns 3..n are edge properties passed through.
+    """
+    cols = df.columns
+    if len(cols) < 3:
+        raise ValueError(f"edge table needs >= 3 columns (src, dst, type); got {cols}")
+    return df.toDF(SOURCE_ID, TARGET_ID, REL_TYPE, *cols[3:])
+
+
+def read_nodes(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read one or more node-label directories and normalize.
+
+    Multiple label dirs are unioned by name with missing property
+    columns null-filled (the reference processes each dir separately
+    and the server unions; here the union is explicit so the engine has
+    ONE nodes relation to query)."""
+    dfs = [normalize_nodes(spark.read.parquet(p)) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def read_edges(spark: SparkSession, *paths: str) -> DataFrame:
+    dfs = [normalize_edges(spark.read.parquet(p)) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+@dataclass(frozen=True)
+class SnapshotRef:
+    """Identity of one discovered snapshot (reference orchestrator.py:42-50).
+
+    The database name it loads into is ``{customer_id}-{timestamp}``
+    (reference load_with_aliases.py:48)."""
+
+    customer_id: str
+    timestamp: int
+    path: str
+
+    @property
+    def database(self) -> str:
+        return f"{self.customer_id}-{self.timestamp}"
+
+
+def _non_empty_dir(p: Path) -> bool:
+    return p.is_dir() and any(p.iterdir())
+
+
+def discover_snapshots(base_path: str | Path) -> list[SnapshotRef]:
+    """Scan ``base/{customer}/{timestamp}`` for COMPLETE snapshots.
+
+    Completeness gate (reference orchestrator.py:253-262): both
+    ``nodes/`` and ``relationships/`` must exist and be non-empty;
+    timestamp dirs must be integer-named (orchestrator.py:243-245).
+    Driver-side listing by design — this is control-plane metadata, a
+    few thousand dirs at most, not data-plane work.
+    """
+    base = Path(base_path)
+    found: list[SnapshotRef] = []
+    if not base.is_dir():
+        return found
+    for customer_dir in sorted(p for p in base.iterdir() if p.is_dir()):
+        for ts_dir in sorted(p for p in customer_dir.iterdir() if p.is_dir()):
+            try:
+                ts = int(ts_dir.name)
+            except ValueError:
+                continue
+            if _non_empty_dir(ts_dir / "nodes") and _non_empty_dir(ts_dir / "relationships"):
+                found.append(SnapshotRef(customer_dir.name, ts, str(ts_dir)))
+    return found
+
+
+def read_snapshot(spark: SparkSession, snapshot: SnapshotRef) -> tuple[DataFrame, DataFrame]:
+    """Load one complete snapshot as (nodes, edges) DataFrames with the
+    engine's named schema, all labels/types unioned."""
+    node_dirs = sorted(str(p) for p in Path(snapshot.path, "nodes").iterdir() if p.is_dir())
+    edge_dirs = sorted(str(p) for p in Path(snapshot.path, "relationships").iterdir() if p.is_dir())
+    return read_nodes(spark, *node_dirs), read_edges(spark, *edge_dirs)

@@ -1,0 +1,253 @@
+"""Continuous snapshot orchestrator: the reference's file-watching
+blue/green loop (orchestrator.py / orchestrator_prefect.py) re-expressed
+as a micro-batch driver loop around Spark jobs.
+
+Semantics carried over (SURVEY §2.9 ST1-ST9):
+  ST1  scan every ``scan_interval`` seconds (micro-batch trigger)
+  ST2  dedup against processed state + catalog existence (idempotent)
+  ST3  late data: old-timestamp snapshots still LOAD, but the alias only
+       switches if the snapshot is the customer's latest (latest-wins by
+       event time, not arrival; reference orchestrator.py:322-324, 364-384)
+  ST4  completeness gate (nodes/ and relationships/ non-empty) — in
+       ``discover_snapshots``
+  ST5  concurrency cap: ``max_concurrent_loads`` per scan
+  ST6  retry with exponential backoff ``retry_backoff_base ** retries``,
+       max ``max_retries``
+  ST7  health-gated admission (session alive + db count below limit)
+  ST8  graceful drain with ``shutdown_timeout``
+  ST9  JSON status emission per cycle
+
+The loop is deliberately driver-side: snapshot arrival is control-plane
+(a few events/minute); the data plane — read, normalize, count, sink
+write — is fully distributed Spark jobs. A Structured Streaming file
+source would force one schema across heterogeneous snapshot dirs, so
+discovery stays a directory scan feeding batch jobs (the Spark mapping
+SURVEY §2.1 S4 sanctions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from ..config import DEFAULTS
+from ..plans.catalog import DeploymentCatalog, db_name
+from ..sources.snapshot import SnapshotRef, discover_snapshots, read_snapshot
+
+
+@dataclass
+class OrchestratorStats:
+    """Running counters (reference orchestrator.py:169-213)."""
+
+    discovered: int = 0
+    completed: int = 0
+    failed: int = 0
+    retried: int = 0
+    skipped_existing: int = 0
+    alias_switches: int = 0
+    cleaned_up: int = 0
+    started_at: float = field(default_factory=time.time)
+
+    def as_dict(self) -> dict[str, Any]:
+        return {
+            "uptime_sec": round(time.time() - self.started_at, 1),
+            "discovered": self.discovered,
+            "completed": self.completed,
+            "failed": self.failed,
+            "retried": self.retried,
+            "skipped_existing": self.skipped_existing,
+            "alias_switches": self.alias_switches,
+            "cleaned_up": self.cleaned_up,
+        }
+
+
+@dataclass
+class _Task:
+    snapshot: SnapshotRef
+    retry_count: int = 0
+    not_before: float = 0.0
+    last_error: str | None = None
+
+
+class Orchestrator:
+    """Micro-batch snapshot loader with blue/green cutover."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_path: str | Path,
+        catalog: DeploymentCatalog | None = None,
+        config: dict[str, Any] | None = None,
+        status_path: str | Path | None = None,
+        load_fn: Callable[[SparkSession, SnapshotRef, DeploymentCatalog], None] | None = None,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.spark = spark
+        self.data_path = Path(data_path)
+        self.catalog = catalog or DeploymentCatalog(spark)
+        cfg = dict(DEFAULTS["orchestrator"])
+        cfg.update((config or {}).get("orchestrator", config or {}))
+        self.cfg = cfg
+        self.status_path = Path(status_path) if status_path else None
+        self.load_fn = load_fn or self._default_load
+        self.clock = clock
+        self.stats = OrchestratorStats()
+        self._queue: list[_Task] = []
+        self._seen: set[tuple[str, int]] = set()
+        self._stop = False
+
+    # -- health (ST7) --------------------------------------------------
+
+    def check_health(self) -> tuple[bool, str]:
+        """Admission gate before each load (reference orchestrator.py:61-163):
+        engine answers SELECT 1; deployment count below max_databases."""
+        try:
+            ok = self.spark.sql("SELECT 1 AS health").collect()[0][0] == 1
+        except Exception as e:  # session dead
+            return False, f"session check failed: {e}"
+        if not ok:
+            return False, "health query returned wrong value"
+        n_dbs = len(self.catalog.list_databases())
+        if n_dbs >= self.cfg["max_databases"]:
+            return False, f"too many databases: {n_dbs} >= {self.cfg['max_databases']}"
+        return True, "ok"
+
+    # -- discovery (ST1/ST2/ST4) --------------------------------------
+
+    def scan_once(self) -> int:
+        """One discovery pass: find complete snapshots not yet seen or
+        deployed; enqueue them (reference scan_for_snapshots,
+        orchestrator.py:226-273 + prefect existence check :339-345)."""
+        found = 0
+        for ref in discover_snapshots(self.data_path):
+            key = (ref.customer_id, ref.timestamp)
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            if self.catalog.database_exists(ref.database):
+                self.stats.skipped_existing += 1
+                continue
+            self._queue.append(_Task(ref))
+            self.stats.discovered += 1
+            found += 1
+        return found
+
+    # -- load pipeline (§3.1) -----------------------------------------
+
+    @staticmethod
+    def _default_load(
+        spark: SparkSession, ref: SnapshotRef, catalog: DeploymentCatalog
+    ) -> None:
+        nodes, edges = read_snapshot(spark, ref)
+        catalog.register_deployment(ref.customer_id, ref.timestamp, nodes, edges)
+
+    def _is_latest_deployment(self, ref: SnapshotRef) -> bool:
+        """Latest-wins by event time: compare against every deployment of
+        this customer (reference _is_latest_deployment,
+        orchestrator.py:364-384 — parses the ts suffix off db names)."""
+        prefix = f"{ref.customer_id}-"
+        latest = max(
+            (int(n.split("-")[-1]) for n in self.catalog.list_databases(prefix)),
+            default=-1,
+        )
+        return ref.timestamp >= latest
+
+    def process_task(self, task: _Task) -> bool:
+        """Load one snapshot end-to-end: health gate -> load -> maybe
+        switch alias -> cleanup. Returns success (reference
+        load_snapshot, orchestrator.py:300-362)."""
+        ref = task.snapshot
+        healthy, reason = self.check_health()
+        if not healthy:
+            self._fail(task, f"health gate: {reason}")
+            return False
+        try:
+            self.load_fn(self.spark, ref, self.catalog)
+            if self._is_latest_deployment(ref):
+                self.catalog.set_alias(ref.customer_id, ref.timestamp)
+                self.stats.alias_switches += 1
+            self.stats.cleaned_up += len(
+                self.catalog.cleanup_old_deployments(
+                    ref.customer_id, self.cfg["keep_count"]
+                )
+            )
+            self.stats.completed += 1
+            return True
+        except Exception as e:
+            self._fail(task, str(e))
+            return False
+
+    # -- retry (ST6) ---------------------------------------------------
+
+    def _fail(self, task: _Task, error: str) -> None:
+        task.last_error = error
+        if task.retry_count < self.cfg["max_retries"]:
+            task.retry_count += 1
+            backoff = self.cfg["retry_backoff_base"] ** task.retry_count
+            task.not_before = self.clock() + backoff
+            self._queue.append(task)
+            self.stats.retried += 1
+        else:
+            self.stats.failed += 1
+
+    # -- status (ST9) --------------------------------------------------
+
+    def write_status(self) -> dict[str, Any]:
+        status = {
+            **self.stats.as_dict(),
+            "queue_size": len(self._queue),
+            "databases": self.catalog.list_databases(),
+            "aliases": self.catalog.list_aliases(),
+        }
+        if self.status_path:
+            fd, tmp = tempfile.mkstemp(dir=str(self.status_path.parent), prefix=".status-")
+            with os.fdopen(fd, "w") as f:
+                json.dump(status, f, indent=2)
+            os.replace(tmp, self.status_path)
+        return status
+
+    # -- main loop (ST1/ST5/ST8) --------------------------------------
+
+    def run_cycle(self) -> int:
+        """One micro-batch: scan, then process up to
+        ``max_concurrent_loads`` due tasks. Returns tasks processed."""
+        self.scan_once()
+        now = self.clock()
+        due = [t for t in self._queue if t.not_before <= now]
+        processed = 0
+        for task in due[: self.cfg["max_concurrent_loads"]]:
+            self._queue.remove(task)
+            self.process_task(task)
+            processed += 1
+        self.write_status()
+        return processed
+
+    def run(self, max_cycles: int | None = None, sleep: Callable[[float], None] = time.sleep) -> None:
+        cycles = 0
+        while not self._stop:
+            self.run_cycle()
+            cycles += 1
+            if max_cycles is not None and cycles >= max_cycles:
+                break
+            sleep(self.cfg["scan_interval"])
+
+    def stop(self, drain: bool = True) -> bool:
+        """Graceful shutdown: drain the due queue within
+        ``shutdown_timeout`` (reference orchestrator.py:595-655)."""
+        self._stop = True
+        if not drain:
+            return not self._queue
+        deadline = self.clock() + self.cfg["shutdown_timeout"]
+        while self._queue and self.clock() < deadline:
+            task = self._queue.pop(0)
+            if task.not_before <= self.clock():
+                self.process_task(task)
+        self.write_status()
+        return not self._queue

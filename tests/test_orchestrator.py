@@ -1,0 +1,156 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+from neo4j_blue_green_arrow_etl_spark.plans.catalog import DeploymentCatalog
+from neo4j_blue_green_arrow_etl_spark.streaming import Orchestrator
+
+
+@pytest.fixture()
+def data_base(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "data")
+    FX.materialize_snapshot(spark, sf_dir, base, "customer1", 1767741427)
+    return base
+
+
+def make_orch(spark, base, tmp_path, **cfg):
+    catalog = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    return Orchestrator(
+        spark,
+        base,
+        catalog=catalog,
+        config={"orchestrator": cfg} if cfg else None,
+        status_path=tmp_path / "status.json",
+    )
+
+
+def test_end_to_end_discover_load_switch(spark, sf_dir, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path)
+    orch.run_cycle()
+    assert orch.stats.completed == 1
+    assert orch.catalog.alias_target("customer1") == "customer1-1767741427"
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_suppliers = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert orch.catalog.count_via_alias("customer1") == n_customers + n_suppliers
+
+
+def test_late_snapshot_loads_but_does_not_capture_alias(
+    spark, sf_dir, data_base, tmp_path
+):
+    """ST3: a snapshot with an OLDER timestamp still loads, but the alias
+    stays on the newest deployment (reference orchestrator.py:322-324)."""
+    orch = make_orch(spark, data_base, tmp_path)
+    orch.run_cycle()
+    # late-arriving OLDER snapshot
+    FX.materialize_snapshot(spark, sf_dir, data_base, "customer1", 1767741000)
+    orch.run_cycle()
+    assert orch.stats.completed == 2
+    assert orch.catalog.database_exists("customer1-1767741000")  # loaded
+    assert orch.catalog.alias_target("customer1") == "customer1-1767741427"  # not switched
+
+    # and a NEWER one does capture the alias
+    FX.materialize_snapshot(spark, sf_dir, data_base, "customer1", 1767742000)
+    orch.run_cycle()
+    assert orch.catalog.alias_target("customer1") == "customer1-1767742000"
+
+
+def test_dedup_same_snapshot_not_reprocessed(spark, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path)
+    orch.run_cycle()
+    orch.run_cycle()  # same tree scanned again
+    assert orch.stats.completed == 1
+    assert orch.stats.discovered == 1
+
+
+def test_retry_with_backoff_then_success(spark, data_base, tmp_path):
+    fake_now = [1000.0]
+    attempts = []
+
+    def flaky_load(spark_, ref, catalog):
+        attempts.append(ref.database)
+        if len(attempts) < 3:
+            raise RuntimeError("transient sink failure")
+        Orchestrator._default_load(spark_, ref, catalog)
+
+    catalog = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    orch = Orchestrator(
+        spark,
+        data_base,
+        catalog=catalog,
+        config={"orchestrator": {"max_retries": 3, "retry_backoff_base": 2}},
+        status_path=tmp_path / "status.json",
+        load_fn=flaky_load,
+        clock=lambda: fake_now[0],
+    )
+    orch.run_cycle()  # attempt 1 fails -> requeued at now+2
+    assert orch.stats.retried == 1 and orch.stats.completed == 0
+    orch.run_cycle()  # not due yet: backoff holds the task
+    assert len(attempts) == 1
+    fake_now[0] += 2.1
+    orch.run_cycle()  # attempt 2 fails -> backoff 4
+    assert len(attempts) == 2
+    fake_now[0] += 4.1
+    orch.run_cycle()  # attempt 3 succeeds
+    assert orch.stats.completed == 1
+    assert orch.catalog.database_exists("customer1-1767741427")
+
+
+def test_retries_exhausted_marks_failed(spark, data_base, tmp_path):
+    fake_now = [1000.0]
+
+    def always_fail(spark_, ref, catalog):
+        raise RuntimeError("permanent failure")
+
+    orch = Orchestrator(
+        spark,
+        data_base,
+        catalog=DeploymentCatalog(spark, tmp_path / "catalog.json"),
+        config={"orchestrator": {"max_retries": 2, "retry_backoff_base": 2}},
+        load_fn=always_fail,
+        clock=lambda: fake_now[0],
+    )
+    for _ in range(5):
+        orch.run_cycle()
+        fake_now[0] += 10
+    assert orch.stats.failed == 1
+    assert orch.stats.completed == 0
+
+
+def test_health_gate_blocks_on_db_limit(spark, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path, max_databases=0, max_retries=0)
+    orch.run_cycle()
+    assert orch.stats.completed == 0
+    assert orch.stats.failed == 1
+
+
+def test_cleanup_retention_via_orchestrator(spark, sf_dir, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path, keep_count=2)
+    for ts in (1767741500, 1767741600, 1767741700):
+        FX.materialize_snapshot(spark, sf_dir, data_base, "customer1", ts)
+    for _ in range(4):
+        orch.run_cycle()
+    assert orch.stats.completed == 4
+    kept = orch.catalog.list_databases("customer1-")
+    assert kept == ["customer1-1767741600", "customer1-1767741700"]
+    assert orch.catalog.alias_target("customer1") == "customer1-1767741700"
+
+
+def test_status_file_written(spark, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path)
+    orch.run_cycle()
+    status = json.loads((tmp_path / "status.json").read_text())
+    assert status["completed"] == 1
+    assert status["aliases"] == {"customer1": "customer1-1767741427"}
+    assert status["queue_size"] == 0
+
+
+def test_graceful_drain(spark, sf_dir, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path, max_concurrent_loads=1)
+    FX.materialize_snapshot(spark, sf_dir, data_base, "customer2", 1767741427)
+    orch.scan_once()
+    assert len(orch._queue) == 2
+    assert orch.stop(drain=True) is True
+    assert orch.stats.completed == 2

@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+from conftest import SF_SMOKE
+
+# Queries spot-checked in unit tests (full set runs in
+# tools/check_correctness.py and the driver's gate).
+SPOT = ["q_a1", "q_j1", "q_p1", "q_w1", "q_st1", "q_u2", "q_x2"]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')")
+    return con
+
+
+def _canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def render(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return str(int(v))
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    return sorted("|".join(render(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_query_matches_oracle(spark, oracle, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, SF_SMOKE)
+    res = oracle.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _canon(srows, sdf.columns) == _canon(orows, ocols)
+
+
+def test_every_registered_query_has_doc():
+    for name, spec in REGISTRY.items():
+        assert spec.doc, f"{name} missing doc"
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_suppkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_suppkey")).first()[0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The q_p4 predicates must appear as PushedFilters in the parquet
+    scan — scale guarantee: the filter runs in the reader, not after."""
+    plan = REGISTRY["q_p4"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:300]
+
+
+def test_broadcast_join_strategy(spark):
+    """q_j2 must plan a broadcast hash join (dim side broadcast)."""
+    plan = REGISTRY["q_j2"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    """q_t1 must use TakeOrderedAndProject, not a full Sort+Limit."""
+    plan = REGISTRY["q_t1"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_not_cartesian(spark):
+    """q_j6 anchors on the c_nationkey equi-key: the plan must be a hash
+    or sort-merge join with residual condition, never cartesian."""
+    plan = REGISTRY["q_j6"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+from neo4j_blue_green_arrow_etl_spark.sources import (
+    discover_snapshots,
+    normalize_edges,
+    normalize_nodes,
+    read_snapshot,
+)
+from neo4j_blue_green_arrow_etl_spark.sources.snapshot import SnapshotRef
+
+
+def test_normalize_nodes_positional_rename_and_split(spark, sf_dir):
+    raw = FX.raw_entity_nodes(spark, sf_dir)
+    out = normalize_nodes(raw)
+    assert out.columns == ["nodeId", "labels", "name", "acctbal", "segment"]
+    rows = {r.nodeId: r.labels for r in out.collect()}
+    # even custkey -> single label; odd -> two labels (comma split)
+    assert rows["E2"] == ["Entity"]
+    assert rows["E1"] == ["Entity", "Company"]
+
+
+def test_normalize_nodes_single_label_is_one_element_array(spark, sf_dir):
+    out = normalize_nodes(FX.raw_address_nodes(spark, sf_dir))
+    assert out.select("labels").first()[0] == ["Address"]
+
+
+def test_normalize_edges_positional_rename(spark, sf_dir):
+    out = normalize_edges(FX.raw_edges(spark, sf_dir))
+    assert out.columns == ["sourceNodeId", "targetNodeId", "relationshipType", "weight"]
+    types = {r[0] for r in out.select("relationshipType").distinct().collect()}
+    assert types == {t for t, _ in FX.EDGE_TYPES}
+
+
+def test_normalize_rejects_too_few_columns(spark):
+    df = spark.createDataFrame([(1,)], "a: long")
+    with pytest.raises(ValueError):
+        normalize_nodes(df)
+    with pytest.raises(ValueError):
+        normalize_edges(df.withColumn("b", df.a))
+
+
+def test_discover_and_read_snapshot(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "data")
+    FX.materialize_snapshot(spark, sf_dir, base, "customer1", 1767741427)
+    # incomplete snapshot: nodes only -> must be skipped (ST4 gate)
+    incomplete = Path(base) / "customer2" / "1767741500" / "nodes" / "Entity"
+    incomplete.mkdir(parents=True)
+    (incomplete / "part.parquet").write_bytes(b"")
+    # non-integer timestamp dir -> skipped
+    bogus = Path(base) / "customer3" / "not_a_ts" / "nodes"
+    bogus.mkdir(parents=True)
+
+    found = discover_snapshots(base)
+    assert [(s.customer_id, s.timestamp) for s in found] == [("customer1", 1767741427)]
+    assert found[0].database == "customer1-1767741427"
+
+    nodes, edges = read_snapshot(spark, found[0])
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_suppliers = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert nodes.count() == n_customers + n_suppliers
+    # union-by-name: address rows have null segment, entity rows null nationkey
+    assert "nationkey" in nodes.columns and "segment" in nodes.columns
+    assert edges.select("relationshipType").distinct().count() == 3
+
+
+def test_snapshot_ref_database_name():
+    assert SnapshotRef("customer9", 123, "/x").database == "customer9-123"
