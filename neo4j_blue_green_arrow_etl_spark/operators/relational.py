@@ -330,6 +330,32 @@ def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_a5",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+        "ROUND(SUM(o_totalprice), 2) AS total FROM orders "
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+        "ORDER BY 1 NULLS LAST, 2 NULLS LAST, 3"
+    ),
+    doc="Full cube over (status, priority) with count + sum — the other "
+    "grouping-set shape §2.4 declares. Catalyst expands the cube into "
+    "grouping sets with a single Expand + one shuffle (partial aggs "
+    "map-side), not 4 separate scans.",
+)
+def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+            "cnt",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts / limits
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Temporal operators Spark has no single built-in for: as-of join,
+sessionization, and date arithmetic over the event stream.
+
+The reference has no temporal operators at all (its only time logic is
+max-timestamp latest-wins, SURVEY §2.9 ST3); these are the engine
+capabilities SURVEY §2.3/§2.5 declares beyond it ("range/as-of via
+inequality join conditions"), expressed shuffle-minimally:
+
+- **As-of join** is NOT implemented as an inequality join (that is a
+  partial cross product — quadratic per key, fatal at 100 TB). It is a
+  union + single hash-shuffle on the key + in-partition sort +
+  ``last(ignorenulls)`` running value: O(n log n) per partition, one
+  shuffle total, AQE-skew-splittable, no join explosion.
+- **Sessionization** uses the built-in ``session_window`` (the same
+  expression runs under Structured Streaming with a watermark for the
+  streaming variant; batch mode here so the oracle can check it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import register
+
+SESSION_GAP = "30 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with ns-long ts (nanosAsLong) plus a proper
+    microsecond timestamp column for window/session expressions."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+@register(
+    "q_j7_asof",
+    oracle=(
+        "SELECT c.event_id, c.user_id, "
+        "ROUND((SELECT e.value FROM events e WHERE e.user_id = c.user_id "
+        "AND e.event_type = 'error' AND e.ts <= c.ts "
+        "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1), 2) AS last_error_value "
+        "FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id"
+    ),
+    doc="As-of join: each click event picks up the value of the most "
+    "recent error event at-or-before it for the same user (LEFT ASOF "
+    "semantics; clicks with no prior error keep NULL). Scale: one "
+    "hash-shuffle on user_id + in-partition sort + running "
+    "last(ignorenulls) — no inequality-join cross product. Tie-break at "
+    "equal ts: errors sort before clicks (>= semantics), higher "
+    "event_id wins among simultaneous errors.",
+)
+def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "error", F.col("value")).alias("err_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn(
+            "last_error_value", F.round(F.last("err_value", ignorenulls=True).over(w), 2)
+        )
+        .filter(F.col("is_click") == 1)
+        .select("event_id", "user_id", "last_error_value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_st3_session",
+    oracle=(
+        "WITH marked AS ("
+        "  SELECT user_id, ts, CASE WHEN "
+        "    ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "      >= INTERVAL 30 MINUTE "
+        "    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "  THEN 1 ELSE 0 END AS new_s FROM events"
+        "), numbered AS ("
+        "  SELECT user_id, ts, SUM(new_s) OVER ("
+        "    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM marked) "
+        "SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, "
+        "COUNT(*) AS n_events FROM numbered GROUP BY user_id, sid "
+        "ORDER BY user_id, session_start_us"
+    ),
+    doc="Sessionization: per-user activity sessions with a 30-minute "
+    "inactivity gap, via the built-in session_window (merge when the "
+    "next event is strictly inside prev_ts + gap; a gap of exactly 30 "
+    "min starts a new session — the oracle's gaps-and-islands uses >= "
+    "to pin the same boundary). Scale: single shuffle on the session "
+    "key; under readStream the identical expression is incremental "
+    "with a watermark.",
+)
+def q_st3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts_t", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
+    "q_f6_datearith",
+    oracle=(
+        "SELECT o_orderkey, "
+        "strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_str, "
+        "CAST(CAST(o_orderdate AS DATE) - DATE '2024-01-01' AS BIGINT) AS days_since "
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    doc="Date arithmetic (SURVEY §2.8 declared 'date_add/datediff — "
+    "built-in'): +30 day due date and day-offset from a fixed epoch. "
+    "Pure per-row projection: no shuffle, whole-stage codegen, "
+    "columns pruned to 2 at the scan.",
+)
+def q_f6_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_str"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long").alias("days_since"),
+    ).orderBy("o_orderkey")

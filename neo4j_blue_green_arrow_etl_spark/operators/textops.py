@@ -220,3 +220,31 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the split GPT-2-style byte-pair encoders apply before merges. Kept to
+# ASCII classes so Java (Spark) and RE2 (DuckDB) agree exactly.
+BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_text_tokens_bpe",
+    oracle=(
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        f"'{BPE_SPLIT}')) AS BIGINT) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc="BPE-ish token counting (north-star text analysis): "
+    "regexp_extract_all with a GPT-2-style pre-tokenizer split, counted "
+    "per document. Complements q_x3_tokens (whitespace count). Per-row "
+    "map inside codegen, no shuffle, scan pruned to (doc_id, text).",
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    ).orderBy("doc_id")

@@ -1,0 +1,106 @@
+"""Temporal + vectorized-Python operator behavior (the oracle gate covers
+value parity; these pin the semantics the oracle can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def test_asof_only_prior_errors(spark):
+    """Every click's matched error must exist at-or-before the click for
+    the same user — checked by reconstructing the candidate set."""
+    res = REGISTRY["q_j7_asof"].spark(spark, SF_SMOKE)
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.round("value", 2).alias("value")
+    )
+    joined = res.join(clicks, ["event_id", "user_id"])
+    # matched values must appear among that user's prior errors
+    bad = (
+        joined.filter(F.col("last_error_value").isNotNull())
+        .join(errors, ["user_id"])
+        .filter(F.col("err_ts") <= F.col("click_ts"))
+        .groupBy("event_id", "last_error_value")
+        .agg(F.collect_set("value").alias("candidates"))
+        .filter(~F.array_contains("candidates", F.col("last_error_value")))
+    )
+    assert bad.isEmpty()
+    # clicks with NO prior error for the user must be NULL
+    first_err = errors.groupBy("user_id").agg(F.min("err_ts").alias("first_err_ts"))
+    nulls = joined.filter(F.col("last_error_value").isNull()).join(
+        first_err, "user_id", "left"
+    )
+    assert nulls.filter(
+        F.col("first_err_ts").isNotNull() & (F.col("first_err_ts") <= F.col("click_ts"))
+    ).isEmpty()
+
+
+def test_asof_is_single_shuffle(spark):
+    """The as-of plan must contain exactly one exchange (the user_id
+    hash partitioning) — no join, no cross product."""
+    plan = REGISTRY["q_j7_asof"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # final orderBy adds a range exchange; the compute itself must have 1
+    assert body.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in body, plan
+
+
+def test_sessions_respect_gap(spark):
+    """Within a session, consecutive gaps < 30 min; session starts are
+    >= 30 min after the previous session's last event per user."""
+    res = REGISTRY["q_st3_session"].spark(spark, SF_SMOKE).collect()
+    per_user: dict[int, list] = {}
+    for r in res:
+        per_user.setdefault(r.user_id, []).append(r)
+    events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", F.expr("ts DIV 1000").alias("us"))
+        .collect()
+    )
+    ev: dict[int, list[int]] = {}
+    for r in events:
+        ev.setdefault(r.user_id, []).append(r.us)
+    gap_us = 30 * 60 * 1_000_000
+    for uid, sessions in per_user.items():
+        times = sorted(ev[uid])
+        # total events across sessions == user's event count
+        assert sum(s.n_events for s in sessions) == len(times)
+        starts = sorted(s.session_start_us for s in sessions)
+        for a, b in zip(starts, starts[1:]):
+            in_prev = [t for t in times if a <= t < b]
+            assert b - max(in_prev) >= gap_us  # a real gap separates sessions
+
+
+def test_zscore_mean_zero_per_group(spark):
+    """applyInPandas z-scores must average ~0 within every multi-order
+    customer group (z-score invariant)."""
+    res = REGISTRY["q_udf_zscore"].spark(spark, SF_SMOKE)
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    stats = (
+        res.join(orders, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(F.avg("z").alias("mean_z"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    # z values are rounded to 4 decimals, so the group mean carries up
+    # to ~5e-5 of rounding noise
+    assert stats.filter(F.abs(F.col("mean_z")) > 1e-4).isEmpty()
+
+
+def test_bpe_tokens_at_least_whitespace_tokens(spark):
+    """BPE-ish splitting is finer than whitespace splitting: per doc,
+    n_tokens(bpe) >= n_tokens(whitespace) whenever text is non-empty."""
+    bpe = REGISTRY["q_text_tokens_bpe"].spark(spark, SF_SMOKE)
+    ws = REGISTRY["q_x3_tokens"].spark(spark, SF_SMOKE)
+    ws_col = [c for c in ws.columns if c != "doc_id"][0]
+    j = bpe.join(ws.withColumnRenamed(ws_col, "ws_tokens"), "doc_id")
+    assert j.filter(F.col("n_tokens") < F.col("ws_tokens")).isEmpty()
