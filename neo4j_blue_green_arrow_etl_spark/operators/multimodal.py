@@ -92,18 +92,27 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column via
     ``mapInPandas`` — the genuine distributed decode path with the fake
-    decoder plugged in."""
+    decoder plugged in.
+
+    The worker function is SELF-CONTAINED: it references no symbol from
+    this package (cloudpickle pickles importable module functions by
+    reference — even via closure cells — so any such reference would
+    require the package on every executor's sys.path; a self-contained
+    closure ships fully by value, no --py-files deployment coupling).
+    It repeats decode_image_batch's fake path by design — keep in sync."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = decode_image_batch(pdf["payload"], fake=True)
+            payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": feats["n_bytes"],
+                    "n_bytes": payloads.map(len).astype("int64"),
                     # raw double: exact int sum / len is bit-identical to
                     # the oracle's sum*1.0/length — no round-tie risk
-                    "byte_mean": feats["byte_mean"],
+                    "byte_mean": payloads.map(
+                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                    ),
                     "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
                     "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
                 }

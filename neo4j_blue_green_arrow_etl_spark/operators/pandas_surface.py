@@ -27,14 +27,21 @@ from pyspark.sql.types import DoubleType
 from .relational import register
 
 
-# DoubleType() (not the DDL string "double"): string return types are
-# parsed through the active SparkContext, which doesn't exist at import
-# time — the registry must be importable sessionless (driver contract).
-@pandas_udf(DoubleType())
-def _wavg(price: pd.Series, qty: pd.Series) -> float:
-    """Quantity-weighted mean price over one group (Arrow-batched)."""
-    denom = qty.sum()
-    return float((price * qty).sum() / denom) if denom else 0.0
+def _make_wavg():
+    """Build the UDAF inside a function for two reasons: (a) DoubleType()
+    instead of the DDL string "double" — string return types parse via
+    the active SparkContext, which doesn't exist at registry-import time;
+    (b) the inner function is a closure, which cloudpickle ships BY VALUE
+    to executors — a module-level function is pickled by reference and
+    would require this package on every worker's sys.path."""
+
+    @pandas_udf(DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        # quantity-weighted mean price over one group (Arrow-batched)
+        denom = qty.sum()
+        return float((price * qty).sum() / denom) if denom else 0.0
+
+    return wavg
 
 
 @register(
@@ -52,20 +59,12 @@ def _wavg(price: pd.Series, qty: pd.Series) -> float:
 )
 def q_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wavg = _make_wavg()
     return (
         li.groupBy("l_returnflag")
-        .agg(F.round(_wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price"))
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
-
-
-def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-customer z-score of order totals (population stddev; 0.0 for
-    degenerate single-order / zero-variance groups)."""
-    m = pdf["o_totalprice"].mean()
-    s = pdf["o_totalprice"].std(ddof=0)
-    z = (pdf["o_totalprice"] - m) / s if s else pdf["o_totalprice"] * 0.0
-    return pd.DataFrame({"o_orderkey": pdf["o_orderkey"], "z": z.round(4)})
 
 
 @register(
@@ -84,9 +83,18 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-customer z-score (population stddev; 0.0 for degenerate
+        # single-order / zero-variance groups); closure → shipped by value
+        m = pdf["o_totalprice"].mean()
+        s = pdf["o_totalprice"].std(ddof=0)
+        z = (pdf["o_totalprice"] - m) / s if s else pdf["o_totalprice"] * 0.0
+        return pd.DataFrame({"o_orderkey": pdf["o_orderkey"], "z": z.round(4)})
+
     return (
         o.select("o_custkey", "o_orderkey", "o_totalprice")
         .groupBy("o_custkey")
-        .applyInPandas(_zscore, "o_orderkey long, z double")
+        .applyInPandas(zscore, "o_orderkey long, z double")
         .orderBy("o_orderkey")
     )

@@ -1,0 +1,154 @@
+"""Structured Streaming surface: the engine's incremental counterparts
+of the batch declared queries.
+
+The reference's orchestrator is a continuous micro-batch loop (SURVEY
+§2.9); snapshot *control-plane* discovery stays a driver loop by design.
+This module is the *data-plane* streaming surface: the same logical
+expressions as the batch queries (q_st2 tumbling window, q_a2/ST3
+latest-wins state) run under ``readStream`` so they incrementally
+maintain results over unbounded input.
+
+Contract pinned by tests/test_streaming.py: for any split of the input
+into arrival chunks — including out-of-order event-time arrivals — the
+final streaming state equals the one-shot batch answer (Q-ST1's
+promise, reference orchestrator.py:322-324 latest-wins semantics).
+
+Scale notes: watermarked windowed aggregation keeps per-window partial
+state only until ``watermark`` passes the window end — state is bounded
+by (keys x open windows), not input size. ``applyInPandasWithState``
+holds one tuple per key. Shuffle is a single hash exchange on the
+grouping key, exactly as the batch plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch (nanosAsLong contract)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+ARRIVALS_STREAM_SCHEMA = StructType(
+    [
+        StructField("customer_id", StringType()),
+        StructField("ts", LongType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of events parquet (one file per micro-batch
+    arrival), ts normalized ns→timestamp exactly as the batch reader."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # ST5 backpressure analogue
+        .parquet(input_dir)
+    )
+    return raw.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Incremental q_st2: per-user tumbling 1-hour event-time window
+    counts with a late-data watermark. Append-mode compatible: a window
+    finalizes once the watermark passes its end."""
+    return (
+        events.withWatermark("ts_t", watermark)
+        .groupBy("user_id", F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "cnt",
+        )
+    )
+
+
+def latest_snapshot_state(arrivals: DataFrame) -> DataFrame:
+    """Incremental ST3 latest-wins: max event-time ts per customer,
+    regardless of arrival order (update/complete mode)."""
+    return arrivals.groupBy("customer_id").agg(F.max("ts").alias("max_ts"))
+
+
+_RUNNING_MAX_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value_x100", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("mx100", LongType())]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.9 'applyInPandasWithState for
+    custom stateful operators'): per-user running event count and max
+    value, emitted every micro-batch in update mode.
+
+    The state function is a CLOSURE, not a module-level function:
+    cloudpickle ships closures by value, while module-level functions
+    are pickled by reference (module+qualname) and executor Python
+    workers then need this package importable — true only if the driver
+    happens to run with the repo as cwd/sys.path. By-value shipping
+    removes the deployment coupling (no --py-files needed)."""
+
+    def running_max_fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # per-user running (count, max value); value scaled to int cents
+        # so the state tuple stays integral — one tuple per key, ever
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = int(round(pdf["value"].max() * 100)) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value_x100": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        running_max_fn,
+        outputStructType=_RUNNING_MAX_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Drain all available input through a memory sink (availableNow
+    trigger) and return the final in-memory table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

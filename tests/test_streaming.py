@@ -1,0 +1,104 @@
+"""Structured Streaming semantics: streaming answers must converge to
+the batch answers regardless of arrival order/chunking (Q-ST1's
+contract; reference latest-wins semantics orchestrator.py:322-324)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+    ARRIVALS_STREAM_SCHEMA,
+    latest_snapshot_state,
+    read_event_stream,
+    run_to_completion,
+    running_user_stats,
+    windowed_event_counts,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def chunked_events_dir(spark, tmp_path):
+    """events.parquet split into 4 arrival files, deliberately NOT in
+    event-time order (chunk by event_id % 4 → each file spans the full
+    time range, so every micro-batch delivers 'late' data)."""
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = tmp_path / "stream_in"
+    for b in range(4):
+        e.filter(F.col("event_id") % 4 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(out))
+    return str(out)
+
+
+def test_windowed_counts_match_batch(spark, chunked_events_dir):
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, chunked_events_dir)
+    # each chunk spans the FULL event-time range, so the watermark must
+    # exceed the total range or the (correct) late-data drop kicks in
+    result = run_to_completion(
+        windowed_event_counts(stream, watermark="3650 days"), name, output_mode="update"
+    )
+    # batch ground truth over the same files
+    batch = (
+        spark.read.parquet(chunked_events_dir)
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy("user_id", F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("user_id", F.unix_timestamp("w.start").alias("window_start_s"), "cnt")
+    )
+    # update mode re-emits windows as late chunks arrive: keep last emit
+    final = (
+        result.groupBy("user_id", "window_start_s")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
+
+
+def test_latest_wins_any_arrival_order(spark, tmp_path):
+    """Max-ts-per-customer state is arrival-order independent: feed
+    timestamps newest-first and the state still lands on the max."""
+    out = tmp_path / "arrivals"
+    rows = [("acme", 3000), ("acme", 1000), ("beta", 500), ("acme", 2000), ("beta", 700)]
+    for i, (cust, ts) in enumerate(rows):  # one file per arrival, newest first for acme
+        spark.createDataFrame([(cust, ts)], ARRIVALS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(out))
+    stream = (
+        spark.readStream.schema(ARRIVALS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    name = f"lw_{uuid.uuid4().hex[:8]}"
+    result = run_to_completion(latest_snapshot_state(stream), name, "complete")
+    state = {r.customer_id: r.max_ts for r in result.collect()}
+    assert state == {"acme": 3000, "beta": 700}
+
+
+def test_stateful_running_stats_match_batch(spark, chunked_events_dir):
+    name = f"rs_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, chunked_events_dir)
+    result = run_to_completion(running_user_stats(stream), name, "update")
+    # last emit per key is the final running state
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value_x100").alias("max_value_x100"),
+        )
+    )
+    batch = (
+        spark.read.parquet(chunked_events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("value") * 100).cast("long").alias("max_value_x100"),
+        )
+    )
+    assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
