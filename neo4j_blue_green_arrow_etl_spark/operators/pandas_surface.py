@@ -19,7 +19,7 @@ functions or applyInPandasWithState.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
@@ -76,25 +76,58 @@ def q_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "END, 4) AS z FROM orders "
         "WINDOW w AS (PARTITION BY o_custkey) ORDER BY o_orderkey"
     ),
-    doc="applyInPandas grouped-map: z-score normalization of order "
-    "totals within each customer — the shape every feature-normalization "
-    "step in a training-data pipeline takes. One shuffle on o_custkey; "
-    "each group materializes in pandas (bounded: orders-per-customer).",
+    doc="Per-customer z-score normalization — implemented NATIVELY with "
+    "window aggregates. This was first built as applyInPandas and was "
+    "34x slower at sf0.1: the key space is many TINY groups (10 orders "
+    "per customer) and grouped-map pays per-group Python invocation "
+    "overhead. Engine rule of thumb encoded here: grouped-map Python is "
+    "for few-large-groups (see q_udf_qnorm); many-small-groups stays in "
+    "JVM window aggregation (one shuffle, whole-stage codegen).",
 )
 def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey")
+    s = F.stddev_pop("o_totalprice").over(w)
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / s
+    return o.select(
+        "o_orderkey",
+        F.round(F.when(s == 0, 0.0).otherwise(z), 4).alias("z"),
+    ).orderBy("o_orderkey")
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        # per-customer z-score (population stddev; 0.0 for degenerate
-        # single-order / zero-variance groups); closure → shipped by value
-        m = pdf["o_totalprice"].mean()
-        s = pdf["o_totalprice"].std(ddof=0)
-        z = (pdf["o_totalprice"] - m) / s if s else pdf["o_totalprice"] * 0.0
-        return pd.DataFrame({"o_orderkey": pdf["o_orderkey"], "z": z.round(4)})
+
+@register(
+    "q_udf_qnorm",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice), 6) AS pr "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    ),
+    doc="applyInPandas grouped-map in its CORRECT shape — few large "
+    "groups (3 return flags x ~200k rows at sf0.1): per-group quantile "
+    "rank (percent_rank) computed in pandas. One shuffle on the group "
+    "key, 3 Python invocations total, Arrow-batched both ways. The "
+    "window-function oracle pins exact tie semantics (min-rank).",
+)
+def q_udf_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def qnorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        # percent_rank = (min_rank - 1) / (n - 1); self-contained closure
+        n = len(pdf)
+        r = pdf["l_extendedprice"].rank(method="min")
+        pr = (r - 1.0) / (n - 1.0) if n > 1 else r * 0.0
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "pr": pr.round(6),
+            }
+        )
 
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .applyInPandas(zscore, "o_orderkey long, z double")
-        .orderBy("o_orderkey")
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(qnorm, "l_orderkey long, l_linenumber long, pr double")
+        .orderBy("l_orderkey", "l_linenumber")
     )

@@ -1,0 +1,115 @@
+"""Physical-plan audit: assert every registered query compiles to the
+plan SHAPE the 100 TB design calls for — without executing it.
+
+Checked invariants (violations are the output):
+
+1. No ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` anywhere — any
+   all-pairs comparison must be bucketed/banded into equi-joins.
+2. No ``BatchEvalPython`` (row-at-a-time Python) anywhere, ever. Python
+   on the data path must be Arrow-batched (``ArrowEvalPython``,
+   ``FlatMapGroupsInPandas``, ``MapInPandas``) and ONLY in the queries
+   declared to use it.
+3. Parquet scans must prune columns: a scan's ReadSchema must not carry
+   a column count equal to the table width unless the query genuinely
+   selects every column (q_s1-style full scans are declared).
+4. Small-dimension joins must broadcast (q_j2: nation is 25 rows — a
+   shuffle join there is a plan bug).
+5. Filter queries must push predicates into the scan (PushedFilters
+   non-empty for q_p4).
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Queries that legitimately run Arrow-batched Python on the data path.
+ARROW_PYTHON_OK = {
+    "q_mm_features",
+    "q_sim_neardup",
+    "q_udaf_wavg",
+    "q_udf_qnorm",
+}
+
+# Queries whose plan contains a BroadcastNestedLoopJoin BY DESIGN: they
+# cross-join a ONE-ROW broadcast (the query vector) against the scan —
+# that is the broadcast pattern for single-query similarity search, not
+# an all-pairs blow-up (cost = one pass over the big side).
+ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh"}
+
+# Queries that read every column of their base table by design.
+FULL_SCAN_OK = {"q_s1"}
+
+TABLE_WIDTHS = {
+    "lineitem": 11,
+    "orders": 6,
+    "events": 6,
+    "documents": 5,
+    "customer": 5,
+    "supplier": 4,
+    "part": 4,
+    "nation": 3,
+    "region": 2,
+    "embeddings": 2,
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    problems: list[str] = []
+    if "CartesianProduct" in plan:
+        problems.append("cartesian join in plan")
+    if "BroadcastNestedLoopJoin" in plan and name not in ONE_ROW_BROADCAST_OK:
+        problems.append("nested-loop join in plan")
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python (BatchEvalPython)")
+    arrow_ops = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+    if any(op in plan for op in arrow_ops) and name not in ARROW_PYTHON_OK:
+        problems.append("undeclared Python on the data path")
+    # column pruning: every parquet scan's ReadSchema vs the table width
+    if name not in FULL_SCAN_OK:
+        for m in re.finditer(r"Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>", plan, re.S):
+            table, schema = m.group(1), m.group(2)
+            width = TABLE_WIDTHS.get(table)
+            ncols = len([c for c in schema.split(",") if ":" in c]) if schema else 0
+            if width and ncols >= width and width > 2:
+                problems.append(f"no column pruning on {table} ({ncols}/{width} cols)")
+    if name == "q_j2" and "BroadcastHashJoin" not in plan:
+        problems.append("nation dim not broadcast")
+    if name == "q_p4" and not re.search(r"PushedFilters: \[[^\]]", plan):
+        problems.append("predicates not pushed to parquet scan")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+    from neo4j_blue_green_arrow_etl_spark.session import get_spark
+
+    spark = get_spark("audit_plans")
+    failures = 0
+    for name in sorted(REGISTRY):
+        try:
+            df = REGISTRY[name].spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            full = df._jdf.queryExecution().toString()
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            failures += 1
+            continue
+        problems = audit(name, full if "ReadSchema" in full else plan)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{failures} plan violations")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
