@@ -34,25 +34,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_j7_asof",
-    oracle=(
-        "SELECT c.event_id, c.user_id, "
-        "ROUND((SELECT e.value FROM events e WHERE e.user_id = c.user_id "
-        "AND e.event_type = 'error' AND e.ts <= c.ts "
-        "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1), 2) AS last_error_value "
-        "FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id"
-    ),
-    doc="As-of join: each click event picks up the value of the most "
-    "recent error event at-or-before it for the same user (LEFT ASOF "
-    "semantics; clicks with no prior error keep NULL). Scale: one "
-    "hash-shuffle on user_id + in-partition sort + running "
-    "last(ignorenulls) — no inequality-join cross product. Tie-break at "
-    "equal ts: errors sort before clicks (>= semantics), higher "
-    "event_id wins among simultaneous errors.",
-)
-def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+def asof_join_events(e: DataFrame) -> DataFrame:
+    """The as-of operator itself, DataFrame-in/DataFrame-out (property
+    tests drive it with generated inputs)."""
     tagged = e.select(
         "event_id",
         "user_id",
@@ -73,6 +57,27 @@ def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "last_error_value")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_j7_asof",
+    oracle=(
+        "SELECT c.event_id, c.user_id, "
+        "ROUND((SELECT e.value FROM events e WHERE e.user_id = c.user_id "
+        "AND e.event_type = 'error' AND e.ts <= c.ts "
+        "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1), 2) AS last_error_value "
+        "FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id"
+    ),
+    doc="As-of join: each click event picks up the value of the most "
+    "recent error event at-or-before it for the same user (LEFT ASOF "
+    "semantics; clicks with no prior error keep NULL). Scale: one "
+    "hash-shuffle on user_id + in-partition sort + running "
+    "last(ignorenulls) — no inequality-join cross product. Tie-break at "
+    "equal ts: errors sort before clicks (>= semantics), higher "
+    "event_id wins among simultaneous errors.",
+)
+def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 @register(

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): the operators SURVEY §5 says the
+reference lacks tests for, checked against independent pure-Python
+reference implementations on generated inputs.
+
+Spark jobs are expensive per example, so max_examples is small but each
+example is adversarial: tiny key spaces force ties, duplicates, and
+boundary collisions far denser than real data would."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from neo4j_blue_green_arrow_etl_spark.operators.temporal import asof_join_events
+
+import tools_path  # noqa: F401  (adds tools/ to sys.path)
+from check_correctness import canon
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+# dense collisions: 2 users, 4 distinct timestamps, 3 types
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # ts
+        st.integers(0, 1),  # user_id
+        st.sampled_from(["click", "error", "view"]),
+        st.integers(0, 99),  # value*100
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _python_asof(rows):
+    """Independent reference: for each click, latest error with
+    (ts, event_id) <= ordering; ties at equal ts resolved by higher
+    event_id; errors at the SAME ts as the click DO match (>=)."""
+    out = {}
+    for eid, (ts, uid, typ, v100) in enumerate(rows):
+        if typ != "click":
+            continue
+        best = None
+        for eid2, (ts2, uid2, typ2, v2) in enumerate(rows):
+            if uid2 != uid or typ2 != "error" or ts2 > ts:
+                continue
+            key = (ts2, eid2)
+            if best is None or key > best[0]:
+                best = (key, round(v2 / 100.0, 2))
+        out[eid] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_asof_matches_python_reference(spark, rows):
+    data = [
+        (eid, ts, uid, typ, v100 / 100.0)
+        for eid, (ts, uid, typ, v100) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, EVENT_SCHEMA)
+    got = {r.event_id: r.last_error_value for r in asof_join_events(df).collect()}
+    assert got == _python_asof(rows)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(st.none(), st.integers(-5, 5), st.floats(-2, 2), st.text(max_size=3)),
+            min_size=2,
+            max_size=2,
+        ),
+        max_size=6,
+    ),
+    st.randoms(),
+)
+def test_canon_hash_row_order_invariant(rows, rnd):
+    """The correctness harness itself: the canonical value hash must be
+    invariant under row permutation and column reordering (with names),
+    and sensitive to value changes."""
+    cols = ["b", "a"]
+    h1 = canon(rows, cols)
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    assert canon(shuffled, cols) == h1
+    # swap columns along with their names: same logical relation
+    swapped = [[r[1], r[0]] for r in rows]
+    assert canon(swapped, ["a", "b"]) == h1
+    if rows and rows[0][0] != "x":
+        mutated = [["x", rows[0][1]]] + rows[1:]
+        assert canon(mutated, cols) != h1
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 10_000)), min_size=1, max_size=10)
+)
+def test_latest_wins_is_permutation_invariant(spark, pairs):
+    """ST3 semantics: max-ts-per-customer must not depend on arrival
+    order — feed two permutations, require identical state."""
+    df1 = spark.createDataFrame(
+        [(f"c{c}", t) for c, t in pairs], ["customer_id", "ts"]
+    )
+    df2 = spark.createDataFrame(
+        [(f"c{c}", t) for c, t in reversed(pairs)], ["customer_id", "ts"]
+    )
+    s1 = {r.customer_id: r.m for r in df1.groupBy("customer_id").agg(F.max("ts").alias("m")).collect()}
+    s2 = {r.customer_id: r.m for r in df2.groupBy("customer_id").agg(F.max("ts").alias("m")).collect()}
+    expected = {}
+    for c, t in pairs:
+        k = f"c{c}"
+        expected[k] = max(expected.get(k, -1), t)
+    assert s1 == s2 == expected
