@@ -356,6 +356,49 @@ def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_j8_multiway",
+    oracle=(
+        "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    doc="TPC-H Q5-shaped 6-table join (local supplier volume): the "
+    "multiway join-tree showcase. Catalyst reorders; region/nation/"
+    "supplier/customer broadcast (small dims), orders-lineitem is the "
+    "one sort-merge pair; the r_name filter partition-prunes the "
+    "region->nation->supplier chain before the fact tables join. One "
+    "big-big shuffle total at any scale.",
+)
+def q_j8_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts / limits
 # ---------------------------------------------------------------------------

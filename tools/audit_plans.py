@@ -76,7 +76,9 @@ def audit(name: str, plan: str) -> list[str]:
             table, schema = m.group(1), m.group(2)
             width = TABLE_WIDTHS.get(table)
             ncols = len([c for c in schema.split(",") if ":" in c]) if schema else 0
-            if width and ncols >= width and width > 2:
+            # width<=3 tables (nation, region, embeddings) are often fully
+            # used legitimately — no pruning signal there
+            if width and ncols >= width and width > 3:
                 problems.append(f"no column pruning on {table} ({ncols}/{width} cols)")
     if name == "q_j2" and "BroadcastHashJoin" not in plan:
         problems.append("nation dim not broadcast")
