@@ -519,6 +519,21 @@ def q_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s).orderBy("c_nationkey")
 
 
+@register(
+    "q_u3",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer INTERSECT "
+        "SELECT s_nationkey FROM supplier ORDER BY 1"
+    ),
+    doc="INTERSECT (distinct) — §2.7's remaining declared set op. Spark "
+    "plans it as a left-semi aggregate join; one shuffle per side.",
+)
+def q_u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions
 # ---------------------------------------------------------------------------
@@ -611,6 +626,34 @@ def q_f5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select("nodeId", F.explode("labels").alias("label")).orderBy(
         "nodeId", "label"
     )
+
+
+@register(
+    "q_f7_map",
+    oracle=(
+        "SELECT event_id, 'id,type' AS keys_csv, event_type AS type_val, "
+        "CAST(event_id AS VARCHAR) AS id_val FROM events ORDER BY event_id"
+    ),
+    doc="Map functions (§2.8 declared 'map functions — built-in'): build "
+    "a map column with create_map, extract with element_at, enumerate "
+    "with map_keys. The oracle mirrors the expected values directly "
+    "(DuckDB's map-extract API differs across versions); per-row map, "
+    "no shuffle.",
+)
+def q_f7_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("id"),
+        F.col("event_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "id").alias("id_val"),
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------
