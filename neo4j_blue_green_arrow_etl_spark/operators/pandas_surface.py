@@ -131,3 +131,46 @@ def q_udf_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(qnorm, "l_orderkey long, l_linenumber long, pr double")
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "q_udtf_tokens",
+    oracle=(
+        "SELECT doc_id, "
+        "unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS token, "
+        "unnest(range(1, len(list_filter(string_split(text, ' '), t -> length(t) > 0)) + 1)) AS pos "
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos"
+    ),
+    doc="Python UDTF (§2.10 declared): table function emitting one "
+    "(token, pos) row per token of each input document — the "
+    "generator/flatMap surface as a first-class SQL-callable function. "
+    "Restricted to 50 docs: UDTFs run row-at-a-time Python (the slow "
+    "path by design — the audit exempts q_udtf_* as the declared UDTF "
+    "demo); production tokenization is q_text_* column expressions.",
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    # class defined inside the builder: shipped by value, no executor
+    # import coupling (same rule as the pandas closures above)
+    @udtf(returnType="token: string, pos: bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            pos = 0
+            for tok in (text or "").split(" "):
+                if tok:
+                    pos += 1
+                    yield tok, pos
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t "
+        "ORDER BY d.doc_id, t.pos"
+    )

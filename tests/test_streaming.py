@@ -102,3 +102,63 @@ def test_stateful_running_stats_match_batch(spark, chunked_events_dir):
         )
     )
     assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
+
+
+def test_watermark_bounds_state(spark, tmp_path):
+    """The bounded-state guarantee SCALING.md claims: watermark
+    advancement EVICTS window state, so state size tracks open windows,
+    not input size. (Empirically in this Spark build, a late row that
+    arrives in the same batch where the watermark passes its window
+    still merges before eviction — late DROP is best-effort, eviction
+    is the guarantee. The test pins the guarantee.)"""
+    import os
+    import time
+
+    import pandas as pd
+
+    out = tmp_path / "late_in"
+    out.mkdir()
+    hour_ns = 3_600 * 1_000_000_000
+
+    def chunk(name, ids, hours, mtime_off):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [int(h * hour_ns) for h in hours],
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(out / name)
+        t = time.time() + mtime_off
+        os.utime(out / name, (t, t))
+
+    # batch 0: hour-0 events; batch 1: hour 50/51 (advances watermark to
+    # 49h, evicting the hour-0 window state); batch 2: one LATE hour-0 row
+    chunk("a.parquet", [1, 2], [0.0, 0.1], -200)
+    chunk("b.parquet", [3, 4], [50.0, 51.0], -100)
+    chunk("c.parquet", [5], [0.2], 0)
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, str(out))
+    q = (
+        windowed_event_counts(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    # watermark advanced to 49h (51h max event time - 2h) by the last batch
+    assert progress[-1]["eventTime"]["watermark"].startswith("1970-01-03T01"), [
+        p["eventTime"].get("watermark") for p in progress
+    ]
+    # state grew to 3 windows while the watermark lagged, then EVICTION:
+    # only the hour-50 and hour-51 windows survive — the hour-0 window's
+    # state is gone and is not resurrected by the late row
+    state_sizes = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    assert state_sizes[-1] == 2, state_sizes
+    assert max(state_sizes) == 3, state_sizes

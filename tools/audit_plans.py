@@ -65,7 +65,11 @@ def audit(name: str, plan: str) -> list[str]:
         problems.append("cartesian join in plan")
     if "BroadcastNestedLoopJoin" in plan and name not in ONE_ROW_BROADCAST_OK:
         problems.append("nested-loop join in plan")
-    if "BatchEvalPython" in plan:
+    # BatchEvalPythonUDTF is the declared UDTF demo (q_udtf_*), which is
+    # row-at-a-time by the UDTF contract; scalar BatchEvalPython is
+    # never acceptable anywhere.
+    scrubbed = plan.replace("BatchEvalPythonUDTF", "") if name.startswith("q_udtf_") else plan
+    if "BatchEvalPython" in scrubbed:
         problems.append("row-at-a-time Python (BatchEvalPython)")
     arrow_ops = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
     if any(op in plan for op in arrow_ops) and name not in ARROW_PYTHON_OK:
