@@ -3,6 +3,7 @@ query (SURVEY.md §2.12 + north-star extensions) into ``REGISTRY``."""
 
 from . import (  # noqa: F401
     dedup,
+    graph,
     multimodal,
     pandas_surface,
     relational,

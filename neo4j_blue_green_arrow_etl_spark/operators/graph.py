@@ -1,0 +1,104 @@
+"""Graph analytics over the loaded snapshot (nodes/edges DataFrames).
+
+The reference loads property graphs into Neo4j and its consumer contract
+is `USE <alias>; MATCH (n) RETURN count(n)` (docs/ALIASES.md:29-31) —
+all analytics are delegated to the graph store. This engine holds the
+graph as DataFrames, so the common read-side graph queries run directly
+on Spark: degree distributions, typed-edge aggregation, multi-hop
+traversal as self-joins. GraphFrames expresses exactly these as its
+core primitives; the point here is they are plain Catalyst plans.
+
+Scale: degree is one groupBy on the edge endpoint (map-side partial
+count); k-hop traversal is (k-1) self-equi-joins on the node id — each
+a single hash shuffle, broadcastable when the frontier is small. No
+iteration driver is needed for fixed k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures as FX
+from .relational import register
+
+
+@register(
+    "q_g1_degree",
+    oracle=FX.with_clause("edges")
+    + " SELECT sourceNodeId AS nodeId, COUNT(*) AS out_degree, "
+    "COUNT(DISTINCT relationshipType) AS n_rel_types, "
+    "ROUND(SUM(weight), 2) AS total_weight "
+    "FROM edges GROUP BY 1 ORDER BY 1",
+    doc="Out-degree + typed-edge profile per source node. One "
+    "hash-shuffle groupBy with map-side partials; the distinct count "
+    "rides the same shuffle (Expand).",
+)
+def q_g1_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = FX.edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("sourceNodeId").alias("nodeId"))
+        .agg(
+            F.count("*").alias("out_degree"),
+            F.countDistinct("relationshipType").alias("n_rel_types"),
+            F.round(F.sum("weight"), 2).alias("total_weight"),
+        )
+        .orderBy("nodeId")
+    )
+
+
+@register(
+    "q_g2_twohop",
+    oracle=FX.with_clause("edges")
+    + " SELECT a.sourceNodeId AS src, b.sourceNodeId AS peer, COUNT(*) AS n_shared "
+    "FROM edges a JOIN edges b ON a.targetNodeId = b.targetNodeId "
+    "AND a.sourceNodeId < b.sourceNodeId "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2",
+    doc="Two-hop co-reference: entity pairs sharing >= 2 addresses "
+    "(the classic entity-resolution traversal the reference's graph "
+    "serves via Cypher). Self equi-join on the shared endpoint — one "
+    "shuffle on targetNodeId; the < predicate halves the output; "
+    "HAVING prunes post-agg. Hub addresses are the skew risk: AQE "
+    "skew-split handles them (or salt the hot endpoint at 100 TB).",
+)
+def q_g2_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = FX.edges(spark, sf_dir)
+    a = e.select(F.col("sourceNodeId").alias("src"), "targetNodeId")
+    b = e.select(F.col("sourceNodeId").alias("peer"), "targetNodeId")
+    return (
+        a.join(b, "targetNodeId")
+        .filter(F.col("src") < F.col("peer"))
+        .groupBy("src", "peer")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("src", "peer")
+    )
+
+
+@register(
+    "q_g3_label_stats",
+    oracle=FX.with_clause("nodes_entity", "nodes_address")
+    + " SELECT label, COUNT(*) AS n_nodes, ROUND(AVG(acctbal), 2) AS avg_acctbal "
+    "FROM (SELECT unnest(labels) AS label, acctbal FROM nodes_entity "
+    "UNION ALL SELECT unnest(labels) AS label, NULL AS acctbal FROM nodes_address) "
+    "GROUP BY 1 ORDER BY 1",
+    doc="Per-label node statistics across the multi-label node set "
+    "(labels is array<string> — a node counts once per label, Cypher "
+    "semantics). Explode + union + one groupBy.",
+)
+def q_g3_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ent = FX.nodes_entity(spark, sf_dir).select(
+        F.explode("labels").alias("label"), F.col("acctbal")
+    )
+    addr = FX.nodes_address(spark, sf_dir).select(
+        F.explode("labels").alias("label"), F.lit(None).cast("double").alias("acctbal")
+    )
+    return (
+        ent.unionByName(addr)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.avg("acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("label")
+    )
