@@ -248,3 +248,51 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+# PII redaction: email + NANP-ish phone patterns, ASCII classes only so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_text_redact",
+    oracle=(
+        "WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t "
+        "FROM documents) "
+        f"SELECT doc_id, "
+        f"len(regexp_extract_all(t, '{EMAIL_RE}')) + len(regexp_extract_all(t, '{PHONE_RE}')) AS n_pii, "
+        f"sha256(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')) AS redacted_sha "
+        "FROM aug ORDER BY doc_id"
+    ),
+    doc="PII redaction (training-data pipeline staple): email and phone "
+    "patterns counted then replaced with placeholder tokens. The PII is "
+    "synthesized deterministically per doc (the corpus has none) so the "
+    "redaction provably fires; the sha256 of the redacted text pins the "
+    "full output byte-for-byte. Per-row regex map: no shuffle, codegen, "
+    "scan pruned to (doc_id, text).",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0)))
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        n_pii.alias("n_pii"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
