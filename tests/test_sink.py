@@ -1,0 +1,89 @@
+"""Graph-sink two-phase protocol: the reference's client lifecycle
+(CREATE_DATABASE -> nodes -> NODE_LOAD_DONE -> edges ->
+RELATIONSHIP_LOAD_DONE, neo4j_arrow_client.py:30-35) with REAL state
+assertions — the reference's `==` no-op check (neo4j_arrow_client.py:227,
+SURVEY §4.3) is exactly the bug these tests prevent."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from neo4j_blue_green_arrow_etl_spark.errors import InvalidArgumentError
+from neo4j_blue_green_arrow_etl_spark.fixtures import edges, nodes_entity
+from neo4j_blue_green_arrow_etl_spark.sinks.graph_sink import (
+    FlightGraphSink,
+    ParquetGraphSink,
+    SinkState,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_full_lifecycle_writes_versioned_tree(spark, tmp_path):
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    n = sink.write_nodes(nodes_entity(spark, SF_SMOKE))
+    sink.nodes_done()
+    e = sink.write_edges(edges(spark, SF_SMOKE))
+    sink.edges_done()
+    assert sink.state is SinkState.DONE
+    assert n.rows > 0 and e.rows > 0
+    meta = json.loads((tmp_path / "cust-1000" / "_LOAD_META.json").read_text())
+    assert meta["counts"] == {"nodes": n.rows, "edges": e.rows}
+    # the written tree is itself a readable graph
+    back = spark.read.parquet(str(tmp_path / "cust-1000" / "nodes"))
+    assert back.count() == n.rows
+
+
+def test_edges_before_nodes_rejected(spark, tmp_path):
+    """The ordered barrier is enforced, not advisory."""
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    with pytest.raises(InvalidArgumentError, match="expected"):
+        sink.write_edges(edges(spark, SF_SMOKE))
+    # and nodes cannot flow after the node phase is closed
+    sink.write_nodes(nodes_entity(spark, SF_SMOKE))
+    sink.nodes_done()
+    with pytest.raises(InvalidArgumentError):
+        sink.write_nodes(nodes_entity(spark, SF_SMOKE))
+
+
+def test_double_create_rejected(tmp_path):
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    with pytest.raises(InvalidArgumentError):
+        sink.create_database()
+
+
+def test_abort_removes_completeness_marker(spark, tmp_path):
+    """Aborted loads must be invisible to downstream discovery (the
+    marker is the completeness gate), while data stays for post-mortem."""
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    sink.write_nodes(nodes_entity(spark, SF_SMOKE))
+    sink.nodes_done()
+    sink.write_edges(edges(spark, SF_SMOKE))
+    sink.edges_done()
+    assert (tmp_path / "cust-1000" / "_LOAD_META.json").exists()
+    sink2 = ParquetGraphSink("cust-1000", tmp_path)
+    sink2.state = SinkState.DONE  # simulate re-attached session
+    sink2.abort()
+    assert not (tmp_path / "cust-1000" / "_LOAD_META.json").exists()
+    assert (tmp_path / "cust-1000" / "nodes").exists()  # post-mortem data kept
+
+
+def test_abort_idempotent_from_ready(tmp_path):
+    """Reference parity: aborting an unstarted import is silently OK
+    (test_neo4j_arrow_client.py:23-43)."""
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.abort()
+    sink.abort()
+    assert sink.state is SinkState.ABORTED
+
+
+def test_flight_sink_is_clearly_stubbed():
+    sink = FlightGraphSink("cust-1000")
+    with pytest.raises(NotImplementedError, match="Flight"):
+        sink.create_database()
