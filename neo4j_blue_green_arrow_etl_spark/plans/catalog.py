@@ -80,6 +80,49 @@ class DeploymentCatalog:
             state = json.loads(self.manifest_path.read_text())
             self._deployments = state.get("deployments", {})
             self._aliases = state.get("aliases", {})
+            self._restore_views()
+
+    def _restore_views(self) -> None:
+        """Crash recovery: temp views die with the session, so a catalog
+        rebuilt from the manifest re-reads every deployment that recorded
+        its source_path and re-points alias views. Deployments loaded
+        without a source_path (data handed in as DataFrames) cannot be
+        restored and are dropped from the catalog — better an honest
+        catalog than a listed-but-unqueryable database."""
+        from ..sources.snapshot import SnapshotRef, read_snapshot
+
+        dead = []
+        for name, meta in self._deployments.items():
+            src = meta.get("source_path")
+            if src and Path(src).exists():
+                ref = SnapshotRef(meta["customer_id"], int(meta["timestamp"]), src)
+                nodes, edges = read_snapshot(self.spark, ref)
+                nodes.createOrReplaceTempView(
+                    _view(meta["customer_id"], meta["timestamp"], "nodes")
+                )
+                edges.createOrReplaceTempView(
+                    _view(meta["customer_id"], meta["timestamp"], "edges")
+                )
+            elif not self.spark.catalog.tableExists(
+                _view(meta["customer_id"], meta["timestamp"], "nodes")
+            ):
+                # no source to rebuild from AND the session no longer has
+                # the views: the deployment is unqueryable — drop it
+                dead.append(name)
+        for name in dead:
+            meta = self._deployments.pop(name)
+            self._aliases = {
+                c: n for c, n in self._aliases.items() if n != name
+            }
+        for customer_id, name in self._aliases.items():
+            ts = self._deployments[name]["timestamp"]
+            for kind in ("nodes", "edges"):
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMP VIEW {_alias_view(customer_id, kind)} "
+                    f"AS SELECT * FROM {_view(customer_id, ts, kind)}"
+                )
+        if dead:
+            self._persist()
 
     # -- persistence --------------------------------------------------
 
@@ -105,11 +148,19 @@ class DeploymentCatalog:
     # -- deployments (C1/C2/C3/C6) ------------------------------------
 
     def register_deployment(
-        self, customer_id: str, timestamp: int, nodes: DataFrame, edges: DataFrame
+        self,
+        customer_id: str,
+        timestamp: int,
+        nodes: DataFrame,
+        edges: DataFrame,
+        source_path: str | None = None,
     ) -> str:
         """Register a loaded snapshot as queryable views; replaces any
         existing deployment of the same identity (reference drops and
-        reloads, load_with_aliases.py:57-87)."""
+        reloads, load_with_aliases.py:57-87). ``source_path`` makes the
+        deployment survive session restarts (views are rebuilt from it
+        in ``_restore_views``); without it the deployment is
+        session-lifetime only."""
         name = db_name(customer_id, timestamp)
         nodes.createOrReplaceTempView(_view(customer_id, timestamp, "nodes"))
         edges.createOrReplaceTempView(_view(customer_id, timestamp, "edges"))
@@ -117,6 +168,7 @@ class DeploymentCatalog:
             "customer_id": customer_id,
             "timestamp": int(timestamp),
             "created_at": time.time(),
+            "source_path": source_path,
         }
         self._persist()
         return name

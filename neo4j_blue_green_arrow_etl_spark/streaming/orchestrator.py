@@ -146,7 +146,9 @@ class Orchestrator:
         spark: SparkSession, ref: SnapshotRef, catalog: DeploymentCatalog
     ) -> None:
         nodes, edges = read_snapshot(spark, ref)
-        catalog.register_deployment(ref.customer_id, ref.timestamp, nodes, edges)
+        catalog.register_deployment(
+            ref.customer_id, ref.timestamp, nodes, edges, source_path=str(ref.path)
+        )
 
     def _is_latest_deployment(self, ref: SnapshotRef) -> bool:
         """Latest-wins by event time: compare against every deployment of

@@ -100,3 +100,49 @@ def test_identifier_injection_rejected(spark, small_dfs, tmp_path):
 def test_health(spark, tmp_path):
     cat = DeploymentCatalog(spark, tmp_path / "catalog.json")
     assert cat.health() is True
+
+
+def test_restart_recovery_with_source_path(spark, tmp_path):
+    """A catalog rebuilt from the manifest in a NEW 'session' (fresh
+    catalog object, views wiped) must serve count_via_alias again for
+    deployments that recorded a source_path."""
+    from neo4j_blue_green_arrow_etl_spark.fixtures import materialize_snapshot
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        SnapshotRef,
+        read_snapshot,
+    )
+
+    base = tmp_path / "data"
+    snap = materialize_snapshot(spark, "/root/testdata/sf0.001", str(base), "recov", 100)
+    cat = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    nodes, edges = read_snapshot(spark, SnapshotRef("recov", 100, snap))
+    cat.register_deployment("recov", 100, nodes, edges, source_path=snap)
+    cat.set_alias("recov", 100)
+    n = cat.count_via_alias("recov", "nodes")
+    assert n > 0
+
+    # simulate restart: wipe every temp view, then rebuild from manifest
+    for v in spark.catalog.listTables():
+        if v.isTemporary:
+            spark.catalog.dropTempView(v.name)
+    cat2 = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    assert cat2.alias_target("recov") == "recov-100"
+    assert cat2.count_via_alias("recov", "nodes") == n
+
+
+def test_restart_drops_unrestorable_deployments(spark, small_dfs, tmp_path):
+    """Deployments registered WITHOUT a source_path cannot survive a
+    restart — the rebuilt catalog must drop them (and their aliases)
+    rather than list databases it cannot query."""
+    nodes, edges = small_dfs
+    cat = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    cat.register_deployment("ephem", 100, nodes, edges)  # no source_path
+    cat.set_alias("ephem", 100)
+    for v in spark.catalog.listTables():
+        if v.isTemporary:
+            spark.catalog.dropTempView(v.name)
+    cat2 = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    assert cat2.list_databases() == []
+    assert cat2.alias_target("ephem") is None
+    with pytest.raises(NotFoundError):
+        cat2.count_via_alias("ephem")
