@@ -154,3 +154,26 @@ def test_graceful_drain(spark, sf_dir, data_base, tmp_path):
     assert len(orch._queue) == 2
     assert orch.stop(drain=True) is True
     assert orch.stats.completed == 2
+
+
+def test_restarted_orchestrator_skips_deployed_snapshots(
+    spark, sf_dir, data_base, tmp_path
+):
+    """ST2 across restarts: a NEW orchestrator over a catalog restored
+    from the manifest (views wiped, as after a session restart) must
+    not reload snapshots that are already deployed — the Prefect
+    variant's catalog existence check (orchestrator_prefect.py:339-345)."""
+    orch = make_orch(spark, data_base, tmp_path)
+    assert orch.run_cycle() == 1
+    assert orch.catalog.count_via_alias("customer1") > 0
+
+    for v in spark.catalog.listTables():  # simulate restart
+        if v.isTemporary:
+            spark.catalog.dropTempView(v.name)
+    cat2 = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    orch2 = Orchestrator(spark, data_base, catalog=cat2, status_path=tmp_path / "s2.json")
+    assert orch2.run_cycle() == 0
+    assert orch2.stats.skipped_existing == 1
+    assert orch2.stats.completed == 0
+    # and the restored deployment still answers the consumer contract
+    assert cat2.count_via_alias("customer1") > 0
