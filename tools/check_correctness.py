@@ -29,14 +29,23 @@ def canon(rows, columns) -> str:
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def render(v):
+        import datetime
+        import decimal
+
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return str(int(v))
+        if isinstance(v, decimal.Decimal):
+            v = float(v)  # normalize with the float path below
         if isinstance(v, float):
             if v != v:
                 return "NaN"
             return f"{v:.6f}".rstrip("0").rstrip(".")
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
         return str(v)
 
     lines = sorted("\x01".join(render(r[i]) for i in idx) for r in rows)
