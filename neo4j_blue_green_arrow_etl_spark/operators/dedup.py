@@ -67,17 +67,30 @@ def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document, computed
-    with pure array expressions (no Python on the data path)."""
+    """(doc_id, shingle) — distinct word 3-grams per document, computed
+    with pure array expressions (no Python on the data path).
+
+    Built as zip_with over shifted copies of the word array — a single
+    pass with per-element concat. (The first version sliced+joined the
+    array once PER POSITION: O(len²) allocations inside an interpreted
+    higher-order function, ~2.8 s of the 5 s minhash total at sf0.1;
+    this form is ~4x faster and matches the oracle's strict
+    3-consecutive-words semantics for sub-3-word docs.)"""
+    assert n == 3, "shingle builder is specialized for 3-grams"
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    sz = F.size(words)
+    w2 = F.slice(words, 2, F.greatest(sz - 1, F.lit(0)))
+    w3 = F.slice(words, 3, F.greatest(sz - 2, F.lit(0)))
+    grams = F.zip_with(
+        F.zip_with(words, w2, lambda x, y: F.concat_ws(" ", x, y)),
+        w3,
+        lambda xy, z: F.concat_ws(" ", xy, z),
     )
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-    )
+    # zip_with pads the shorter side with NULL -> trailing partial grams;
+    # a true 3-gram contains exactly 2 spaces
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == 3)
 
 
 _NGRAM_ORACLE = f"""
