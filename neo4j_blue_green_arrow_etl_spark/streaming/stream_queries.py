@@ -152,3 +152,43 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def clicks_with_recent_errors(
+    events: DataFrame, max_lag: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each click paired with every error
+    event of the same user in the preceding ``max_lag`` window.
+
+    Both sides are watermarked and the join condition bounds the error
+    timestamp to [click - max_lag, click], so Spark can GC join state
+    once the watermark passes the bound — state stays proportional to
+    (keys x lag window), not stream length. This is the streaming
+    counterpart of the batch as-of join (q_j7_asof) when ALL recent
+    matches are wanted rather than the latest one."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_t").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user_id"),
+            F.col("value").alias("error_value"),
+            F.col("ts_t").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    lag = F.expr(f"INTERVAL {max_lag}")
+    return clicks.join(
+        errors,
+        (F.col("user_id") == F.col("err_user_id"))
+        & (F.col("error_ts") <= F.col("click_ts"))
+        & (F.col("error_ts") >= F.col("click_ts") - lag),
+    ).select("click_id", "user_id", "error_id", F.round("error_value", 2).alias("error_value"))

@@ -162,3 +162,38 @@ def test_watermark_bounds_state(spark, tmp_path):
     state_sizes = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
     assert state_sizes[-1] == 2, state_sizes
     assert max(state_sizes) == 3, state_sizes
+
+
+def test_stream_stream_interval_join_matches_batch(spark, chunked_events_dir):
+    """Stream-stream interval join (clicks x errors within 1 hour,
+    same user) must converge to the batch interval join over the same
+    input, under out-of-order arrival chunks."""
+    from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+        clicks_with_recent_errors,
+    )
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, chunked_events_dir)
+    result = run_to_completion(
+        clicks_with_recent_errors(stream, watermark="3650 days"), name, "append"
+    )
+    e = spark.read.parquet(chunked_events_dir).withColumn(
+        "ts_t", F.expr("timestamp_micros(ts DIV 1000)")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts_t").alias("click_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("err_user_id"),
+        F.round("value", 2).alias("error_value"),
+        F.col("ts_t").alias("error_ts"),
+    )
+    batch = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("err_user_id"))
+        & (F.col("error_ts") <= F.col("click_ts"))
+        & (F.col("error_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 hour")),
+    ).select("click_id", "user_id", "error_id", "error_value")
+    assert result.count() > 0
+    assert result.exceptAll(batch).isEmpty() and batch.exceptAll(result).isEmpty()
