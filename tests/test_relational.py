@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
 
-from conftest import SF_SMOKE
+from conftest import SF_ORACLE, SF_SMOKE
 
 # Queries spot-checked in unit tests (full set runs in
 # tools/check_correctness.py and the driver's gate).
@@ -86,3 +86,21 @@ def test_range_join_not_cartesian(spark):
     or sort-merge join with residual condition, never cartesian."""
     plan = REGISTRY["q_j6"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def test_stratified_sampling_deterministic(spark):
+    """Training-pipeline sampling surface: sampleBy (per-stratum
+    fractions) is seed-deterministic and lands near the requested
+    fractions; systematic doc_id sampling is exactly reproducible."""
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    fractions = {"en": 0.5, "de": 0.2}
+    s1 = d.sampleBy("lang", fractions, seed=42)
+    s2 = d.sampleBy("lang", fractions, seed=42)
+    assert s1.count() == s2.count()  # same seed -> same sample
+    assert s1.exceptAll(s2).isEmpty()
+    per = {r.lang: r.cnt for r in s1.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    base = {r.lang: r.cnt for r in d.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per) <= {"en", "de"}  # unlisted strata excluded entirely
+    for lang, frac in fractions.items():
+        got = per.get(lang, 0) / base[lang]
+        assert abs(got - frac) < 0.15, (lang, got)
