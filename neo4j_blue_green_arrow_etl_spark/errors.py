@@ -59,3 +59,40 @@ def interpret(exc: Exception) -> EngineError:
     err = UnknownError(msg)
     err.__cause__ = exc
     return err
+
+
+def retry_on_failure(
+    max_retries: int = 10,
+    delay: float = 3.0,
+    backoff: float = 1.0,
+    retry_on: tuple[type[BaseException], ...] = (Exception,),
+    sleep=None,
+):
+    """Driver-side retry decorator for control-plane actions (capability
+    parity with the reference's @retry_on_failure on CREATE_DATABASE,
+    neo4j_arrow_client.py:208-225; its fixed 3 s delay is the
+    ``backoff=1.0`` case — pass backoff>1 for exponential).
+
+    Never used on the distributed data path: executor-side retries are
+    Spark task retries. ``sleep`` is injectable for tests."""
+    import functools
+    import time as _time
+
+    sleep = sleep or _time.sleep
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            attempt = 0
+            while True:
+                try:
+                    return fn(*args, **kwargs)
+                except retry_on as exc:
+                    attempt += 1
+                    if attempt > max_retries:
+                        raise
+                    sleep(delay * (backoff ** (attempt - 1)))
+
+        return wrapper
+
+    return deco
