@@ -1,0 +1,53 @@
+"""CLI parity (reference scripts/): drive __main__.main() through the
+same argv surface a shell user hits."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+from neo4j_blue_green_arrow_etl_spark.__main__ import main
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    b = str(tmp_path / "data")
+    FX.materialize_snapshot(spark, SF_SMOKE, b, "acme", 1000)
+    return b
+
+
+def test_load_then_count_and_listings(base, capsys):
+    assert main(["--base", base, "load", "--customer", "acme", "--timestamp", "1000"]) == 0
+    out = capsys.readouterr().out
+    assert "loaded acme-1000" in out and "alias acme -> acme-1000" in out
+    assert main(["--base", base, "databases"]) == 0
+    assert "acme-1000" in capsys.readouterr().out
+    assert main(["--base", base, "count", "--customer", "acme"]) == 0
+    assert int(capsys.readouterr().out.strip()) > 0
+
+
+def test_no_switch_keeps_alias(base, capsys):
+    main(["--base", base, "load", "--customer", "acme", "--timestamp", "1000"])
+    main(["--base", base, "simulate", "--customer", "acme", "--source-ts", "1000", "--new-ts", "500"])
+    capsys.readouterr()
+    assert main(["--base", base, "load", "--customer", "acme", "--timestamp", "500", "--no-switch"]) == 0
+    main(["--base", base, "aliases"])
+    assert "acme -> acme-1000" in capsys.readouterr().out  # unchanged
+
+
+def test_orchestrate_cycles_picks_up_simulated(base, capsys):
+    main(["--base", base, "simulate", "--customer", "acme", "--source-ts", "1000", "--new-ts", "2000"])
+    capsys.readouterr()
+    assert main(["--base", base, "orchestrate", "--cycles", "3"]) == 0
+    main(["--base", base, "aliases"])
+    assert "acme -> acme-2000" in capsys.readouterr().out
+
+
+def test_error_paths_are_clean(base, capsys):
+    assert main(["--base", base, "load", "--customer", "ghost", "--timestamp", "7"]) == 1
+    assert "does not exist" in capsys.readouterr().err
+    assert main(["--base", base, "count", "--customer", "ghost"]) == 1
+    assert "error: alias 'ghost' does not exist" in capsys.readouterr().err
+    assert main(["--base", base, "simulate", "--customer", "acme", "--source-ts", "1", "--new-ts", "2"]) == 1
