@@ -711,3 +711,85 @@ def q_st2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "window_start_s")
     )
+
+
+@register(
+    "q_t2_argmax",
+    oracle=(
+        "SELECT o_custkey, arg_max(o_orderkey, o_totalprice + o_orderkey / 1e9) AS top_order, "
+        "ROUND(MAX(o_totalprice), 2) AS top_price "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"
+    ),
+    doc="Argmax per group (T2: the reference's latest-timestamp argmax, "
+    "orchestrator.py:382, generalized): max_by with an orderkey "
+    "tie-break folded into the ranking value so both engines pick the "
+    "same row when prices tie. One groupBy, map-side partials.",
+)
+def q_t2_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rank_val = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", rank_val).alias("top_order"),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q_a7_percentile",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+        "ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95 "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB quantile_cont, both linear interpolation). Exact "
+    "percentile requires per-group sort — at 100 TB switch to "
+    "approx_percentile (t-digest, mergeable partial state); the exact "
+    "form is the oracle for that swap.",
+)
+def q_a7_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_a8_condagg",
+    oracle=(
+        "SELECT o_custkey, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled, "
+        "ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1%'), 2) AS urgent_total, "
+        "ROUND(AVG(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END), 4) AS big_frac "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    doc="Conditional aggregation (FILTER clause / count_if shape): "
+    "three differently-filtered aggregates in ONE pass over one "
+    "shuffle — the idiom that replaces three separate scans.",
+)
+def q_a8_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+            F.round(
+                F.sum(F.when(F.col("o_orderpriority").startswith("1"), F.col("o_totalprice"))),
+                2,
+            ).alias("urgent_total"),
+            F.round(
+                F.avg(F.when(F.col("o_totalprice") > 100000, 1.0).otherwise(0.0)), 4
+            ).alias("big_frac"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -140,3 +140,33 @@ def q_f6_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_str"),
         F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long").alias("days_since"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_st4_sliding",
+    oracle=(
+        "SELECT user_id, "
+        "(CAST(floor(epoch(ts) / 900) AS BIGINT) - i) * 900 AS window_start_s, "
+        "COUNT(*) AS cnt "
+        "FROM events, unnest(range(0, 4)) AS t(i) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc="Sliding event-time window (1 hour long, 15 min slide): every "
+    "event lands in 4 overlapping windows. The oracle derives the same "
+    "window set arithmetically (one row per (event, offset)). Scale: "
+    "Spark expands each row 4x then aggregates — shuffle volume is "
+    "slide_ratio x input, the known cost of sliding windows; "
+    "under readStream the same expression is incremental.",
+)
+def q_st4_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.window("ts_t", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "cnt",
+        )
+        .orderBy("user_id", "window_start_s")
+    )
