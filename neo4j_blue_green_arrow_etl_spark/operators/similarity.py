@@ -211,3 +211,84 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> probe nearest cells -> exact
+# re-rank. The second scale path next to hyperplane LSH (q_sim_lsh).
+# --------------------------------------------------------------------------
+
+IVF_CELLS = 16  # coarse centroids
+IVF_PROBES = 4  # cells searched per query
+
+
+@register(
+    "q_sim_ivf",
+    oracle=None,  # data-dependent centroid assignment; recall vs the
+    # exact brute-force top-k (q_x2) is asserted in tests.
+    doc=f"IVF ANN top-{TOP_K}: {IVF_CELLS} coarse centroids (deterministic "
+    "sample of the vectors themselves), every vector assigned to its "
+    "nearest centroid (one blocked-BLAS pass), the query probes its "
+    f"{IVF_PROBES} nearest cells and re-ranks exactly inside them. "
+    "Scale: assignment is a linear mapInPandas pass with the centroid "
+    "matrix broadcast; the probe touches ~probes/cells of the data "
+    f"({IVF_PROBES}/{IVF_CELLS} here). Cells persist as a partitioned "
+    "column at rest, so repeated queries skip assignment entirely.",
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = _emb(spark, sf_dir)
+    # Deterministic coarse centroids: every (n/IVF_CELLS)-th vector by id.
+    all_ids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id").collect()]
+    step = max(len(all_ids) // IVF_CELLS, 1)
+    centroid_ids = set(all_ids[::step][:IVF_CELLS])
+    cpdf = (
+        e.filter(F.col("vec_id").isin(centroid_ids))
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    cmat = np.vstack(cpdf["embedding"].map(np.asarray)).astype(np.float64)
+    cmat /= np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
+    bc = spark.sparkContext.broadcast(cmat)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign(it):
+        cm = bc.value
+        for pdf in it:
+            mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            mat_n = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            cells = (mat_n @ cm.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells, "embedding": pdf["embedding"]}
+            )
+
+    assigned = e.mapInPandas(assign, schema=schema)
+
+    # query vector + its IVF_PROBES nearest cells (driver-side: one row)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    q = np.asarray(qrow.embedding, dtype=np.float64)
+    qn = q / np.sqrt((q * q).sum())
+    probe_cells = [int(c) for c in (qn @ cmat.T).argsort()[::-1][:IVF_PROBES]]
+
+    qdf = spark.createDataFrame([(qrow.embedding,)], "qe array<float>")
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(TOP_K)
+    )

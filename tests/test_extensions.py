@@ -85,3 +85,13 @@ def test_fingerprint_stable_under_repartition(spark):
     df2 = REGISTRY["q_text_fingerprint"].spark(spark, SF_SMOKE).repartition(7)
     b = {(r.doc_id, r.fingerprint) for r in df2.collect()}
     assert a == b
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF (probe 4/16 cells) must recover most of the exact top-5;
+    on this near-random synthetic set expect high recall since the
+    top neighbors concentrate in few cells."""
+    brute = [r.vec_id for r in REGISTRY["q_x2"].spark(spark, SF_SMOKE).collect()]
+    ivf = [r.vec_id for r in REGISTRY["q_sim_ivf"].spark(spark, SF_SMOKE).collect()]
+    overlap = len(set(brute) & set(ivf)) / len(brute)
+    assert overlap >= 0.6, f"IVF recall@5 {overlap:.2f} too low"

@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Queries that legitimately run Arrow-batched Python on the data path.
 ARROW_PYTHON_OK = {
     "q_mm_features",
+    "q_sim_ivf",
     "q_sim_neardup",
     "q_udaf_wavg",
     "q_udf_qnorm",
@@ -40,7 +41,7 @@ ARROW_PYTHON_OK = {
 # cross-join a ONE-ROW broadcast (the query vector) against the scan —
 # that is the broadcast pattern for single-query similarity search, not
 # an all-pairs blow-up (cost = one pass over the big side).
-ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh"}
+ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf"}
 
 # Queries that read every column of their base table by design.
 FULL_SCAN_OK = {"q_s1"}
