@@ -793,3 +793,31 @@ def q_a8_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q_j9_part",
+    oracle=(
+        "SELECT p_type, p_brand, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc="TPC-H Q14-shaped part-dimension join: revenue by part type and "
+    "brand. part broadcasts (small dim), lineitem streams through — "
+    "zero fact-side shuffle before the aggregation; scan pruned to 4 "
+    "lineitem + 3 part columns.",
+)
+def q_j9_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_type", "p_brand")
+    )
