@@ -153,6 +153,35 @@ class ParquetGraphSink(GraphSink):
         if marker.exists():
             marker.unlink()
 
+    def compact(self, spark, target_files: int = 1) -> dict[str, int]:
+        """Small-files maintenance: rewrite nodes/ and relationships/
+        with ``target_files`` files each, swapping directories only
+        after the full rewrite succeeds (write-aside + rename, so a
+        crash mid-compaction leaves the original data intact — the same
+        atomicity discipline as the catalog manifest).
+
+        At 100 TB this is the periodic job that keeps file counts at
+        ~max(partitions, bytes / 1 GiB) after many incremental loads;
+        readers are unaffected because the swap is a rename."""
+        self._require(SinkState.DONE)
+        import shutil
+
+        out: dict[str, int] = {}
+        for kind in ("nodes", "relationships"):
+            src = self.base / kind
+            if not src.exists():
+                continue
+            tmp = self.base / f"_{kind}.compacting"
+            df = spark.read.parquet(str(src))
+            df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
+            n_before = len(df.inputFiles())
+            old = self.base / f"_{kind}.old"
+            src.rename(old)
+            tmp.rename(src)
+            shutil.rmtree(old)
+            out[kind] = n_before
+        return out
+
 
 class FlightGraphSink(GraphSink):
     """Neo4j GDS Arrow Flight adapter (stub in this environment).

@@ -87,3 +87,33 @@ def test_flight_sink_is_clearly_stubbed():
     sink = FlightGraphSink("cust-1000")
     with pytest.raises(NotImplementedError, match="Flight"):
         sink.create_database()
+
+
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    """Small-files maintenance: 16-partition write compacts to 1 file
+    per side with identical content and the completeness marker intact."""
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    sink.write_nodes(nodes_entity(spark, SF_SMOKE).repartition(16))
+    sink.nodes_done()
+    sink.write_edges(edges(spark, SF_SMOKE).repartition(16))
+    sink.edges_done()
+    before_nodes = spark.read.parquet(str(tmp_path / "cust-1000" / "nodes"))
+    n_rows = before_nodes.count()
+    assert len(before_nodes.inputFiles()) == 16
+
+    sink.compact(spark, target_files=1)
+    after = spark.read.parquet(str(tmp_path / "cust-1000" / "nodes"))
+    assert len(after.inputFiles()) == 1
+    assert after.count() == n_rows
+    assert (tmp_path / "cust-1000" / "_LOAD_META.json").exists()
+    # no leftover temp dirs from the swap
+    leftovers = [p.name for p in (tmp_path / "cust-1000").iterdir() if p.name.startswith("_nodes")]
+    assert leftovers == []
+
+
+def test_compaction_requires_done_state(spark, tmp_path):
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    with pytest.raises(InvalidArgumentError):
+        sink.compact(spark)
