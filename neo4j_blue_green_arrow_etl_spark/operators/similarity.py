@@ -241,12 +241,15 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = _emb(spark, sf_dir)
-    # Deterministic coarse centroids: every (n/IVF_CELLS)-th vector by id.
-    all_ids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id").collect()]
-    step = max(len(all_ids) // IVF_CELLS, 1)
-    centroid_ids = set(all_ids[::step][:IVF_CELLS])
+    # Deterministic coarse centroids: stride-sampled by id MODULO — no
+    # driver-side id collection (only a count crosses to the driver, and
+    # the centroid batch itself is IVF_CELLS rows however big the table).
+    n = e.count()
+    step = max(n // IVF_CELLS, 1)
     cpdf = (
-        e.filter(F.col("vec_id").isin(centroid_ids))
+        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+        .orderBy("vec_id")
+        .limit(IVF_CELLS)
         .select("vec_id", "embedding")
         .toPandas()
     )
