@@ -177,3 +177,36 @@ def test_restarted_orchestrator_skips_deployed_snapshots(
     assert orch2.stats.completed == 0
     # and the restored deployment still answers the consumer contract
     assert cat2.count_via_alias("customer1") > 0
+
+
+def test_multi_customer_isolation(spark, sf_dir, tmp_path):
+    """Two customers' snapshots interleave through one orchestrator:
+    aliases, retention, and latest-wins stay per-customer."""
+    base = str(tmp_path / "data")
+    for cust, ts_list in {"acme": (100, 300), "globex": (200,)}.items():
+        for ts in ts_list:
+            FX.materialize_snapshot(spark, sf_dir, base, cust, ts)
+    orch = make_orch(spark, base, tmp_path, max_concurrent_loads=2)
+    for _ in range(3):
+        orch.run_cycle()
+    cat = orch.catalog
+    assert cat.alias_target("acme") == "acme-300"
+    assert cat.alias_target("globex") == "globex-200"
+    # a newer globex snapshot must not disturb acme's alias
+    FX.materialize_snapshot(spark, sf_dir, base, "globex", 400)
+    orch.run_cycle()
+    assert cat.alias_target("acme") == "acme-300"
+    assert cat.alias_target("globex") == "globex-400"
+    assert set(cat.list_databases("acme-")) == {"acme-100", "acme-300"}
+    assert set(cat.list_databases("globex-")) == {"globex-200", "globex-400"}
+
+
+def test_concurrency_cap_respected(spark, sf_dir, tmp_path):
+    """max_concurrent_loads bounds the per-cycle load count (ST5)."""
+    base = str(tmp_path / "data")
+    for ts in (1, 2, 3, 4, 5):
+        FX.materialize_snapshot(spark, sf_dir, base, "acme", ts)
+    orch = make_orch(spark, base, tmp_path, max_concurrent_loads=2)
+    assert orch.run_cycle() == 2
+    assert orch.run_cycle() == 2
+    assert orch.run_cycle() == 1
