@@ -21,3 +21,47 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "DeploymentCatalog",
+    "Orchestrator",
+    "ParquetGraphSink",
+    "QuerySpec",
+    "REGISTRY",
+    "SnapshotRef",
+    "__version__",
+    "discover_snapshots",
+    "get_spark",
+    "read_snapshot",
+]
+
+
+def __getattr__(name):
+    """Lazy public API: top-level names resolve on first use so that
+    ``import neo4j_blue_green_arrow_etl_spark`` stays cheap (no pyspark
+    import) for tools that only want ``__version__``."""
+    if name in ("REGISTRY", "QuerySpec"):
+        from .operators import REGISTRY, QuerySpec
+
+        return {"REGISTRY": REGISTRY, "QuerySpec": QuerySpec}[name]
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    if name == "DeploymentCatalog":
+        from .plans.catalog import DeploymentCatalog
+
+        return DeploymentCatalog
+    if name == "Orchestrator":
+        from .streaming.orchestrator import Orchestrator
+
+        return Orchestrator
+    if name == "ParquetGraphSink":
+        from .sinks.graph_sink import ParquetGraphSink
+
+        return ParquetGraphSink
+    if name in ("SnapshotRef", "discover_snapshots", "read_snapshot"):
+        from .sources import snapshot as _s
+
+        return getattr(_s, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
