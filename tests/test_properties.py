@@ -148,3 +148,27 @@ def test_survey_section8_matches_registry():
     registry = set(REGISTRY)
     assert registry - listed == set(), f"missing from SURVEY §8: {sorted(registry - listed)}"
     assert listed - registry == set(), f"stale in SURVEY §8: {sorted(listed - registry)}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_label_split_matches_python(spark, label_strings):
+    """The positional node contract's CSV label split (reference
+    neo4j_pq.py:48-51) must agree with Python str.split(',') for
+    arbitrary label strings — empties, consecutive commas, unicode."""
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import normalize_nodes
+
+    rows = [(i, s, float(i)) for i, s in enumerate(label_strings)]
+    df = spark.createDataFrame(rows, ["c0", "c1", "prop"])
+    out = {r.nodeId: r.labels for r in normalize_nodes(df).collect()}
+    expected = {i: s.split(",") for i, s in enumerate(label_strings)}
+    assert out == expected
