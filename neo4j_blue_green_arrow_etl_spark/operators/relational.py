@@ -821,3 +821,22 @@ def q_j9_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", "p_brand")
     )
+
+
+@register(
+    "q_st5_dropdup",
+    oracle=FX.with_clause("arrivals")
+    + " SELECT DISTINCT customer_id, ts FROM arrivals ORDER BY 1, 2",
+    doc="Exactly-once dedup on (customer_id, ts) — the literal Spark "
+    "mapping of the reference's processed_snapshots set (ST2, "
+    "orchestrator.py:224, 249-251): dropDuplicates on the identity key. "
+    "Under readStream the same call is stateful with watermark-based "
+    "state expiry; batch mode here for the oracle.",
+)
+def q_st5_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrivals = FX.arrivals_df(spark)
+    return (
+        arrivals.select("customer_id", "ts")
+        .dropDuplicates(["customer_id", "ts"])
+        .orderBy("customer_id", "ts")
+    )
