@@ -162,15 +162,21 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pos += 1
                     yield tok, pos
 
+    import uuid
+
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") < 50)
         .select("doc_id", "text")
     )
-    d.createOrReplaceTempView("_udtf_docs")
-    spark.udtf.register("tokenize_udtf", Tokenize)
+    # unique names per invocation: no collision if two sessions/threads
+    # run the registry concurrently
+    view = f"_udtf_docs_{uuid.uuid4().hex[:8]}"
+    fn = f"tokenize_udtf_{uuid.uuid4().hex[:8]}"
+    d.createOrReplaceTempView(view)
+    spark.udtf.register(fn, Tokenize)
     return spark.sql(
-        "SELECT d.doc_id, t.token, t.pos "
-        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t "
-        "ORDER BY d.doc_id, t.pos"
+        f"SELECT d.doc_id, t.token, t.pos "
+        f"FROM {view} d, LATERAL {fn}(d.text) t "
+        f"ORDER BY d.doc_id, t.pos"
     )
