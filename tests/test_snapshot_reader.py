@@ -2,6 +2,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from pyspark.sql import functions as F
 import pytest
 
 from neo4j_blue_green_arrow_etl_spark import fixtures as FX
@@ -70,3 +71,42 @@ def test_discover_and_read_snapshot(spark, sf_dir, tmp_path):
 
 def test_snapshot_ref_database_name():
     assert SnapshotRef("customer9", 123, "/x").database == "customer9-123"
+
+
+def test_property_schema_evolution_across_snapshots(spark, tmp_path):
+    """A newer snapshot may add property columns (the reference passes
+    properties through untyped, neo4j_pq.py:56-59, so producers evolve
+    freely). Both generations stay independently queryable, and the
+    alias cutover changes the visible schema atomically."""
+    from neo4j_blue_green_arrow_etl_spark.plans.catalog import DeploymentCatalog
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        SnapshotRef,
+        read_snapshot,
+    )
+
+    base = tmp_path / "data"
+    for ts, extra in ((100, False), (200, True)):
+        root = base / "acme" / str(ts)
+        nodes = spark.createDataFrame(
+            [(f"N{i}", "Entity", float(i)) for i in range(5)],
+            ["id", "labels", "score"],
+        )
+        if extra:
+            nodes = nodes.withColumn("region", F.lit("emea"))  # new property
+        nodes.write.parquet(str(root / "nodes" / "Entity"))
+        spark.createDataFrame(
+            [("N0", "N1", "REL", 1.0)], ["src", "dst", "type", "w"]
+        ).write.parquet(str(root / "relationships" / "REL"))
+
+    cat = DeploymentCatalog(spark, tmp_path / "m.json")
+    for ts in (100, 200):
+        ref = SnapshotRef("acme", ts, str(base / "acme" / str(ts)))
+        n, e = read_snapshot(spark, ref)
+        cat.register_deployment("acme", ts, n, e, source_path=ref.path)
+
+    cat.set_alias("acme", 100)
+    v1 = spark.table("acme_nodes")
+    assert "region" not in v1.columns
+    cat.set_alias("acme", 200)  # cutover to the evolved schema
+    v2 = spark.table("acme_nodes")
+    assert "region" in v2.columns and v2.count() == 5
