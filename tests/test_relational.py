@@ -104,3 +104,16 @@ def test_stratified_sampling_deterministic(spark):
     for lang, frac in fractions.items():
         got = per.get(lang, 0) / base[lang]
         assert abs(got - frac) < 0.15, (lang, got)
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The production swap q_a7_percentile's doc promises: t-digest
+    approx_percentile (mergeable partial state, no per-group sort) must
+    track the exact interpolated percentile within 1%."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) / r.exact < 0.01, r
