@@ -186,6 +186,12 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     "no cartesian; verification only touches candidate pairs.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lazy cache: the shingle table is consumed by four subplans (sig,
+    # sizes, and both sides of the verify join). Measured at sf0.1:
+    # eager materialization (persist+count) adds a serial job that costs
+    # MORE than the duplicate-stage recompute it avoids, so lazy wins;
+    # the CacheManager dedupes identical lineages, so repeated calls
+    # hold ONE cached copy per sf_dir, not one per call.
     sh = shingles(_docs(spark, sf_dir)).cache()
     sig = minhash_signatures(sh)
     rows_per_band = MINHASH_K // MINHASH_BANDS
@@ -287,7 +293,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(SIMHASH_BITS)
             ]
         ).alias("simhash"),
-    )
+    ).cache()
+    # cached (lazily): both sides of the band self-join read packed;
+    # without it the token-hash scan + 64-column vote aggregation runs
+    # twice. packed is 2 longs/doc — trivially cacheable at any SF.
     bands = packed.select(
         "doc_id",
         "simhash",

@@ -84,9 +84,20 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
             "image decode requires an image codec not present in this "
             "environment; pass fake=True for the deterministic stand-in"
         )
-    lengths = payloads.map(len)
-    means = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
-    return pd.DataFrame({"n_bytes": lengths.astype("int64"), "byte_mean": means})
+    import numpy as np
+
+    vals = payloads.to_numpy()
+    lengths = np.fromiter((len(b) for b in vals), dtype=np.int64, count=len(vals))
+    # One concatenated uint8 buffer + cumsum-at-offsets: exact integer
+    # sums per payload with zero per-byte Python (handles empty payloads).
+    buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    sums = cs[bounds[1:]] - cs[bounds[:-1]]
+    means = np.divide(sums, lengths, out=np.zeros(len(vals)), where=lengths > 0)
+    return pd.DataFrame(
+        {"n_bytes": lengths, "byte_mean": means}, index=payloads.index
+    )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -99,26 +110,45 @@ def extract_features(media: DataFrame) -> DataFrame:
     reference — even via closure cells — so any such reference would
     require the package on every executor's sys.path; a self-contained
     closure ships fully by value, no --py-files deployment coupling).
-    It repeats decode_image_batch's fake path by design — keep in sync."""
+    It repeats decode_image_batch's fake path by design — keep in sync.
+
+    Byte stats are fully vectorized: each Arrow batch's payloads are
+    concatenated into ONE uint8 buffer, summed with a single cumsum, and
+    sliced at payload offsets — no per-byte (or even per-row) Python.
+    Struct fields (width/height) are flattened to top-level columns
+    BEFORE mapInPandas so the worker passes them through untouched."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            payloads = pdf["payload"]
+            vals = pdf["payload"].to_numpy()
+            n = len(vals)
+            lengths = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+            cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            bounds = np.concatenate(([0], np.cumsum(lengths)))
+            sums = cs[bounds[1:]] - cs[bounds[:-1]]
+            # exact int sum / len is bit-identical to the oracle's
+            # sum*1.0/length — no round-tie risk
+            means = np.divide(sums, lengths, out=np.zeros(n), where=lengths > 0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    # raw double: exact int sum / len is bit-identical to
-                    # the oracle's sum*1.0/length — no round-tie risk
-                    "byte_mean": payloads.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ),
-                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
-                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "n_bytes": lengths,
+                    "byte_mean": means,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
                 }
             )
 
-    return media.mapInPandas(batches, schema=_FEATURE_SCHEMA)
+    flat = media.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(batches, schema=_FEATURE_SCHEMA)
 
 
 @register(

@@ -102,27 +102,31 @@ def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ORDER BY 1, 2"
     ),
     doc=f"Embedding near-dup: all pairs with cosine >= {NEARDUP_COS}, "
-    "exact, via blocked BLAS: the right side is broadcast as one dense "
-    "float64 matrix, each Arrow batch of left rows does ONE numpy matmul "
-    "against it (mapInPandas), emitting only threshold-passing pairs. "
-    "~100x faster than per-pair zip_with folds, which run interpreted. "
-    "At 100 TB the broadcast side becomes bucketed chunks and the same "
-    "kernel runs per chunk-pair; q_sim_lsh is the sub-quadratic path.",
+    "exact, via a DISTRIBUTED block-pair join: vectors get a block id "
+    "pmod(vec_id, B); each vector is replicated to the B unordered block "
+    "pairs it participates in; one shuffle groups each pair's two blocks "
+    "onto an executor where a single numpy matmul scores the cross "
+    "product and emits only threshold-passing pairs. Nothing is ever "
+    "materialized on the driver — at 100 TB, B scales as N/block_target "
+    "so every group stays executor-sized (shuffle volume N*B rows, "
+    "compute O(N^2) as any exact all-pairs must be); q_sim_lsh is the "
+    "sub-quadratic path.",
 )
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
-    e = _emb(spark, sf_dir)
-    # Broadcast side: the full (small-dim) matrix + ids + norms. This is
-    # the standard blocked-similarity shape: one side dense in memory,
-    # the other streamed through in Arrow batches.
-    pdf = e.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = 8  # blocks -> B*(B+1)/2 = 36 pair-groups, replication factor B
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    # Replicate each vector to every unordered block pair containing its
+    # block: vector in block k meets block j in group (min(k,j),max(k,j)).
+    blocked = e.withColumn("blk", F.pmod("vec_id", F.lit(B)).cast("int"))
+    replicated = (
+        blocked.withColumn("other", F.explode(F.array(*[F.lit(j) for j in range(B)])))
+        .withColumn("pa", F.least("blk", "other"))
+        .withColumn("pb", F.greatest("blk", "other"))
+        .select("pa", "pb", "blk", "vec_id", "embedding")
+    )
 
     schema = T.StructType(
         [
@@ -132,24 +136,44 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def block(it):
-        r_ids, r_mat, r_norms = bc.value
-        for pdf_block in it:
-            l_ids = pdf_block["vec_id"].to_numpy()
-            l_mat = np.vstack(pdf_block["embedding"].map(np.asarray)).astype(np.float64)
-            l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
-            sims = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-            li, ri = np.where(sims >= NEARDUP_COS)
-            keep = l_ids[li] < r_ids[ri]  # upper triangle only
-            yield pd.DataFrame(
-                {
-                    "vec_a": l_ids[li][keep],
-                    "vec_b": r_ids[ri][keep],
-                    "cos_sim": np.round(sims[li, ri][keep], 6),
-                }
-            )
+    thresh = NEARDUP_COS
 
-    return e.mapInPandas(block, schema=schema).orderBy("vec_a", "vec_b")
+    def score_pair(pdf):
+        # Self-contained (ships by value): score one block pair with ONE
+        # numpy matmul. Distinct blocks -> cross product of the two
+        # sides; the diagonal group (pa==pb) -> self matmul. The a<b
+        # filter keeps exactly the upper triangle in both cases.
+        import numpy as np
+        import pandas as pd
+
+        mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        ids = pdf["vec_id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        bmin, bmax = blks.min(), blks.max()
+        if bmin == bmax:
+            lidx = ridx = np.arange(len(ids))
+        else:
+            lidx = np.flatnonzero(blks == bmin)
+            ridx = np.flatnonzero(blks == bmax)
+        sims = (mat[lidx] @ mat[ridx].T) / np.outer(norms[lidx], norms[ridx])
+        li, ri = np.where(sims >= thresh)
+        a, b, s = ids[lidx[li]], ids[ridx[ri]], sims[li, ri]
+        if bmin == bmax:
+            # self matmul sees both orientations + the diagonal: keep the
+            # strict upper triangle
+            keep = a < b
+            a, b, s = a[keep], b[keep], s[keep]
+        else:
+            # each cross pair appears exactly once: canonicalize order
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_sim": np.round(s, 6)})
+
+    return (
+        replicated.groupBy("pa", "pb")
+        .applyInPandas(score_pair, schema)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[float]]:

@@ -95,3 +95,48 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     ivf = [r.vec_id for r in REGISTRY["q_sim_ivf"].spark(spark, SF_SMOKE).collect()]
     overlap = len(set(brute) & set(ivf)) / len(brute)
     assert overlap >= 0.6, f"IVF recall@5 {overlap:.2f} too low"
+
+
+def test_sim_neardup_is_fully_distributed(spark, monkeypatch):
+    """q_sim_neardup must never materialize the embeddings table on the
+    driver (VERDICT r1: the old build collected the whole table via
+    toPandas then broadcast it — a driver OOM at scale). Building the
+    plan with toPandas/collect poisoned proves no driver-side
+    materialization happens; the plan itself must be the grouped-map
+    block-pair shape (one shuffle + FlatMapGroupsInPandas)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side materialization in q_sim_neardup")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = REGISTRY["q_sim_neardup"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange" in plan
+
+
+def test_sim_neardup_matches_bruteforce_pairs(spark):
+    """Block-pair join must produce the exact same pair set (and sims)
+    as a direct all-pairs computation at smoke scale."""
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import NEARDUP_COS
+
+    rows = REGISTRY["q_sim_neardup"].spark(spark, SF_SMOKE).collect()
+    got = {(r.vec_a, r.vec_b): r.cos_sim for r in rows}
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in e])
+    mat = np.array([r.embedding for r in e], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    want = {}
+    li, ri = np.where(sims >= NEARDUP_COS)
+    for i, j in zip(li, ri):
+        if ids[i] < ids[j]:
+            want[(int(ids[i]), int(ids[j]))] = round(float(sims[i, j]), 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
