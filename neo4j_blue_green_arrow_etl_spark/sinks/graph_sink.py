@@ -11,11 +11,9 @@ the node phase and the edge phase — behind a sink interface:
   graph to versioned parquet locations. Fully distributed ``df.write``;
   the two-phase barrier is the sequential pair of Spark write jobs.
 - ``FlightGraphSink``: the Neo4j Arrow adapter. The gRPC data path runs
-  per-partition on executors (``foreachPartition``) so 1000 executors
-  stream concurrently — but it needs a reachable Flight server and the
-  ``pyarrow.flight`` extra, so ``write_*`` raises NotImplementedError
-  in this environment (SURVEY §7.2 M5: connector path optional at judge
-  time, kept behind the interface).
+  per-partition on executors (``mapInArrow`` + ``do_put``) so 1000
+  executors stream concurrently; integration-tested over real gRPC
+  against the in-process ``flight_server.InMemoryGraphFlightServer``.
 
 State assertions are real (the reference's broken ``==`` no-op check,
 neo4j_arrow_client.py:227, is flagged in SURVEY §4.3 — we assert).
@@ -76,6 +74,7 @@ class GraphSink(abc.ABC):
 
     def nodes_done(self) -> None:
         self._require(SinkState.FEEDING_NODES)
+        self._nodes_done()
         self.state = SinkState.FEEDING_EDGES
 
     def write_edges(self, edges: DataFrame) -> WriteResult:
@@ -102,6 +101,9 @@ class GraphSink(abc.ABC):
 
     @abc.abstractmethod
     def _write_edges(self, edges: DataFrame) -> WriteResult: ...
+
+    def _nodes_done(self) -> None:  # optional hook (phase barrier)
+        pass
 
     def _finalize(self) -> None:  # optional hook
         pass
@@ -184,33 +186,131 @@ class ParquetGraphSink(GraphSink):
 
 
 class FlightGraphSink(GraphSink):
-    """Neo4j GDS Arrow Flight adapter (stub in this environment).
+    """Neo4j GDS Arrow Flight adapter — runnable gRPC data path.
 
-    Design (not runnable here — no Flight server, by construction):
-    - lifecycle actions (CREATE_DATABASE / *_LOAD_DONE / ABORT) are
-      driver-side DoAction calls framing the load, as in the reference
-      (neo4j_arrow_client.py:123-149);
-    - the data path is ``df.foreachPartition(put_batches)``: each
-      executor task opens its own FlightClient (connections are not
-      serializable — create per partition, the lesson of reference
-      neo4j_arrow_client.py:58-73), converts its partition to Arrow
-      batches of ``arrow_table_size`` rows, and ``do_put``s them, so
-      throughput scales with executors instead of the reference's
-      single-host fork pool (neo4j_pq.py:290-303).
+    Protocol (reference neo4j_arrow_client.py:123-296):
+    - lifecycle actions (CREATE_DATABASE / NODE_LOAD_DONE /
+      RELATIONSHIP_LOAD_DONE / ABORT) are driver-side DoAction calls
+      with a JSON body framing the load;
+    - the data path is DISTRIBUTED: ``df.mapInArrow`` hands each
+      executor task its partition as pyarrow RecordBatches; the task
+      opens its own FlightClient (connections are not serializable —
+      create per partition, the lesson of reference
+      neo4j_arrow_client.py:58-73) and streams every batch through ONE
+      ``do_put`` whose descriptor command is
+      ``{"name": db, "entity_type": "node"|"relationship"}``, then
+      emits a single (rows, nbytes) stats row. A native sum over the
+      stats rows yields the WriteResult — so throughput scales with
+      executors instead of the reference's single-host fork pool
+      (neo4j_pq.py:290-303), and nothing but two longs per partition
+      crosses back to the driver.
+
+    Tested end-to-end against the in-process
+    ``flight_server.InMemoryGraphFlightServer`` over real gRPC
+    (tests/test_flight_sink.py); point host/port at a production GDS
+    Arrow service for real loads. No auth middleware is attached — add
+    the reference's basic-auth/bearer middleware for secured servers.
     """
 
     def __init__(self, database: str, host: str = "localhost", port: int = 8491):
         super().__init__(database)
         self.host, self.port = host, port
 
+    # -- driver-side lifecycle -----------------------------------------
+
+    def _action(self, action: str, body: dict) -> dict:
+        import pyarrow.flight as flight
+
+        client = flight.FlightClient(
+            flight.Location.for_grpc_tcp(self.host, self.port)
+        )
+        try:
+            result = client.do_action(
+                flight.Action(action, json.dumps(body).encode())
+            )
+            first = next(iter(result), None)
+            return json.loads(first.body.to_pybytes()) if first is not None else {}
+        finally:
+            client.close()
+
     def _create(self) -> None:
-        raise NotImplementedError(
-            "Arrow Flight sink requires a reachable Neo4j GDS Flight server; "
-            "use ParquetGraphSink in this environment"
+        # config mirrors the reference's create_database defaults
+        # (neo4j_arrow_client.py:231-239)
+        self._action(
+            "CREATE_DATABASE",
+            {
+                "name": self.database,
+                "concurrency": 4,
+                "high_io": True,
+                "force": True,
+                "record_format": "aligned",
+                "id_property": "id",
+                "id_type": "INTEGER",
+            },
         )
 
+    def _nodes_done(self) -> None:
+        self._action("NODE_LOAD_DONE", {"name": self.database})
+
+    def _finalize(self) -> None:
+        self._action("RELATIONSHIP_LOAD_DONE", {"name": self.database})
+
+    def _abort(self) -> None:
+        import pyarrow.flight as flight
+
+        try:
+            self._action("ABORT", {"name": self.database})
+        except flight.FlightError as e:
+            # nothing to abort is a no-op, as in the reference client
+            # (abort tolerates NOT_FOUND, neo4j_arrow_client.py:96-121)
+            if "NOT_FOUND" not in str(e):
+                raise
+
+    # -- executor-side data path ---------------------------------------
+
+    def _put(self, df: DataFrame, entity_type: str) -> WriteResult:
+        from pyspark.sql import functions as F
+
+        host, port = self.host, self.port
+        desc = json.dumps({"name": self.database, "entity_type": entity_type}).encode()
+
+        def put_partition(batches):
+            # Self-contained closure (ships by value; executors need no
+            # package import). One FlightClient + one do_put stream per
+            # partition; empty partitions open no connection.
+            import itertools
+
+            import pyarrow as pa
+            import pyarrow.flight as flight
+
+            it = iter(batches)
+            first = next(it, None)
+            rows = nbytes = 0
+            if first is not None:
+                client = flight.FlightClient(
+                    flight.Location.for_grpc_tcp(host, port)
+                )
+                try:
+                    writer, _ = client.do_put(
+                        flight.FlightDescriptor.for_command(desc), first.schema
+                    )
+                    with writer:
+                        for b in itertools.chain([first], it):
+                            writer.write_batch(b)
+                            rows += b.num_rows
+                            nbytes += b.get_total_buffer_size()
+                finally:
+                    client.close()
+            yield pa.RecordBatch.from_pydict({"rows": [rows], "nbytes": [nbytes]})
+
+        stats = df.mapInArrow(put_partition, "rows long, nbytes long")
+        agg = stats.agg(
+            F.sum("rows").alias("r"), F.sum("nbytes").alias("b")
+        ).collect()[0]
+        return WriteResult(rows=int(agg.r or 0), bytes=int(agg.b or 0))
+
     def _write_nodes(self, nodes: DataFrame) -> WriteResult:
-        raise NotImplementedError
+        return self._put(nodes, "node")
 
     def _write_edges(self, edges: DataFrame) -> WriteResult:
-        raise NotImplementedError
+        return self._put(edges, "relationship")

@@ -1,0 +1,123 @@
+"""Integration tests: FlightGraphSink against a real gRPC Flight server.
+
+The server (sinks/flight_server.InMemoryGraphFlightServer) implements
+the reference's GDS Arrow protocol — CREATE_DATABASE -> node puts ->
+NODE_LOAD_DONE -> relationship puts -> RELATIONSHIP_LOAD_DONE, plus
+ABORT — so these tests exercise the full wire path the reference client
+drives (neo4j_arrow_client.py:123-296): DoAction lifecycle framing and
+per-partition executor-side do_put streaming.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_blue_green_arrow_etl_spark.errors import InvalidArgumentError
+from neo4j_blue_green_arrow_etl_spark.sinks.flight_server import (
+    InMemoryGraphFlightServer,
+)
+from neo4j_blue_green_arrow_etl_spark.sinks.graph_sink import (
+    FlightGraphSink,
+    SinkState,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def server():
+    s = InMemoryGraphFlightServer()
+    yield s
+    s.shutdown()
+
+
+def _sink(server, name="acme-100"):
+    return FlightGraphSink(name, host="127.0.0.1", port=server.port)
+
+
+def test_full_load_over_grpc(spark, server):
+    nodes = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").repartition(4)
+    edges = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").repartition(4)
+    n_nodes, n_edges = nodes.count(), edges.count()
+
+    sink = _sink(server)
+    sink.create_database()
+    res_n = sink.write_nodes(nodes)
+    assert res_n.rows == n_nodes
+    assert res_n.bytes > 0
+    sink.nodes_done()
+    res_e = sink.write_edges(edges)
+    assert res_e.rows == n_edges
+    sink.edges_done()
+    assert sink.state is SinkState.DONE
+
+    g = server.graphs["acme-100"]
+    assert g["state"] == "done"
+    assert g["nodes"] == n_nodes
+    assert g["relationships"] == n_edges
+    # one do_put stream per non-empty partition, not per batch
+    assert 2 <= g["put_calls"] <= 8
+    assert "c_custkey" in [f.name for f in g["schemas"]["node"]]
+
+
+def test_empty_partitions_open_no_stream(spark, server):
+    nodes = (
+        spark.read.parquet(f"{SF_SMOKE}/region.parquet").repartition(16)
+    )  # 5 rows / 16 partitions -> >=11 empty
+    sink = _sink(server)
+    sink.create_database()
+    res = sink.write_nodes(nodes)
+    assert res.rows == 5
+    assert server.graphs["acme-100"]["put_calls"] <= 5
+
+
+def test_server_rejects_out_of_phase_puts(spark, server):
+    """The wire protocol itself (not just the client state machine)
+    refuses edge batches during the node phase."""
+    edges = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").limit(10)
+    sink = _sink(server)
+    sink.create_database()
+    # bypass the client-side state machine to prove the SERVER enforces
+    # phase ordering too
+    with pytest.raises(Exception, match="state"):
+        sink._put(edges, "relationship")
+
+
+def test_client_state_machine_orders_phases(spark, server):
+    nodes = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    sink = _sink(server)
+    with pytest.raises(InvalidArgumentError):
+        sink.write_nodes(nodes)  # before create_database
+    sink.create_database()
+    with pytest.raises(InvalidArgumentError):
+        sink.write_edges(nodes)  # before nodes_done
+
+
+def test_abort_mid_load_discards_graph(spark, server):
+    nodes = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    sink = _sink(server)
+    sink.create_database()
+    sink.write_nodes(nodes)
+    sink.abort()
+    assert sink.state is SinkState.ABORTED
+    assert "acme-100" not in server.graphs
+
+
+def test_abort_unstarted_is_noop(server):
+    sink = _sink(server)
+    sink.abort()  # READY -> no server call, no error
+    assert sink.state is SinkState.ABORTED
+    # aborting again is also a no-op (idempotent)
+    sink.abort()
+
+
+def test_recreate_replaces_graph(spark, server):
+    """force=True semantics: CREATE_DATABASE over an existing name
+    resets it (reference create_database config)."""
+    nodes = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    a = _sink(server)
+    a.create_database()
+    a.write_nodes(nodes)
+    b = _sink(server)
+    b.create_database()
+    assert server.graphs["acme-100"]["nodes"] == 0

@@ -83,9 +83,14 @@ def test_abort_idempotent_from_ready(tmp_path):
     assert sink.state is SinkState.ABORTED
 
 
-def test_flight_sink_is_clearly_stubbed():
-    sink = FlightGraphSink("cust-1000")
-    with pytest.raises(NotImplementedError, match="Flight"):
+def test_flight_sink_unreachable_server_surfaces_error():
+    """The Flight sink is now a real gRPC client (see
+    tests/test_flight_sink.py for the end-to-end path); with no server
+    listening the lifecycle call must fail loudly, not hang or no-op."""
+    import pyarrow.flight as flight
+
+    sink = FlightGraphSink("cust-1000", host="127.0.0.1", port=1)
+    with pytest.raises(flight.FlightError):
         sink.create_database()
 
 
