@@ -36,7 +36,20 @@ def salted_join(
     buckets, so every (key, salt) pair still finds its matches. Shuffle
     cost: right side grows n_salts-fold — pick n_salts ~ the factor by
     which the hottest key exceeds a healthy partition.
+
+    ``how`` is restricted to left-preserving join types: because the
+    right side is replicated n_salts-fold, 'right'/'full'/'right_outer'
+    would emit n_salts duplicate rows for every UNMATCHED right row
+    (matched ones join exactly once via the salt equality). To preserve
+    unmatched right rows, salt the other way around.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving join types {sorted(allowed)}; "
+            f"got {how!r} — the replicated right side would duplicate "
+            f"unmatched right rows n_salts times"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
     l_s = left.withColumn("_salt", salt)
     r_s = right.withColumn(

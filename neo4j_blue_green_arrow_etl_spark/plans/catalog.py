@@ -7,11 +7,15 @@ atomically repointed at cutover (reference load_with_aliases.py:48,
 the same model over Spark:
 
 - a **deployment** is a loaded snapshot registered as temp views
-  ``{customer}_{ts}_nodes`` / ``{customer}_{ts}_edges``;
+  ``dep__{customer}__{ts}_nodes`` / ``dep__{customer}__{ts}_edges``
+  (the ``dep__`` prefix + ``__`` separator keep deployment names
+  disjoint from alias names for every valid customer id);
 - an **alias** is the stable pair of views ``{customer}_nodes`` /
-  ``{customer}_edges`` — ``CREATE OR REPLACE TEMP VIEW`` is the atomic
-  repoint (consumers' next query sees the new snapshot, in-flight plans
-  keep their already-resolved one);
+  ``{customer}_edges`` — each ``CREATE OR REPLACE TEMP VIEW`` repoint
+  is atomic per view (consumers' next query sees the new snapshot,
+  in-flight plans keep their already-resolved one); the nodes/edges
+  PAIR is repointed sequentially — see ``set_alias`` for the exact
+  consistency contract;
 - catalog state (deployments + alias targets) additionally persists in
   a JSON manifest written via temp-file + ``os.replace`` — POSIX-atomic,
   so a crashed writer can never leave a half-written catalog (SURVEY
@@ -42,8 +46,13 @@ _NAME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
 def _safe(name: str) -> str:
     """Reject identifiers that could smuggle SQL — the reference builds
     Cypher by f-string interpolation (load_with_aliases.py:62, 204),
-    flagged injection-prone in SURVEY §4.3; we validate instead."""
-    if not _NAME_RE.match(name):
+    flagged injection-prone in SURVEY §4.3; we validate instead.
+
+    ``__`` (double underscore) is additionally reserved: deployment
+    views use it as their structural separator (``dep__{cust}__{ts}``),
+    so allowing it inside customer ids would re-open the name-collision
+    ambiguity the separator exists to close."""
+    if not _NAME_RE.match(name) or "__" in name:
         raise InvalidArgumentError(f"invalid identifier: {name!r}")
     return name
 
@@ -55,7 +64,11 @@ def db_name(customer_id: str, timestamp: int) -> str:
 
 
 def _view(customer_id: str, timestamp: int, kind: str) -> str:
-    return f"{_safe(customer_id)}_{int(timestamp)}_{kind}"
+    """Deployment view name, prefixed and ``__``-separated so it can
+    never collide with an alias view: customer 'a' at ts 123 maps to
+    ``dep__a__123_nodes``, which no alias view (``{cust}_nodes`` with
+    ``__``-free cust) can spell."""
+    return f"dep__{_safe(customer_id)}__{int(timestamp)}_{kind}"
 
 
 def _alias_view(customer_id: str, kind: str) -> str:
@@ -202,9 +215,20 @@ class DeploymentCatalog:
     # -- aliases (C4/C5) ----------------------------------------------
 
     def set_alias(self, customer_id: str, timestamp: int) -> str:
-        """Atomically repoint the customer's stable views at the given
-        deployment — the blue/green cutover (reference
-        load_with_aliases.py:177-213)."""
+        """Repoint the customer's stable views at the given deployment —
+        the blue/green cutover (reference load_with_aliases.py:177-213).
+
+        Atomicity contract: the MANIFEST repoint is atomic (one
+        ``os.replace``), and each view repoint is individually atomic,
+        but the nodes view and the edges view are two separate
+        ``CREATE OR REPLACE`` statements — a reader that resolves both
+        views in the window between them can join new-generation nodes
+        to old-generation edges. The reference's Neo4j alias repoint has
+        the same property per alias (it repoints one database alias;
+        node/edge consistency there comes from both living in one
+        database). Readers needing a consistent pair should resolve both
+        views inside one query (single analysis pass) or read via
+        ``read_alias``-style snapshot at a known timestamp."""
         name = db_name(customer_id, timestamp)
         if name not in self._deployments:
             raise NotFoundError(f"cannot alias missing database {name!r}")

@@ -51,6 +51,7 @@ class OrchestratorStats:
     failed: int = 0
     retried: int = 0
     skipped_existing: int = 0
+    health_deferred: int = 0
     alias_switches: int = 0
     cleaned_up: int = 0
     started_at: float = field(default_factory=time.time)
@@ -63,6 +64,7 @@ class OrchestratorStats:
             "failed": self.failed,
             "retried": self.retried,
             "skipped_existing": self.skipped_existing,
+            "health_deferred": self.health_deferred,
             "alias_switches": self.alias_switches,
             "cleaned_up": self.cleaned_up,
         }
@@ -88,6 +90,7 @@ class Orchestrator:
         status_path: str | Path | None = None,
         load_fn: Callable[[SparkSession, SnapshotRef, DeploymentCatalog], None] | None = None,
         clock: Callable[[], float] = time.time,
+        heap_fraction_fn: Callable[[], float] | None = None,
     ):
         self.spark = spark
         self.data_path = Path(data_path)
@@ -98,6 +101,7 @@ class Orchestrator:
         self.status_path = Path(status_path) if status_path else None
         self.load_fn = load_fn or self._default_load
         self.clock = clock
+        self.heap_fraction_fn = heap_fraction_fn or self._jvm_heap_fraction
         self.stats = OrchestratorStats()
         self._queue: list[_Task] = []
         self._seen: set[tuple[str, int]] = set()
@@ -107,7 +111,14 @@ class Orchestrator:
 
     def check_health(self) -> tuple[bool, str]:
         """Admission gate before each load (reference orchestrator.py:61-163):
-        engine answers SELECT 1; deployment count below max_databases."""
+        engine answers SELECT 1; deployment count below max_databases;
+        JVM heap below ``heap_threshold_percent`` — the Spark-side
+        equivalent of the reference's ``CALL dbms.queryJmx`` heap gate
+        (reference orchestrator.py:111-152). The heap reading comes from
+        ``heap_fraction_fn`` (injectable for tests; defaults to the
+        driver JVM's Runtime memory counters, which in local mode IS the
+        executor heap; on a cluster swap in an executor-metrics
+        provider)."""
         try:
             ok = self.spark.sql("SELECT 1 AS health").collect()[0][0] == 1
         except Exception as e:  # session dead
@@ -117,7 +128,19 @@ class Orchestrator:
         n_dbs = len(self.catalog.list_databases())
         if n_dbs >= self.cfg["max_databases"]:
             return False, f"too many databases: {n_dbs} >= {self.cfg['max_databases']}"
+        threshold = self.cfg["heap_threshold_percent"] / 100.0
+        try:
+            frac = self.heap_fraction_fn()
+        except Exception as e:  # metrics unavailable -> fail open, noted
+            return True, f"ok (heap metrics unavailable: {e})"
+        if frac >= threshold:
+            return False, f"heap {frac:.0%} >= {threshold:.0%}"
         return True, "ok"
+
+    def _jvm_heap_fraction(self) -> float:
+        """Used/max heap of the driver JVM via java.lang.Runtime."""
+        rt = self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        return (rt.totalMemory() - rt.freeMemory()) / rt.maxMemory()
 
     # -- discovery (ST1/ST2/ST4) --------------------------------------
 
@@ -168,7 +191,16 @@ class Orchestrator:
         ref = task.snapshot
         healthy, reason = self.check_health()
         if not healthy:
-            self._fail(task, f"health gate: {reason}")
+            # Health pressure is not the task's fault: re-queue with
+            # backoff WITHOUT consuming a retry, so a snapshot is never
+            # permanently failed by sustained pressure (e.g. databases
+            # at max). Retries are reserved for actual load errors
+            # (reference re-queues on health failure without counting,
+            # orchestrator.py:310-316).
+            task.last_error = f"health gate: {reason}"
+            task.not_before = self.clock() + self.cfg["retry_backoff_base"]
+            self._queue.append(task)
+            self.stats.health_deferred += 1
             return False
         try:
             self.load_fn(self.spark, ref, self.catalog)
@@ -240,16 +272,40 @@ class Orchestrator:
                 break
             sleep(self.cfg["scan_interval"])
 
-    def stop(self, drain: bool = True) -> bool:
-        """Graceful shutdown: drain the due queue within
-        ``shutdown_timeout`` (reference orchestrator.py:595-655)."""
+    def stop(
+        self, drain: bool = True, sleep: Callable[[float], None] = time.sleep
+    ) -> bool:
+        """Graceful shutdown: drain the queue within ``shutdown_timeout``
+        (reference orchestrator.py:595-655 waits for the queue to empty
+        or time out).
+
+        Every queued task is either PROCESSED or LEFT IN THE QUEUE —
+        never silently discarded: tasks whose retry backoff has not
+        elapsed are waited for (sleep until the earliest ``not_before``,
+        bounded by the deadline) rather than dropped, and the method
+        returns False when any task remains unprocessed at the deadline
+        so callers know the drain was incomplete. ``sleep`` is
+        injectable for tests with a synthetic clock; if it fails to
+        advance the clock, the loop exits rather than spinning."""
         self._stop = True
         if not drain:
             return not self._queue
         deadline = self.clock() + self.cfg["shutdown_timeout"]
-        while self._queue and self.clock() < deadline:
-            task = self._queue.pop(0)
-            if task.not_before <= self.clock():
+        while self._queue:
+            now = self.clock()
+            if now >= deadline:
+                break
+            due = [t for t in self._queue if t.not_before <= now]
+            if due:
+                task = due[0]
+                self._queue.remove(task)
+                # a failure here re-queues with a future not_before via
+                # _fail; the backoff wait below then applies to it
                 self.process_task(task)
+                continue
+            target = min(min(t.not_before for t in self._queue), deadline)
+            sleep(max(target - now, 0.0))
+            if self.clock() <= now:  # non-advancing injected sleep
+                break
         self.write_status()
         return not self._queue

@@ -146,3 +146,31 @@ def test_restart_drops_unrestorable_deployments(spark, small_dfs, tmp_path):
     assert cat2.alias_target("ephem") is None
     with pytest.raises(NotFoundError):
         cat2.count_via_alias("ephem")
+
+
+def test_customer_ids_with_double_underscore_rejected(spark, tmp_path):
+    """'__' is the deployment-view separator; allowing it in customer
+    ids would re-open deployment/alias view-name collisions."""
+    import pytest
+
+    from neo4j_blue_green_arrow_etl_spark.errors import InvalidArgumentError
+
+    cat = DeploymentCatalog(spark, tmp_path / "c.json")
+    nodes = spark.range(1).toDF("nodeId")
+    with pytest.raises(InvalidArgumentError):
+        cat.register_deployment("bad__name", 1, nodes, nodes)
+
+
+def test_underscore_customer_ids_do_not_collide(spark, tmp_path):
+    """VERDICT-r1 ADVICE: customer 'a' at ts 123 must not collide with
+    the alias views of a customer literally named 'a_123'."""
+    cat = DeploymentCatalog(spark, tmp_path / "c.json")
+    na = spark.range(3).toDF("nodeId")
+    cat.register_deployment("a", 123, na, na)
+    cat.set_alias("a", 123)
+    nb = spark.range(7).toDF("nodeId")
+    cat.register_deployment("a_123", 999, nb, nb)
+    cat.set_alias("a_123", 999)
+    # each alias resolves to its own deployment, sizes prove no cross-talk
+    assert cat.count_via_alias("a") == 3
+    assert cat.count_via_alias("a_123") == 7

@@ -119,11 +119,52 @@ def test_retries_exhausted_marks_failed(spark, data_base, tmp_path):
     assert orch.stats.completed == 0
 
 
-def test_health_gate_blocks_on_db_limit(spark, data_base, tmp_path):
+def test_health_gate_defers_without_consuming_retries(spark, data_base, tmp_path):
+    """A health-gate failure re-queues the task with backoff WITHOUT
+    incrementing retry_count — sustained pressure must never permanently
+    fail a snapshot (reference orchestrator.py:310-316 re-queues without
+    counting). When the pressure clears, the task loads normally."""
+    fake_now = [1000.0]
     orch = make_orch(spark, data_base, tmp_path, max_databases=0, max_retries=0)
-    orch.run_cycle()
+    orch.clock = lambda: fake_now[0]
+    for _ in range(5):  # way past max_retries=0
+        orch.run_cycle()
+        fake_now[0] += 10
+    assert orch.stats.failed == 0
     assert orch.stats.completed == 0
-    assert orch.stats.failed == 1
+    assert orch.stats.health_deferred == 5
+    assert len(orch._queue) == 1
+    assert orch._queue[0].retry_count == 0
+    orch.cfg["max_databases"] = 50  # pressure clears
+    fake_now[0] += 10
+    orch.run_cycle()
+    assert orch.stats.completed == 1
+
+
+def test_heap_gate_blocks_and_recovers(spark, data_base, tmp_path):
+    """ST7/C8: the JVM-heap admission gate (reference orchestrator.py:
+    111-152, queryJmx heap < 85%) with an injected metrics provider."""
+    heap = [0.95]
+    orch = Orchestrator(
+        spark,
+        data_base,
+        catalog=DeploymentCatalog(spark, tmp_path / "catalog.json"),
+        status_path=tmp_path / "status.json",
+        heap_fraction_fn=lambda: heap[0],
+    )
+    ok, reason = orch.check_health()
+    assert not ok and "heap 95%" in reason
+    orch.run_cycle()
+    assert orch.stats.completed == 0 and orch.stats.health_deferred == 1
+    heap[0] = 0.30
+    ok, _ = orch.check_health()
+    assert ok
+
+
+def test_default_heap_provider_reads_real_jvm(spark, data_base, tmp_path):
+    orch = make_orch(spark, data_base, tmp_path)
+    frac = orch._jvm_heap_fraction()
+    assert 0.0 < frac < 1.0
 
 
 def test_cleanup_retention_via_orchestrator(spark, sf_dir, data_base, tmp_path):
@@ -154,6 +195,88 @@ def test_graceful_drain(spark, sf_dir, data_base, tmp_path):
     assert len(orch._queue) == 2
     assert orch.stop(drain=True) is True
     assert orch.stats.completed == 2
+
+
+def test_drain_waits_for_backoff_tasks_instead_of_dropping(
+    spark, data_base, tmp_path
+):
+    """stop(drain=True) must process tasks whose retry backoff has not
+    elapsed yet — sleeping until their not_before — rather than popping
+    and silently discarding them (the reference shutdown waits for the
+    queue to empty, orchestrator.py:595-655)."""
+    fake_now = [1000.0]
+    attempts = []
+
+    def flaky_load(spark_, ref, catalog):
+        attempts.append(fake_now[0])
+        if len(attempts) < 2:
+            raise RuntimeError("transient")
+        Orchestrator._default_load(spark_, ref, catalog)
+
+    orch = Orchestrator(
+        spark,
+        data_base,
+        catalog=DeploymentCatalog(spark, tmp_path / "catalog.json"),
+        config={"orchestrator": {"max_retries": 3, "retry_backoff_base": 2, "shutdown_timeout": 300}},
+        load_fn=flaky_load,
+        clock=lambda: fake_now[0],
+    )
+    orch.run_cycle()  # attempt 1 fails -> requeued with not_before in the future
+    assert len(orch._queue) == 1
+    assert orch._queue[0].not_before > fake_now[0]
+
+    def advancing_sleep(s):
+        fake_now[0] += s
+
+    assert orch.stop(drain=True, sleep=advancing_sleep) is True
+    assert orch.stats.completed == 1
+    assert not orch._queue
+    assert attempts[1] >= 1002.0  # waited for the backoff, then retried
+
+
+def test_drain_returns_false_when_deadline_leaves_tasks(spark, data_base, tmp_path):
+    """An incomplete drain must say so: tasks remaining at the deadline
+    stay in the queue and stop() returns False."""
+    fake_now = [1000.0]
+
+    def always_fail(spark_, ref, catalog):
+        raise RuntimeError("permanent")
+
+    orch = Orchestrator(
+        spark,
+        data_base,
+        catalog=DeploymentCatalog(spark, tmp_path / "catalog.json"),
+        config={"orchestrator": {"max_retries": 100, "retry_backoff_base": 10, "shutdown_timeout": 15}},
+        load_fn=always_fail,
+        clock=lambda: fake_now[0],
+    )
+    orch.scan_once()
+
+    def advancing_sleep(s):
+        fake_now[0] += s
+
+    assert orch.stop(drain=True, sleep=advancing_sleep) is False
+    assert len(orch._queue) == 1  # still queued, not silently dropped
+
+
+def test_drain_with_non_advancing_sleep_terminates(spark, data_base, tmp_path):
+    """A pathological injected sleep that does not advance the clock
+    must not spin stop() forever."""
+    fake_now = [1000.0]
+
+    def always_fail(spark_, ref, catalog):
+        raise RuntimeError("permanent")
+
+    orch = Orchestrator(
+        spark,
+        data_base,
+        catalog=DeploymentCatalog(spark, tmp_path / "catalog.json"),
+        config={"orchestrator": {"max_retries": 5, "retry_backoff_base": 2, "shutdown_timeout": 300}},
+        load_fn=always_fail,
+        clock=lambda: fake_now[0],
+    )
+    orch.scan_once()
+    assert orch.stop(drain=True, sleep=lambda s: None) is False
 
 
 def test_restarted_orchestrator_skips_deployed_snapshots(

@@ -68,3 +68,21 @@ def test_salted_aggregate_equals_plain(spark, skewed):
 def test_salted_aggregate_rejects_non_reaggregable():
     with pytest.raises(ValueError, match="non-reaggregable"):
         salted_aggregate(None, "k", {"a": ("v", "avg")}, salt_from="x")
+
+
+def test_salted_join_rejects_right_preserving_types(spark, skewed):
+    """Right/full joins would duplicate every unmatched right row
+    n_salts times (the right side is replicated); the API refuses."""
+    left, right = skewed
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, "k", "row_id", n_salts=4, how=how)
+
+
+def test_salted_join_left_anti_works(spark, skewed):
+    left, right = skewed
+    # right covers keys 0..99 fully, so shrink it to force anti matches
+    right_small = right.filter(F.col("k") < 50)
+    plain = left.join(right_small, "k", "left_anti")
+    salted = salted_join(left, right_small, "k", "row_id", n_salts=4, how="left_anti")
+    assert salted.count() == plain.count()
