@@ -121,6 +121,68 @@ def cmd_count(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """End-to-end blue/green demo (reference scripts/demo_workflow.py):
+    synthesize snapshot trees, load blue with alias switch, load green
+    WITHOUT switching, verify aliases still read blue, cut over, verify
+    green, retention-clean. ``--cleanup`` is scripts/cleanup_demo.py:
+    drop demo aliases + databases and remove the synthesized trees."""
+    from .fixtures import materialize_snapshot
+
+    spark, cat = _catalog(args)
+    customers = [f"democust{i}" for i in range(1, args.customers + 1)]
+    blue_ts, green_ts = 1767741427, 1767741527
+
+    if args.cleanup:
+        for c in customers:
+            cat.drop_alias(c, if_exists=True)
+        for c in customers:
+            for name in cat.list_databases(prefix=f"{c}-"):
+                cat.drop_database(name)
+            shutil.rmtree(Path(args.base) / c, ignore_errors=True)
+        print(f"demo cleaned up ({len(customers)} customers)")
+        return 0
+
+    print(f"PHASE 0: synthesizing {len(customers)} x 2 snapshot trees")
+    for c in customers:
+        for ts in (blue_ts, green_ts):
+            materialize_snapshot(spark, args.sf_dir, args.base, c, ts)
+
+    print("PHASE 1: blue deployments (load + switch alias)")
+    from .sources.snapshot import SnapshotRef, read_snapshot
+
+    def load(c: str, ts: int) -> None:
+        path = Path(args.base) / c / str(ts)
+        nodes, edges = read_snapshot(spark, SnapshotRef(c, ts, str(path)))
+        cat.register_deployment(c, ts, nodes, edges, source_path=str(path))
+
+    for c in customers:
+        load(c, blue_ts)
+        cat.set_alias(c, blue_ts)
+        print(f"  {c} alias -> {c}-{blue_ts}")
+
+    print("PHASE 2: green deployments (load, NO switch)")
+    blue_counts = {c: cat.count_via_alias(c) for c in customers}
+    for c in customers:
+        load(c, green_ts)
+        assert cat.alias_target(c) == f"{c}-{blue_ts}", "alias moved early!"
+    assert {c: cat.count_via_alias(c) for c in customers} == blue_counts
+    print("  aliases still serve blue while green is staged")
+
+    print("PHASE 3: cutover (atomic per-view alias repoint)")
+    for c in customers:
+        cat.set_alias(c, green_ts)
+        n = cat.count_via_alias(c)
+        print(f"  {c} alias -> {c}-{green_ts} ({n} nodes)")
+
+    print("PHASE 4: retention (keep newest 2, alias-guarded)")
+    for c in customers:
+        dropped = cat.cleanup_old_deployments(c, keep_count=2)
+        print(f"  {c}: dropped {dropped or 'nothing'}")
+    print("demo complete; run with --cleanup to tear down")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m neo4j_blue_green_arrow_etl_spark",
@@ -159,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--customer", required=True)
     sp.add_argument("--kind", choices=("nodes", "edges"), default="nodes")
     sp.set_defaults(fn=cmd_count)
+
+    sp = sub.add_parser(
+        "demo", help="end-to-end blue/green demo (see also: demo --cleanup)"
+    )
+    sp.add_argument("--customers", type=int, default=2)
+    sp.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="source tables for fixtures"
+    )
+    sp.add_argument("--cleanup", action="store_true", help="tear the demo down")
+    sp.set_defaults(fn=cmd_demo)
 
     args = p.parse_args(argv)
     from .errors import EngineError

@@ -40,6 +40,18 @@ def db_customer(name: Column | str) -> Column:
     return F.regexp_extract(c, r"^(.*)-\d+$", 1)
 
 
+def b64(col: Column | str) -> Column:
+    """F12: binary -> RFC 4648 base64 string (reference
+    neo4j_arrow_client.py:345 encodes basic-auth tokens this way).
+
+    Spark's ``base64`` emits MIME chunked output (CRLF every 76 chars);
+    the reference (and DuckDB's ``to_base64``) use the unchunked form,
+    so the line breaks are stripped. ``unbase64`` accepts both forms.
+    """
+    raw = F.base64(F.col(col) if isinstance(col, str) else col)
+    return F.regexp_replace(raw, "[\\r\\n]", "")
+
+
 def mib(bytes_col: Column | str) -> Column:
     """F10: bytes -> MiB via shift (reference load_with_aliases.py:134)."""
     c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col

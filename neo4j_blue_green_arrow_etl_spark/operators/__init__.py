@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     graph,
     multimodal,
     pandas_surface,
+    pipeline,
     relational,
     similarity,
     temporal,

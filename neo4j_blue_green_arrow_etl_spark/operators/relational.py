@@ -656,6 +656,30 @@ def q_f7_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "q_f8_base64",
+    oracle=(
+        "SELECT doc_id, to_base64(encode(text)) AS b64, "
+        "octet_length(from_base64(to_base64(encode(text)))) AS rt_len "
+        "FROM documents WHERE doc_id < 500 ORDER BY doc_id"
+    ),
+    doc="F12 base64 encode + decode round-trip (reference "
+    "neo4j_arrow_client.py:345 base64-encodes auth tokens). RFC 4648 "
+    "standard alphabet with padding on both engines; rt_len pins that "
+    "unbase64 is the exact inverse. Per-row expression, no shuffle.",
+)
+def q_f8_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import b64
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    enc = b64(F.encode("text", "UTF-8"))
+    return d.select(
+        "doc_id",
+        enc.alias("b64"),
+        F.octet_length(F.unbase64(enc)).alias("rt_len"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped semantics (batch-checkable)
 # ---------------------------------------------------------------------------

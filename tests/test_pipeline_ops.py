@@ -1,0 +1,72 @@
+"""Training-data pipeline operators: deterministic split + dup clustering."""
+
+from __future__ import annotations
+
+from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_split_deterministic_and_partition_stable(spark):
+    a = {r.doc_id: r.split for r in REGISTRY["q_x4_split"].spark(spark, SF_ORACLE).collect()}
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").repartition(17)
+    d.createOrReplaceTempView("_docs_repart")
+    b = {r.doc_id: r.split for r in REGISTRY["q_x4_split"].spark(spark, SF_ORACLE).collect()}
+    assert a == b
+    # content-hash split: all three splits populated, roughly 75/12.5/12.5
+    from collections import Counter
+
+    c = Counter(a.values())
+    n = sum(c.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.60 <= c["train"] / n <= 0.90
+
+
+def test_split_sends_exact_duplicates_to_same_split(spark, tmp_path):
+    """Hashing CONTENT (not id) means duplicate texts can never straddle
+    train/test — the no-leakage property the operator exists for."""
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(50)
+    from pyspark.sql import functions as F
+
+    dupes = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    base.union(dupes).write.parquet(str(tmp_path / "documents.parquet"))
+    split = {
+        r.doc_id: r.split
+        for r in REGISTRY["q_x4_split"].spark(spark, str(tmp_path)).collect()
+    }
+    assert len(split) == 100
+    originals = [d for d in split if d < 1_000_000]
+    assert len(originals) == 50
+    for doc_id in originals:
+        assert split[doc_id] == split[doc_id + 1_000_000]
+
+
+def test_dupclusters_are_true_connected_components(spark):
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram"].spark(spark, SF_ORACLE).collect()
+    ]
+    rows = REGISTRY["q_x5_dupclusters"].spark(spark, SF_ORACLE).collect()
+    cluster = {r.doc_id: r.cluster for r in rows}
+    # every paired doc appears; endpoints of every edge share a cluster
+    for a, b in pairs:
+        assert cluster[a] == cluster[b]
+    # cluster id is the component minimum; canonical flag matches
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r.cluster, []).append(r.doc_id)
+    for cid, ids in members.items():
+        assert cid == min(ids)
+    for r in rows:
+        assert r.is_canonical == (r.doc_id == r.cluster)
+
+
+def test_dupclusters_empty_graph_is_empty(spark):
+    """Smoke data with no near-dup pairs must yield an empty result (and
+    converge in zero rounds), not error."""
+    n_pairs = REGISTRY["q_dedup_ngram"].spark(spark, SF_SMOKE).count()
+    out = REGISTRY["q_x5_dupclusters"].spark(spark, SF_SMOKE).count()
+    if n_pairs == 0:
+        assert out == 0
+    else:
+        assert out >= 2 * 1  # any pair yields >= 2 member rows
