@@ -319,3 +319,52 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Batched multi-query top-k: the production shape of similarity search —
+# queries arrive in batches, not one at a time.
+# --------------------------------------------------------------------------
+
+BATCH_Q = 8  # query vectors per batch in the demo
+
+
+@register(
+    "q_x6_batchann",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+        f"WHERE vec_id < {BATCH_Q}), "
+        f"s AS (SELECT q.qid, e.vec_id, {_COS_SQL} AS sim "
+        f"FROM embeddings e, q WHERE e.vec_id <> q.qid), "
+        f"r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER "
+        f"(PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM s) "
+        f"SELECT qid, vec_id, ROUND(sim, 6) AS sim, rank FROM r "
+        f"WHERE rank <= {TOP_K} ORDER BY qid, rank"
+    ),
+    doc=f"Batched ANN: exact top-{TOP_K} neighbors for {BATCH_Q} query "
+    "vectors in ONE pass — the query TABLE is broadcast (tiny), every "
+    "candidate row scores all queries where it lands, and a per-query "
+    "window keeps the top k. Scale: one scan of the big side regardless "
+    "of batch size; the ranking shuffle carries N x Q scored rows — at "
+    "100 TB compose with the LSH bucket filter (q_sim_lsh) so N shrinks "
+    "to the candidate fraction BEFORE scoring, same plan otherwise.",
+)
+def q_x6_batchann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+        .orderBy("qid", "rank")
+    )

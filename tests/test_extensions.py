@@ -140,3 +140,20 @@ def test_sim_neardup_matches_bruteforce_pairs(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_batchann_each_query_gets_exact_topk(spark):
+    """Batched ANN must agree per-query with the single-query brute
+    force (q_x2 logic) for the query it covers."""
+    rows = REGISTRY["q_x6_batchann"].spark(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id, r.sim))
+    assert 0 in by_q  # QUERY_VEC_ID = 0 is in the batch
+    batch_top = [v for _, v, _ in sorted(by_q[0])]
+    single_top = [r.vec_id for r in REGISTRY["q_x2"].spark(spark, SF_SMOKE).collect()]
+    assert batch_top == single_top
+    for qid, hits in by_q.items():
+        ranks = sorted(r for r, _, _ in hits)
+        assert ranks == list(range(1, len(hits) + 1))
+        assert qid not in {v for _, v, _ in hits}  # never returns itself

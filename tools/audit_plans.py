@@ -38,10 +38,10 @@ ARROW_PYTHON_OK = {
 }
 
 # Queries whose plan contains a BroadcastNestedLoopJoin BY DESIGN: they
-# cross-join a ONE-ROW broadcast (the query vector) against the scan —
-# that is the broadcast pattern for single-query similarity search, not
-# an all-pairs blow-up (cost = one pass over the big side).
-ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf"}
+# cross-join a TINY broadcast (the query vector / query batch) against
+# the scan — that is the broadcast pattern for similarity search, not an
+# all-pairs blow-up (cost = one pass over the big side x batch size).
+ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf", "q_x6_batchann"}
 
 # Queries that read every column of their base table by design.
 FULL_SCAN_OK = {"q_s1"}
