@@ -192,7 +192,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MORE than the duplicate-stage recompute it avoids, so lazy wins;
     # the CacheManager dedupes identical lineages, so repeated calls
     # hold ONE cached copy per sf_dir, not one per call.
-    sh = shingles(_docs(spark, sf_dir)).cache()
+    #
+    # Shingles are carried as 64-BIT HASHES, not strings: every
+    # downstream consumer (seeded min-hash aggs, set sizes, the verify
+    # equi-join) only needs equality, so hashing once up front makes the
+    # cached table two longs per row and every shuffle key fixed-width.
+    # A 64-bit collision adds one phantom shared shingle to one pair —
+    # negligible against the 0.5 Jaccard threshold. q_dedup_ngram stays
+    # string-exact (it IS the oracle); this is the scale path.
+    sh = (
+        shingles(_docs(spark, sf_dir))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sig = minhash_signatures(sh)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
