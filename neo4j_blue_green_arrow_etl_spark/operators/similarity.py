@@ -246,28 +246,13 @@ IVF_CELLS = 16  # coarse centroids
 IVF_PROBES = 4  # cells searched per query
 
 
-@register(
-    "q_sim_ivf",
-    oracle=None,  # data-dependent centroid assignment; recall vs the
-    # exact brute-force top-k (q_x2) is asserted in tests.
-    doc=f"IVF ANN top-{TOP_K}: {IVF_CELLS} coarse centroids (deterministic "
-    "sample of the vectors themselves), every vector assigned to its "
-    "nearest centroid (one blocked-BLAS pass), the query probes its "
-    f"{IVF_PROBES} nearest cells and re-ranks exactly inside them. "
-    "Scale: assignment is a linear mapInPandas pass with the centroid "
-    "matrix broadcast; the probe touches ~probes/cells of the data "
-    f"({IVF_PROBES}/{IVF_CELLS} here). Cells persist as a partitioned "
-    "column at rest, so repeated queries skip assignment entirely.",
-)
-def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_centroids(e: DataFrame):
+    """Deterministic coarse centroids: stride-sampled by id MODULO — no
+    driver-side id collection (only a count crosses to the driver, and
+    the centroid batch itself is IVF_CELLS rows however big the table).
+    Returns the L2-normalized centroid matrix (IVF_CELLS x dim)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
-    e = _emb(spark, sf_dir)
-    # Deterministic coarse centroids: stride-sampled by id MODULO — no
-    # driver-side id collection (only a count crosses to the driver, and
-    # the centroid batch itself is IVF_CELLS rows however big the table).
     n = e.count()
     step = max(n // IVF_CELLS, 1)
     cpdf = (
@@ -279,8 +264,15 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cmat = np.vstack(cpdf["embedding"].map(np.asarray)).astype(np.float64)
     cmat /= np.sqrt((cmat * cmat).sum(axis=1, keepdims=True))
-    bc = spark.sparkContext.broadcast(cmat)
+    return cmat
 
+
+def ivf_assign(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
+    """(vec_id, cell, embedding): every vector labeled with its nearest
+    centroid — one linear blocked-BLAS pass, centroid matrix broadcast."""
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(cmat)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -290,6 +282,9 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(it):
+        import numpy as np
+        import pandas as pd
+
         cm = bc.value
         for pdf in it:
             mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
@@ -299,19 +294,23 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "cell": cells, "embedding": pdf["embedding"]}
             )
 
-    assigned = e.mapInPandas(assign, schema=schema)
+    return e.mapInPandas(assign, schema=schema)
 
-    # query vector + its IVF_PROBES nearest cells (driver-side: one row)
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    q = np.asarray(qrow.embedding, dtype=np.float64)
+
+def _probe_cells(cmat, qvec, probes: int = IVF_PROBES) -> list[int]:
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
     qn = q / np.sqrt((q * q).sum())
-    probe_cells = [int(c) for c in (qn @ cmat.T).argsort()[::-1][:IVF_PROBES]]
+    return [int(c) for c in (qn @ cmat.T).argsort()[::-1][:probes]]
 
-    qdf = spark.createDataFrame([(qrow.embedding,)], "qe array<float>")
+
+def _rerank(spark: SparkSession, cand: DataFrame, qvec, exclude_id: int | None) -> DataFrame:
+    qdf = spark.createDataFrame([(list(qvec),)], "qe array<float>")
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
     return (
-        assigned.filter(F.col("cell").isin(probe_cells))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(qdf))
+        cand.crossJoin(F.broadcast(qdf))
         .select(
             "vec_id",
             F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
@@ -319,6 +318,73 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "q_sim_ivf",
+    oracle=None,  # data-dependent centroid assignment; recall vs the
+    # exact brute-force top-k (q_x2) is asserted in tests.
+    doc=f"IVF ANN top-{TOP_K}: {IVF_CELLS} coarse centroids (deterministic "
+    "sample of the vectors themselves), every vector assigned to its "
+    "nearest centroid (one blocked-BLAS pass), the query probes its "
+    f"{IVF_PROBES} nearest cells and re-ranks exactly inside them. "
+    "Scale: assignment is a linear mapInPandas pass with the centroid "
+    "matrix broadcast; the probe touches ~probes/cells of the data "
+    f"({IVF_PROBES}/{IVF_CELLS} here). build_ivf_index/query_ivf_index "
+    "persist the cells as a partition column at rest, so repeated "
+    "queries skip assignment AND prune unprobed partitions at the scan.",
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cmat = ivf_centroids(e)
+    assigned = ivf_assign(spark, e, cmat)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    probe = _probe_cells(cmat, qrow.embedding)
+    return _rerank(
+        spark,
+        assigned.filter(F.col("cell").isin(probe)),
+        qrow.embedding,
+        QUERY_VEC_ID,
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the IVF index AT REST: vectors written parquet
+    partitioned by cell (``{index}/cell=N/``), centroids alongside as
+    ``_ivf_centroids.json`` (underscore-prefixed: ignored by Spark's
+    partition discovery). Repeated queries then skip assignment entirely
+    and the cell filter becomes PARTITION PRUNING at the scan — the
+    at-rest layout SCALING.md promises for 100 TB (probes/cells of the
+    data is all that is ever read)."""
+    import json
+    from pathlib import Path
+
+    e = _emb(spark, sf_dir)
+    cmat = ivf_centroids(e)
+    assigned = ivf_assign(spark, e, cmat)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(index_path)
+    Path(index_path, "_ivf_centroids.json").write_text(json.dumps(cmat.tolist()))
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    probes: int = IVF_PROBES,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a built index: pick the ``probes`` nearest
+    cells driver-side (centroid matrix is tiny), scan ONLY those
+    partitions (PartitionFilters — asserted in tests), exact-rerank."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    cmat = np.asarray(json.loads(Path(index_path, "_ivf_centroids.json").read_text()))
+    probe = _probe_cells(cmat, query_vec, probes)
+    cand = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
+    return _rerank(spark, cand, query_vec, exclude_id)
 
 
 # --------------------------------------------------------------------------

@@ -157,3 +157,33 @@ def test_batchann_each_query_gets_exact_topk(spark):
         ranks = sorted(r for r, _, _ in hits)
         assert ranks == list(range(1, len(hits) + 1))
         assert qid not in {v for _, v, _ in hits}  # never returns itself
+
+
+def test_ivf_index_at_rest_prunes_partitions(spark, tmp_path):
+    """build_ivf_index persists cell as a partition column; querying it
+    must (a) skip assignment, (b) PRUNE unprobed cell partitions at the
+    scan, (c) return exactly what the in-memory IVF path returns."""
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, SF_SMOKE, idx)
+
+    qvec = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .filter(f"vec_id = {QUERY_VEC_ID}")
+        .first()
+        .embedding
+    )
+    out = query_ivf_index(spark, idx, qvec, exclude_id=QUERY_VEC_ID)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    got = [(r.vec_id, r.sim) for r in out.collect()]
+    want = [
+        (r.vec_id, r.sim) for r in REGISTRY["q_sim_ivf"].spark(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
