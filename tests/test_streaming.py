@@ -197,3 +197,30 @@ def test_stream_stream_interval_join_matches_batch(spark, chunked_events_dir):
     ).select("click_id", "user_id", "error_id", "error_value")
     assert result.count() > 0
     assert result.exceptAll(batch).isEmpty() and batch.exceptAll(result).isEmpty()
+
+
+def test_backpressure_caps_one_file_per_microbatch(spark, chunked_events_dir):
+    """ST5: maxFilesPerTrigger=1 means every micro-batch ingests at most
+    one arrival file — 4 input files must produce >= 4 data-carrying
+    micro-batches (the file-source backpressure SCALING.md claims)."""
+    import glob
+
+    name = f"bp_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, chunked_events_dir)
+    agg = latest_snapshot_state(
+        stream.select(F.col("user_id").alias("customer_id"), F.col("ts"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_files = len(glob.glob(f"{chunked_events_dir}/*.parquet"))
+    assert n_files == 4
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= n_files
+    total_rows = spark.read.parquet(chunked_events_dir).count()
+    assert all(p["numInputRows"] < total_rows for p in data_batches)
