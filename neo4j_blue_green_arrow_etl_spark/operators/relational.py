@@ -864,3 +864,69 @@ def q_st5_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["customer_id", "ts"])
         .orderBy("customer_id", "ts")
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_a9_pivot",
+    oracle=(
+        "SELECT user_id, "
+        + ", ".join(
+            f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+            for t in ("click", "error", "purchase", "signup", "view")
+        )
+        + " FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    doc="Pivot: per-user event counts spread over one column per event "
+    "type. The value list is EXPLICIT — pivot without it runs a driver-"
+    "side distinct pass over the data to discover columns (two jobs, "
+    "schema depends on data: both wrong at 100 TB). With values pinned "
+    "it is one partial+final aggregation, exactly like any groupBy.",
+)
+def q_a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_a10_unpivot",
+    oracle=(
+        "WITH p AS (SELECT user_id, "
+        + ", ".join(
+            f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+            for t in ("click", "error", "purchase", "signup", "view")
+        )
+        + " FROM events GROUP BY user_id) "
+        "SELECT user_id, kind, n FROM p "
+        "UNPIVOT (n FOR kind IN (n_click, n_error, n_purchase, n_signup, n_view)) "
+        "WHERE n > 0 ORDER BY user_id, kind"
+    ),
+    doc="Unpivot (melt): the inverse reshape, wide per-type count "
+    "columns back to (user_id, kind, n) rows via the native unpivot "
+    "operator — a per-row Expand, no shuffle beyond the source agg; "
+    "zero rows dropped map-side (filter n>0 mirrors UNPIVOT's implicit "
+    "NULL-drop so both engines emit identical row sets).",
+)
+def q_a10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_a9_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in _EVENT_TYPES],
+            "kind",
+            "n",
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "kind")
+    )
