@@ -149,3 +149,64 @@ def q_x5_dupclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+QUALITY_FLOOR = 0.5
+
+
+def _corpus_oracle() -> str:
+    from .textops import PUNCT_CLASS
+
+    score = "(1.0 - n_punct * 1.0 / NULLIF(n_chars, 0)) * LEAST(1.0, n_tokens / 100.0)"
+    return (
+        "WITH m AS (SELECT doc_id, text, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        f"length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS n_punct, "
+        "length(text) AS n_chars FROM documents "
+        "QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)) "
+        f"SELECT doc_id, CASE WHEN substr(md5(text), 1, 1) <= '{_TRAIN_MAX}' "
+        f"THEN 'train' WHEN substr(md5(text), 1, 1) <= '{_VAL_MAX}' THEN 'val' "
+        f"ELSE 'test' END AS split, n_tokens, {score} AS quality_score "
+        f"FROM m WHERE {score} >= {QUALITY_FLOOR} ORDER BY doc_id"
+    )
+
+
+@register(
+    "q_x7_corpus",
+    oracle=_corpus_oracle(),
+    doc="Corpus curation capstone — the three pipeline stages composed "
+    "into ONE plan: exact-dedup to the canonical (min-id) copy per "
+    f"distinct text, quality-filter at score >= {QUALITY_FLOOR}, and "
+    "content-hash split assignment. One window shuffle (dedup) then "
+    "map-only expressions; Catalyst fuses the quality filter and split "
+    "into the same stage, so curating N documents costs one shuffle "
+    "of (text-partitioned) rows however many stages compose.",
+)
+def q_x7_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textops import PUNCT_CLASS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    punct_ratio = F.length(F.regexp_replace("text", PUNCT_CLASS, "")) / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    score = (F.lit(1.0) - punct_ratio) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    digit = F.substring(F.md5(F.encode("text", "UTF-8")), 1, 1)
+    w = Window.partitionBy("text")
+    return (
+        d.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("_keep") & (score >= QUALITY_FLOOR))
+        .select(
+            "doc_id",
+            F.when(digit <= _TRAIN_MAX, "train")
+            .when(digit <= _VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+            n_tokens.alias("n_tokens"),
+            score.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
