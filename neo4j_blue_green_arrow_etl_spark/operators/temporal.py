@@ -80,6 +80,58 @@ def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+ASOF_TOL_NS = 3_600 * 10**9  # 1 hour, in the raw ns ts domain
+
+
+@register(
+    "q_j7b_asof_tol",
+    oracle=(
+        "SELECT c.event_id, c.user_id, "
+        "ROUND((SELECT e.value FROM events e WHERE e.user_id = c.user_id "
+        "AND e.event_type = 'error' AND e.ts <= c.ts "
+        "AND e.ts >= c.ts - INTERVAL 1 HOUR "  # DuckDB sees ts as TIMESTAMP; Spark side uses the raw ns domain
+        "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1), 2) AS last_error_value "
+        "FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id"
+    ),
+    doc="Tolerance-bounded as-of join: like q_j7_asof but a match only "
+    "counts if the prior error is within 1 hour of the click (stale "
+    "state expires — pd.merge_asof's `tolerance`). Same single-shuffle "
+    "running-last plan; the carried state adds the matched row's ts, "
+    "nulled out by a post-filter when older than the tolerance. Still "
+    "no inequality-join cross product at any scale.",
+)
+def q_j7b_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "error", F.col("value")).alias("err_value"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # err_value/err_ts are null on exactly the same rows, so both
+    # last(ignorenulls) pick fields of the SAME latest error row
+    last_val = F.last("err_value", ignorenulls=True).over(w)
+    last_ts = F.last("err_ts", ignorenulls=True).over(w)
+    return (
+        tagged.withColumn(
+            "last_error_value",
+            F.round(
+                F.when(F.col("ts") - last_ts <= ASOF_TOL_NS, last_val), 2
+            ),
+        )
+        .filter(F.col("is_click") == 1)
+        .select("event_id", "user_id", "last_error_value")
+        .orderBy("event_id")
+    )
+
+
 @register(
     "q_st3_session",
     oracle=(
