@@ -62,22 +62,61 @@ def normalize_edges(df: DataFrame) -> DataFrame:
     return df.toDF(SOURCE_ID, TARGET_ID, REL_TYPE, *cols[3:])
 
 
-def read_nodes(spark: SparkSession, *paths: str) -> DataFrame:
+FORMATS = ("parquet", "csv", "json")
+
+
+def _read_table(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """One snapshot table in any supported format.
+
+    parquet and csv-with-header preserve COLUMN ORDER, so the positional
+    contract applies directly. JSON is name-based (Spark infers fields
+    alphabetically), so JSON snapshots must already carry the NAMED
+    contract (nodeId/labels/... or sourceNodeId/...) — enforced by the
+    normalizers below via a reorder, not a rename."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        return spark.read.option("header", True).option("inferSchema", True).csv(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    raise ValueError(f"unsupported snapshot format {fmt!r}; use one of {FORMATS}")
+
+
+def _to_positional(df: DataFrame, leading: tuple[str, ...]) -> DataFrame:
+    """Reorder a NAME-based table (JSON) into the positional contract:
+    the named key columns first, properties after, alphabetically."""
+    missing = [c for c in leading if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"name-based snapshot table lacks required columns {missing}; "
+            f"got {df.columns}"
+        )
+    props = sorted(c for c in df.columns if c not in leading)
+    return df.select(*leading, *props)
+
+
+def read_nodes(spark: SparkSession, *paths: str, fmt: str = "parquet") -> DataFrame:
     """Read one or more node-label directories and normalize.
 
     Multiple label dirs are unioned by name with missing property
     columns null-filled (the reference processes each dir separately
     and the server unions; here the union is explicit so the engine has
     ONE nodes relation to query)."""
-    dfs = [normalize_nodes(spark.read.parquet(p)) for p in paths]
+    raw = [_read_table(spark, p, fmt) for p in paths]
+    if fmt == "json":
+        raw = [_to_positional(d, (NODE_ID, LABELS)) for d in raw]
+    dfs = [normalize_nodes(d) for d in raw]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
 
 
-def read_edges(spark: SparkSession, *paths: str) -> DataFrame:
-    dfs = [normalize_edges(spark.read.parquet(p)) for p in paths]
+def read_edges(spark: SparkSession, *paths: str, fmt: str = "parquet") -> DataFrame:
+    raw = [_read_table(spark, p, fmt) for p in paths]
+    if fmt == "json":
+        raw = [_to_positional(d, (SOURCE_ID, TARGET_ID, REL_TYPE)) for d in raw]
+    dfs = [normalize_edges(d) for d in raw]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
@@ -128,9 +167,38 @@ def discover_snapshots(base_path: str | Path) -> list[SnapshotRef]:
     return found
 
 
+def _detect_format(table_dir: Path) -> str:
+    """Format of one label/type dir by its data files' extension —
+    snapshots can arrive as parquet, csv (header), or ndjson; mixing
+    formats ACROSS dirs of one snapshot is fine, within one dir the
+    first recognized extension wins."""
+    for f in sorted(table_dir.iterdir()):
+        suffix = f.suffix.lstrip(".").lower()
+        if suffix in FORMATS:
+            return suffix
+        if suffix == "ndjson":
+            return "json"
+    return "parquet"
+
+
 def read_snapshot(spark: SparkSession, snapshot: SnapshotRef) -> tuple[DataFrame, DataFrame]:
     """Load one complete snapshot as (nodes, edges) DataFrames with the
-    engine's named schema, all labels/types unioned."""
-    node_dirs = sorted(str(p) for p in Path(snapshot.path, "nodes").iterdir() if p.is_dir())
-    edge_dirs = sorted(str(p) for p in Path(snapshot.path, "relationships").iterdir() if p.is_dir())
-    return read_nodes(spark, *node_dirs), read_edges(spark, *edge_dirs)
+    engine's named schema, all labels/types unioned; each label/type dir
+    may independently be parquet, csv, or json (auto-detected)."""
+    node_dirs = sorted(p for p in Path(snapshot.path, "nodes").iterdir() if p.is_dir())
+    edge_dirs = sorted(
+        p for p in Path(snapshot.path, "relationships").iterdir() if p.is_dir()
+    )
+    nodes = [
+        read_nodes(spark, str(p), fmt=_detect_format(p)) for p in node_dirs
+    ]
+    edges = [
+        read_edges(spark, str(p), fmt=_detect_format(p)) for p in edge_dirs
+    ]
+    out_n = nodes[0]
+    for d in nodes[1:]:
+        out_n = out_n.unionByName(d, allowMissingColumns=True)
+    out_e = edges[0]
+    for d in edges[1:]:
+        out_e = out_e.unionByName(d, allowMissingColumns=True)
+    return out_n, out_e

@@ -110,3 +110,54 @@ def test_property_schema_evolution_across_snapshots(spark, tmp_path):
     cat.set_alias("acme", 200)  # cutover to the evolved schema
     v2 = spark.table("acme_nodes")
     assert "region" in v2.columns and v2.count() == 5
+
+
+def test_csv_and_json_snapshot_formats_match_parquet(spark, sf_dir, tmp_path):
+    """Multi-format ingestion: the same snapshot delivered as CSV
+    (positional, header) or NDJSON (named contract) must normalize to
+    exactly the parquet-read result; mixing formats across label dirs
+    of one snapshot also works (auto-detected per dir)."""
+    from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        SnapshotRef,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "pq")
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 100)
+    ref_pq = SnapshotRef("acme", 100, f"{base}/acme/100")
+    want_nodes, want_edges = read_snapshot(spark, ref_pq)
+    want_n = sorted(
+        (r.nodeId, ",".join(r.labels)) for r in want_nodes.collect()
+    )
+    want_e = want_edges.count()
+
+    # same tree re-materialized as csv nodes + json edges (named form)
+    mixed = tmp_path / "mixed" / "acme" / "100"
+    for d in Path(f"{base}/acme/100/nodes").iterdir():
+        raw = spark.read.parquet(str(d))
+        raw.coalesce(1).write.option("header", True).csv(
+            str(mixed / "nodes" / d.name)
+        )
+    for d in Path(f"{base}/acme/100/relationships").iterdir():
+        raw = spark.read.parquet(str(d))
+        named = raw.toDF(
+            "sourceNodeId", "targetNodeId", "relationshipType", *raw.columns[3:]
+        )
+        named.coalesce(1).write.json(str(mixed / "relationships" / d.name))
+    got_nodes, got_edges = read_snapshot(
+        spark, SnapshotRef("acme", 100, str(mixed))
+    )
+    got_n = sorted((r.nodeId, ",".join(r.labels)) for r in got_nodes.collect())
+    assert got_n == want_n
+    assert got_edges.count() == want_e
+    assert got_edges.columns[:3] == ["sourceNodeId", "targetNodeId", "relationshipType"]
+
+
+def test_json_nodes_missing_named_columns_rejected(spark, tmp_path):
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import read_nodes
+
+    p = tmp_path / "bad_json"
+    spark.range(3).toDF("some_col").write.json(str(p))
+    with pytest.raises(ValueError, match="lacks required columns"):
+        read_nodes(spark, str(p), fmt="json")
