@@ -101,7 +101,14 @@ ASOF_TOL_NS = 3_600 * 10**9  # 1 hour, in the raw ns ts domain
     "no inequality-join cross product at any scale.",
 )
 def q_j7b_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join_events_tol(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), ASOF_TOL_NS
+    )
+
+
+def asof_join_events_tol(e: DataFrame, tol: int) -> DataFrame:
+    """Tolerance-bounded as-of operator, DataFrame-in/DataFrame-out
+    (property tests drive it with generated inputs and small tol)."""
     tagged = e.select(
         "event_id",
         "user_id",
@@ -123,7 +130,7 @@ def q_j7b_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.withColumn(
             "last_error_value",
             F.round(
-                F.when(F.col("ts") - last_ts <= ASOF_TOL_NS, last_val), 2
+                F.when(F.col("ts") - last_ts <= tol, last_val), 2
             ),
         )
         .filter(F.col("is_click") == 1)

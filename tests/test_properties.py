@@ -172,3 +172,40 @@ def test_label_split_matches_python(spark, label_strings):
     out = {r.nodeId: r.labels for r in normalize_nodes(df).collect()}
     expected = {i: s.split(",") for i, s in enumerate(label_strings)}
     assert out == expected
+
+
+def _python_asof_tol(rows, tol):
+    """Reference for the tolerance variant: like _python_asof but the
+    match is discarded when the error is older than `tol` ts units."""
+    out = {}
+    for eid, (ts, uid, typ, v100) in enumerate(rows):
+        if typ != "click":
+            continue
+        best = None
+        for eid2, (ts2, uid2, typ2, v2) in enumerate(rows):
+            if uid2 != uid or typ2 != "error" or ts2 > ts or ts - ts2 > tol:
+                continue
+            key = (ts2, eid2)
+            if best is None or key > best[0]:
+                best = (key, round(v2 / 100.0, 2))
+        out[eid] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, st.integers(0, 3))
+def test_asof_tolerance_matches_python_reference(spark, rows, tol):
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import (
+        asof_join_events_tol,
+    )
+
+    data = [
+        (eid, ts, uid, typ, v100 / 100.0)
+        for eid, (ts, uid, typ, v100) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, EVENT_SCHEMA)
+    got = {
+        r.event_id: r.last_error_value
+        for r in asof_join_events_tol(df, tol).collect()
+    }
+    assert got == _python_asof_tol(rows, tol)
