@@ -777,12 +777,17 @@ def q_t2_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "form is the oracle for that swap.",
 )
 def q_a7_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # ONE percentile agg with an array of fractions: the per-group value
+    # buffer is built and sorted once for both quantiles (two separate
+    # percentile() calls each keep their own copy — measured ~2x)
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        .agg(F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 4).alias("p50"),
+            F.round(F.element_at("ps", 2), 4).alias("p95"),
         )
         .orderBy("l_returnflag")
     )
