@@ -115,3 +115,61 @@ def q_g3_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components: the one iterative graph primitive the engine
+# ships (near-dup clustering q_x5 is built on it).
+# --------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """(node, comp) for every node in ``edges`` (columns: a, b treated
+    as undirected), comp = the component's minimum node id.
+
+    Iterative min-label propagation: comp(v) <- min(comp(v),
+    min over neighbors' comp), repeated to fixpoint. Each round is one
+    join + one min-aggregation; lineage is truncated per round with a
+    lazy localCheckpoint whose materializing action doubles as the
+    convergence check (labels only ever DECREASE, so an unchanged label
+    sum proves fixpoint — one Spark job per round). Rounds needed =
+    component diameter; at 100 TB the same loop shape runs with the
+    alternating large-star/small-star contraction to collapse deep
+    chains in O(log n) rounds. The driver executes control flow only —
+    no data rows ever cross to it."""
+    sym = (
+        edges.toDF("a", "b")
+        .union(edges.toDF("b", "a").select("a", "b"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")

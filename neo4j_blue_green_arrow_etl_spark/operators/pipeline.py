@@ -96,54 +96,14 @@ FROM reach GROUP BY node ORDER BY doc_id
     "singleton cluster.",
 )
 def q_x5_dupclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+
+    # the pair pipeline is materialized ONCE inside connected_components
+    # (every propagation round joins the edge set; without that each
+    # round would re-run the whole shingle/Jaccard lineage — measured
+    # 13.6s -> ~3s at sf0.1)
     pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("a", "b")
-        # materialize ONCE: every propagation round joins against sym;
-        # without this each round re-runs the whole shingle/Jaccard
-        # pipeline (measured 13.6s -> ~3s at sf0.1)
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=True)
-    # Convergence check rides the checkpoint-materializing action: comp
-    # is monotonically NON-INCREASING under min-propagation, so the
-    # label sum is a complete convergence witness (unchanged sum <=> no
-    # label changed) — one Spark job per round, not two.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(MAX_CC_ROUNDS):
-        nbr = (
-            sym.join(
-                labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("bcomp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint(eager=False)  # truncated lineage, lazy:
-            # materialized by the sum action below, reused afterwards
-        )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {MAX_CC_ROUNDS} rounds"
-        )
+    labels = connected_components(pairs, max_rounds=MAX_CC_ROUNDS)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster"),

@@ -70,3 +70,17 @@ def test_dupclusters_empty_graph_is_empty(spark):
         assert out == 0
     else:
         assert out >= 2 * 1  # any pair yields >= 2 member rows
+
+
+def test_connected_components_operator_direct(spark):
+    """The reusable CC operator on a hand-built graph: two components
+    {1,2,3,9} (chain) and {5,7}, singleton edges excluded by contract."""
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "a long, b long"
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
