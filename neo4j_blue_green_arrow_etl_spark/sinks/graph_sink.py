@@ -132,17 +132,23 @@ class ParquetGraphSink(GraphSink):
     def _create(self) -> None:
         self.base.mkdir(parents=True, exist_ok=True)
 
-    def _write_nodes(self, nodes: DataFrame) -> WriteResult:
-        nodes.write.mode("overwrite").parquet(str(self.base / "nodes"))
-        n = int(nodes.count())
-        self.counts["nodes"] = self.counts.get("nodes", 0) + n
+    def _write(self, df: DataFrame, kind: str, key: str) -> WriteResult:
+        # The protocol allows MULTIPLE write calls per phase (the
+        # reference streams batch after batch): the first call of a
+        # phase starts clean (overwrite), subsequent calls APPEND —
+        # previously every call overwrote, silently discarding earlier
+        # batches while counts kept accumulating.
+        mode = "append" if key in self.counts else "overwrite"
+        df.write.mode(mode).parquet(str(self.base / kind))
+        n = int(df.count())
+        self.counts[key] = self.counts.get(key, 0) + n
         return WriteResult(rows=n)
 
+    def _write_nodes(self, nodes: DataFrame) -> WriteResult:
+        return self._write(nodes, "nodes", "nodes")
+
     def _write_edges(self, edges: DataFrame) -> WriteResult:
-        edges.write.mode("overwrite").parquet(str(self.base / "relationships"))
-        n = int(edges.count())
-        self.counts["edges"] = self.counts.get("edges", 0) + n
-        return WriteResult(rows=n)
+        return self._write(edges, "relationships", "edges")
 
     def _finalize(self) -> None:
         (self.base / "_LOAD_META.json").write_text(

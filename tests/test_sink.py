@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from neo4j_blue_green_arrow_etl_spark.errors import InvalidArgumentError
 from neo4j_blue_green_arrow_etl_spark.fixtures import edges, nodes_entity
@@ -122,3 +123,21 @@ def test_compaction_requires_done_state(spark, tmp_path):
     sink.create_database()
     with pytest.raises(InvalidArgumentError):
         sink.compact(spark)
+
+
+def test_multiple_write_calls_accumulate_not_clobber(spark, tmp_path):
+    """The two-phase protocol allows streaming several batches per
+    phase; a second write_nodes must APPEND (previously it overwrote,
+    silently dropping the first batch while counts kept adding)."""
+    sink = ParquetGraphSink("cust-1000", tmp_path)
+    sink.create_database()
+    first = nodes_entity(spark, SF_SMOKE)
+    n1 = first.count()
+    sink.write_nodes(first)
+    sink.write_nodes(first.withColumn("nodeId", F.concat(F.lit("B"), "nodeId")))
+    sink.nodes_done()
+    sink.write_edges(edges(spark, SF_SMOKE))
+    sink.edges_done()
+    stored = spark.read.parquet(str(tmp_path / "cust-1000" / "nodes"))
+    assert stored.count() == 2 * n1
+    assert sink.counts["nodes"] == 2 * n1
