@@ -202,3 +202,35 @@ def read_snapshot(spark: SparkSession, snapshot: SnapshotRef) -> tuple[DataFrame
     for d in edges[1:]:
         out_e = out_e.unionByName(d, allowMissingColumns=True)
     return out_n, out_e
+
+
+def diff_nodes(old: DataFrame, new: DataFrame) -> DataFrame:
+    """What changed between two snapshot generations: one row per
+    nodeId with change in {'added','removed','changed'} (unchanged
+    nodes are omitted) — the blue/green inspection tool for "what does
+    cutting over to this green actually change?".
+
+    Scale: each side is reduced MAP-SIDE to (nodeId, sha256 digest of
+    all non-id columns, canonically ordered), so the single full-outer
+    equi-join shuffles fixed-width rows however wide the node
+    properties are."""
+
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        cols = sorted(c for c in df.columns if c != NODE_ID)
+        payload = F.to_json(
+            F.struct(*[F.col(c).cast("string").alias(c) for c in cols])
+        )
+        return df.select(NODE_ID, F.sha2(payload, 256).alias(out))
+
+    o = digest(old, "_od")
+    n = digest(new, "_nd")
+    change = (
+        F.when(F.col("_od").isNull(), "added")
+        .when(F.col("_nd").isNull(), "removed")
+        .when(F.col("_od") != F.col("_nd"), "changed")
+    )
+    return (
+        o.join(n, NODE_ID, "full_outer")
+        .select(NODE_ID, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

@@ -161,3 +161,30 @@ def test_json_nodes_missing_named_columns_rejected(spark, tmp_path):
     spark.range(3).toDF("some_col").write.json(str(p))
     with pytest.raises(ValueError, match="lacks required columns"):
         read_nodes(spark, str(p), fmt="json")
+
+
+def test_diff_nodes_classifies_changes(spark):
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import diff_nodes
+
+    old = spark.createDataFrame(
+        [("A", "x", 1.0), ("B", "y", 2.0), ("C", "z", 3.0)],
+        "nodeId string, prop string, w double",
+    )
+    new = spark.createDataFrame(
+        [("A", "x", 1.0), ("B", "y", 9.9), ("D", "q", 4.0)],
+        "nodeId string, prop string, w double",
+    )
+    got = {r.nodeId: r.change for r in diff_nodes(old, new).collect()}
+    assert got == {"B": "changed", "C": "removed", "D": "added"}  # A unchanged, omitted
+
+
+def test_diff_nodes_column_order_insensitive(spark):
+    """The digest canonicalizes property order: the same data with
+    reordered property columns must diff as unchanged."""
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import diff_nodes
+
+    old = spark.createDataFrame(
+        [("A", "x", 1.0)], "nodeId string, prop string, w double"
+    )
+    new = old.select("nodeId", "w", "prop")
+    assert diff_nodes(old, new).count() == 0
