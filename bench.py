@@ -29,6 +29,12 @@ def main() -> None:
 
     # Warm the JVM/codegen once so per-query numbers measure steady state.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm the local-relation (createDataFrame) path too: its first use
+    # lazily initializes conversion machinery worth ~4-7 s, which would
+    # otherwise be billed to whichever fixture-based query runs first.
+    spark.createDataFrame([(1,)], "a int").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

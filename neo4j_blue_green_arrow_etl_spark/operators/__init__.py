@@ -2,6 +2,7 @@
 query (SURVEY.md §2.12 + north-star extensions) into ``REGISTRY``."""
 
 from . import (  # noqa: F401
+    curation,
     dedup,
     graph,
     multimodal,

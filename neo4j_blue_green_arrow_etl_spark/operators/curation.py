@@ -1,0 +1,272 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: benchmark decontamination, deterministic dataset mixing,
+repetition-based quality signals, and corpus-level token statistics.
+
+These have no analogue in the reference (a graph ETL loader) — they are
+the north-star extension surface, same register-and-oracle discipline
+as the dedup/similarity/text families.
+
+Design notes (the 100 TB argument per operator):
+
+- **q_x8_decontam**: drop corpus documents that share any word 5-gram
+  with a held-out benchmark set (eval-set leakage removal). The
+  benchmark side of the join is SMALL by nature (eval suites are
+  thousands of documents against a 100 TB corpus), so its distinct
+  gram set is broadcast and the corpus side stays map-local: explode
+  grams -> broadcast LEFT SEMI -> one distinct on contaminated doc_id
+  -> broadcast LEFT ANTI against the corpus. No all-pairs, no
+  corpus-side shuffle except the final small anti-join.
+
+- **q_x9_mix**: language-rebalanced sampling via a DETERMINISTIC hash
+  of doc_id — every engine and every run selects the same rows (md5 is
+  engine-portable; Spark's rand/sampleBy is not reproducible across
+  engines). Keep-rate per language is a CASE over the first two hex
+  digits (256 buckets). Map-only: scales with scan bandwidth, zero
+  shuffle, and the decision column prunes to (doc_id, lang).
+
+- **q_text_repetition**: Gopher-style repetition signals — duplicated
+  word-bigram fraction (array expressions, per-row) and top-single-word
+  fraction (one explode + two-level aggregation; partial aggs make the
+  shuffle rows (doc_id, word, count), bounded by per-doc vocabulary).
+
+- **q_x10_idf**: corpus document-frequency / IDF of tokens. Explode
+  DISTINCT words per doc (array_distinct before explode keeps the
+  shuffle at one row per (doc, word), not per occurrence), aggregate
+  df per word, broadcast the one-row corpus count for the idf term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import register
+
+DECONTAM_N = 5  # word n-gram length for benchmark-overlap matching
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> document is "benchmark"
+
+# lang -> keep-rate in 256ths, compared against the first two hex digits
+# of md5(doc_id). Lexicographic compare of fixed-width hex == numeric.
+MIX_RATES: dict[str, int] = {"en": 256, "es": 128, "de": 128, "fr": 64, "zh": 64}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of ``text`` (pure column
+    expressions; one slice per position, O(len*n) per row)."""
+    words = F.split(text, " ")
+    sz = F.size(words)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(sz - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), grams AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS gram
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN words d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN words e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+), bench_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {BENCH_MOD} <> 0 AND gram IN (SELECT gram FROM bench_grams)
+)
+SELECT doc_id FROM documents
+WHERE doc_id % {BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_x8_decontam",
+    oracle=_DECONTAM_ORACLE,
+    doc=f"Benchmark decontamination: drop corpus docs sharing any word "
+    f"{DECONTAM_N}-gram with the benchmark subset (doc_id % {BENCH_MOD} = 0 "
+    "stands in for an eval suite). Scale: the benchmark gram set is tiny vs "
+    "the corpus, so both the semi-join (find contaminated) and the anti-join "
+    "(drop them) broadcast — the corpus is never shuffled.",
+)
+def q_x8_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    grams = d.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))).alias(
+            "gram"
+        ),
+    ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
+    bench_grams = grams.filter("is_bench").select("gram").distinct()
+    contaminated = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(~is_bench)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset mixing
+# ---------------------------------------------------------------------------
+
+
+def _mix_threshold(rate: int) -> str:
+    """Two-char string s.t. (first two md5 hex digits) < s keeps rate/256
+    of rows. Hex digits are 0-9a-f, so 'g0' > every bucket (keep all);
+    fixed width keeps lexicographic == numeric for the rest."""
+    return "g0" if rate >= 256 else f"{rate:02x}"
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{_mix_threshold(rate)}'"
+        for lang, rate in sorted(MIX_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE '00' END"
+
+
+@register(
+    "q_x9_mix",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_mix_case_sql()} "
+        "ORDER BY doc_id"
+    ),
+    doc="Language-rebalanced corpus mixing: keep each doc iff the first two "
+    "hex digits of md5(doc_id) fall under its language's keep-rate (en 100%, "
+    "es/de 50%, fr/zh 25%). Deterministic across runs/engines, unlike "
+    "rand()-based sampleBy. Map-only; zero shuffle.",
+)
+def q_x9_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.lit("00")
+    for lang, rate in sorted(MIX_RATES.items()):
+        threshold = F.when(F.col("lang") == lang, _mix_threshold(rate)).otherwise(
+            threshold
+        )
+    return (
+        d.filter(bucket < threshold).select("doc_id", "lang").orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), bigrams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), bigram_stats AS (
+  SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT bg) AS n_bg_distinct
+  FROM bigrams GROUP BY 1
+), word_counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+), word_stats AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_w FROM word_counts GROUP BY 1
+)
+SELECT d.doc_id,
+       ROUND(1.0 - bs.n_bg_distinct * 1.0 / bs.n_bg, 4) AS dup_bigram_frac,
+       ROUND(ws.top_c * 1.0 / ws.n_w, 4) AS top_word_frac
+FROM documents d
+JOIN bigram_stats bs ON d.doc_id = bs.doc_id
+JOIN word_stats ws ON d.doc_id = ws.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q_text_repetition",
+    oracle=_REPETITION_ORACLE,
+    doc="Repetition quality signals per doc (Gopher-style filters): "
+    "duplicated-bigram fraction (pure array expressions, per-row) and "
+    "top-single-word frequency fraction (explode + two-level agg; partial "
+    "aggregation bounds shuffle rows at per-doc vocabulary).",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bigrams = word_ngrams(F.col("text"), 2)
+    per_row = d.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4
+        ).alias("dup_bigram_frac"),
+    )
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_word_frac"),
+        )
+    )
+    return per_row.join(word_stats, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus token statistics: document frequency / IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_x10_idf",
+    oracle=(
+        "WITH doc_words AS ("
+        "  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w"
+        "  FROM documents"
+        "), df AS ("
+        "  SELECT w, COUNT(*) AS df FROM doc_words GROUP BY 1"
+        "), n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+        "SELECT w, df, ROUND(LN(n_docs * 1.0 / df), 4) AS idf "
+        "FROM df CROSS JOIN n ORDER BY df DESC, w LIMIT 20"
+    ),
+    doc="Corpus document-frequency + IDF, top-20 most-common tokens. "
+    "array_distinct BEFORE explode keeps shuffle at one row per (doc, "
+    "word); the corpus count broadcasts as a one-row dimension; top-20 "
+    "is TakeOrderedAndProject (no global sort).",
+)
+def q_x10_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    doc_words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    df = doc_words.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .select("w", "df", F.round(F.log(F.col("n_docs") / F.col("df")), 4).alias("idf"))
+        .orderBy(F.desc("df"), "w")
+        .limit(20)
+    )
