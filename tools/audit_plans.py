@@ -38,10 +38,11 @@ ARROW_PYTHON_OK = {
 }
 
 # Queries whose plan contains a BroadcastNestedLoopJoin BY DESIGN: they
-# cross-join a TINY broadcast (the query vector / query batch) against
-# the scan — that is the broadcast pattern for similarity search, not an
-# all-pairs blow-up (cost = one pass over the big side x batch size).
-ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf", "q_x6_batchann"}
+# cross-join a TINY broadcast (the query vector / query batch / one-row
+# corpus count) against the scan — that is the broadcast pattern for
+# similarity search and global-constant attachment, not an all-pairs
+# blow-up (cost = one pass over the big side x broadcast size).
+ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf", "q_x6_batchann", "q_x10_idf"}
 
 # Queries that read every column of their base table by design.
 FULL_SCAN_OK = {"q_s1"}
