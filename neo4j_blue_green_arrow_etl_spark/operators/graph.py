@@ -117,9 +117,71 @@ def q_g3_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIRS_SQL = (
+    FX.with_clause("edges")
+    + f", pairs AS (SELECT a.sourceNodeId AS src, b.sourceNodeId AS peer "
+    "FROM edges a JOIN edges b ON a.targetNodeId = b.targetNodeId "
+    "AND a.sourceNodeId < b.sourceNodeId "
+    f"WHERE CAST(substr(a.sourceNodeId, 2) AS BIGINT) < {TWOHOP_FRONTIER} "
+    f"AND CAST(substr(b.sourceNodeId, 2) AS BIGINT) < {TWOHOP_FRONTIER} "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2)"
+)
+
+
+def _coref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_g2 co-reference projection as an edge list (src < peer)."""
+    e = FX.edges(spark, sf_dir).filter(
+        F.substring("sourceNodeId", 2, 100).cast("long") < TWOHOP_FRONTIER
+    )
+    a = e.select(F.col("sourceNodeId").alias("src"), "targetNodeId")
+    b = e.select(F.col("sourceNodeId").alias("peer"), "targetNodeId")
+    return (
+        a.join(b, "targetNodeId")
+        .filter(F.col("src") < F.col("peer"))
+        .groupBy("src", "peer")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("src", "peer")
+    )
+
+
+@register(
+    "q_g4_triangles",
+    oracle=_PAIRS_SQL
+    + ", tri AS (SELECT p1.src AS a, p1.peer AS b, p2.peer AS c "
+    "FROM pairs p1 JOIN pairs p2 ON p1.peer = p2.src "
+    "JOIN pairs p3 ON p3.src = p1.src AND p3.peer = p2.peer) "
+    "SELECT nodeId, COUNT(*) AS n_triangles FROM ("
+    "SELECT a AS nodeId FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) GROUP BY 1 ORDER BY 1",
+    doc="Per-node triangle counts over the co-reference projection "
+    "(entity pairs sharing >= 2 addresses, q_g2's edge set). Classic "
+    "wedge-closing join: orient every edge low-id -> high-id, join "
+    "wedges on the middle node, close against the edge set — the "
+    "orientation (a < b < c) counts each triangle exactly once AND "
+    "bounds wedge fan-out by the smaller endpoint's degree, the "
+    "standard trick that keeps triangle enumeration feasible on "
+    "power-law graphs. Two hash joins + one explode/groupBy; the "
+    "frontier bound keeps output scale-stable, and at 100 TB the same "
+    "plan runs with the edge list bucketed on its join keys.",
+)
+def q_g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _coref_pairs(spark, sf_dir)
+    ab = p.toDF("a", "b")
+    bc = p.toDF("b", "c")
+    ac = p.toDF("a", "c")
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("nodeId"))
+        .groupBy("nodeId")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("nodeId")
+    )
+
+
 # --------------------------------------------------------------------------
 # Connected components: the one iterative graph primitive the engine
-# ships (near-dup clustering q_x5 is built on it).
+# ships (near-dup clusters q_x5 is built on it).
 # --------------------------------------------------------------------------
 
 CC_MAX_ROUNDS = 20

@@ -111,6 +111,60 @@ def q_x5_dupclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Sequence packing: documents are packed greedily (in doc_id order) into
+# fixed token-budget bins, independently within each of PACK_SHARDS
+# hash shards. Sharding is what makes this scale: a single global
+# running sum would be one reducer; per-shard windows are independent
+# reducers, and packing quality is unaffected because any shard's local
+# greedy fill is as tight as the global one in expectation.
+PACK_CAPACITY = 2048  # tokens per packed sequence
+PACK_SHARDS = 8
+_PACK_BIN_STRIDE = 1_000_000  # bin_id = shard * stride + local bin
+
+
+@register(
+    "q_x11_pack",
+    oracle=(
+        "SELECT doc_id, n_tokens, "
+        f"(doc_id % {PACK_SHARDS}) * {_PACK_BIN_STRIDE} + "
+        f"COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % {PACK_SHARDS} "
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"// {PACK_CAPACITY} AS bin_id "
+        "FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents) ORDER BY doc_id"
+    ),
+    doc=f"Sequence packing for training: assign each document to a "
+    f"{PACK_CAPACITY}-token bin by a running token count in doc_id order, "
+    f"computed independently inside {PACK_SHARDS} hash shards "
+    "(bin_id = shard * stride + prev_cumsum // capacity). The per-shard "
+    "window is the scale story: running sums never cross shard "
+    "boundaries, so there is no single-reducer global window — shard "
+    "count rises with the cluster and each reducer streams its shard "
+    "once. A document whose tokens straddle a boundary starts the next "
+    "bin (greedy contiguous fill, the GPT-style packing contract).",
+)
+def q_x11_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    shard = F.col("doc_id") % PACK_SHARDS
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        (
+            shard * _PACK_BIN_STRIDE
+            + F.floor(prev_cum / PACK_CAPACITY).cast("long")
+        ).alias("bin_id"),
+    ).orderBy("doc_id")
+
+
 QUALITY_FLOOR = 0.5
 
 

@@ -118,3 +118,52 @@ def test_idf_matches_python_counts(spark):
     n = len(docs)
     for r in got:
         assert abs(r.idf - round(math.log(n / r.df), 4)) < 1e-9
+
+
+def test_pack_bins_respect_capacity_and_order(spark):
+    """Sequence packing invariants: (1) a document's bin is derived from
+    the running token count of strictly-smaller doc_ids in its shard;
+    (2) within a shard, bin ids are non-decreasing in doc_id order and
+    every bin's preceding fill is under capacity when it opens."""
+    from neo4j_blue_green_arrow_etl_spark.operators.pipeline import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+        _PACK_BIN_STRIDE,
+    )
+
+    rows = REGISTRY["q_x11_pack"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.doc_id % PACK_SHARDS, []).append(r)
+    for shard, docs in by_shard.items():
+        cum = 0
+        prev_bin = -1
+        for r in docs:
+            expect_bin = shard * _PACK_BIN_STRIDE + cum // PACK_CAPACITY
+            assert r.bin_id == expect_bin
+            assert r.bin_id >= prev_bin  # greedy fill never reopens a bin
+            prev_bin = r.bin_id
+            cum += r.n_tokens
+
+
+def test_triangles_match_bruteforce(spark):
+    """Per-node triangle counts == brute-force enumeration over the
+    co-reference pair graph computed in Python."""
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import _coref_pairs
+
+    pairs = {(r.src, r.peer) for r in _coref_pairs(spark, SF_SMOKE).collect()}
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    counts: dict[str, int] = {}
+    for a, b in pairs:
+        for c in adj.get(b, set()):
+            if (a, c) in pairs:
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    got = {
+        r.nodeId: r.n_triangles
+        for r in REGISTRY["q_g4_triangles"].spark(spark, SF_SMOKE).collect()
+    }
+    assert got == counts
