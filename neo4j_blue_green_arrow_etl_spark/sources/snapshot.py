@@ -62,19 +62,21 @@ def normalize_edges(df: DataFrame) -> DataFrame:
     return df.toDF(SOURCE_ID, TARGET_ID, REL_TYPE, *cols[3:])
 
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def _read_table(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     """One snapshot table in any supported format.
 
-    parquet and csv-with-header preserve COLUMN ORDER, so the positional
-    contract applies directly. JSON is name-based (Spark infers fields
-    alphabetically), so JSON snapshots must already carry the NAMED
-    contract (nodeId/labels/... or sourceNodeId/...) — enforced by the
-    normalizers below via a reorder, not a rename."""
+    parquet, orc, and csv-with-header preserve COLUMN ORDER, so the
+    positional contract applies directly. JSON is name-based (Spark
+    infers fields alphabetically), so JSON snapshots must already carry
+    the NAMED contract (nodeId/labels/... or sourceNodeId/...) —
+    enforced by the normalizers below via a reorder, not a rename."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "csv":
         return spark.read.option("header", True).option("inferSchema", True).csv(path)
     if fmt == "json":

@@ -188,3 +188,32 @@ def test_diff_nodes_column_order_insensitive(spark):
     )
     new = old.select("nodeId", "w", "prop")
     assert diff_nodes(old, new).count() == 0
+
+
+def test_orc_snapshot_format_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC is column-order-preserving like parquet, so the positional
+    contract applies directly; an ORC-delivered snapshot must normalize
+    to the same result as the parquet original."""
+    from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        SnapshotRef,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "pq")
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 100)
+    ref_pq = SnapshotRef("acme", 100, f"{base}/acme/100")
+    want_nodes, want_edges = read_snapshot(spark, ref_pq)
+    want_n = sorted((r.nodeId, ",".join(r.labels)) for r in want_nodes.collect())
+    want_e = want_edges.count()
+
+    orc = tmp_path / "orc" / "acme" / "100"
+    for kind in ("nodes", "relationships"):
+        for d in Path(f"{base}/acme/100/{kind}").iterdir():
+            spark.read.parquet(str(d)).coalesce(1).write.orc(
+                str(orc / kind / d.name)
+            )
+    got_nodes, got_edges = read_snapshot(spark, SnapshotRef("acme", 100, str(orc)))
+    got_n = sorted((r.nodeId, ",".join(r.labels)) for r in got_nodes.collect())
+    assert got_n == want_n
+    assert got_edges.count() == want_e
