@@ -179,6 +179,129 @@ def q_g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERATIONS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PAGERANK_DAMPING,
+    iterations: int = PAGERANK_ITERATIONS,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` of power iteration with uniform
+    dangling-mass redistribution (multi-edges contribute once each).
+
+    Each round is one equi-join on the edge list + one groupBy — the
+    textbook shuffle shape — plus a ONE-ROW broadcast carrying the
+    dangling mass, so no data ever crosses to the driver (the driver
+    holds only the node count and loop control). localCheckpoint per
+    round truncates lineage exactly like connected_components; at
+    100 TB the edge list is bucketed on src so every round reuses the
+    same partitioning and only the rank table shuffles."""
+    e = edges.toDF("src", "dst").localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    nd = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = nd.count()
+    ranks = nd.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                ranks.filter(F.col("deg") > 0).select(
+                    F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        dang = ranks.agg(
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm")
+        )
+        ranks = (
+            nd.join(contrib, nd["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                nd["node"],
+                nd["deg"],
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * (F.coalesce("s", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB oracle: the power iteration unrolled as chained CTEs —
+    same constants, same dangling redistribution, same multi-edge
+    semantics as :func:`pagerank`."""
+    d = PAGERANK_DAMPING
+    # DuckDB inlines single-reference CTEs; with the iteration unrolled,
+    # `edges` is referenced ~20x and each inline re-opens the parquet
+    # scan (fd exhaustion). MATERIALIZED pins one scan per CTE.
+    parts = [
+        FX.with_clause("edges").replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        ", nodes AS (SELECT DISTINCT node FROM ("
+        "SELECT sourceNodeId AS node FROM edges "
+        "UNION ALL SELECT targetNodeId FROM edges))",
+        ", outdeg AS (SELECT sourceNodeId AS node, COUNT(*) AS deg "
+        "FROM edges GROUP BY 1)",
+        ", nd AS MATERIALIZED (SELECT n.node, COALESCE(o.deg, 0) AS deg "
+        "FROM nodes n LEFT JOIN outdeg o ON n.node = o.node)",
+        ", nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nd)",
+        ", r0 AS MATERIALIZED (SELECT node, deg, "
+        "1.0 / (SELECT n FROM nn) AS rank FROM nd)",
+    ]
+    for i in range(1, PAGERANK_ITERATIONS + 1):
+        p = i - 1
+        parts.append(
+            f", c{i} AS MATERIALIZED (SELECT e.targetNodeId AS node, "
+            f"SUM(r.rank / r.deg) AS s FROM edges e "
+            f"JOIN r{p} r ON e.sourceNodeId = r.node WHERE r.deg > 0 GROUP BY 1)"
+        )
+        parts.append(
+            f", r{i} AS MATERIALIZED (SELECT nd.node, nd.deg, "
+            f"(1.0 - {d}) / (SELECT n FROM nn) + {d} * (COALESCE(c{i}.s, 0) + "
+            f"(SELECT COALESCE(SUM(CASE WHEN deg = 0 THEN rank END), 0) FROM r{p})"
+            f" / (SELECT n FROM nn)) AS rank "
+            f"FROM nd LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+    parts.append(
+        f" SELECT node AS nodeId, ROUND(rank, 5) AS pagerank "
+        f"FROM r{PAGERANK_ITERATIONS} ORDER BY 1"
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_g5_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({PAGERANK_ITERATIONS} power iterations, damping "
+    f"{PAGERANK_DAMPING}, dangling mass redistributed uniformly) over the "
+    "full entity->address edge list — the address hubs are dangling "
+    "sinks, so the redistribution path is genuinely exercised. Spark "
+    "runs join + groupBy per round with the dangling mass as a one-row "
+    "broadcast (no driver data path); the oracle unrolls the same "
+    "iteration as chained CTEs. Ranks rounded to 5 decimals on both "
+    "sides for cross-engine float stability.",
+)
+def q_g5_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = FX.edges(spark, sf_dir).select("sourceNodeId", "targetNodeId")
+    ranks = pagerank(e)
+    return ranks.select(
+        F.col("node").alias("nodeId"), F.round("rank", 5).alias("pagerank")
+    ).orderBy("nodeId")
+
+
 # --------------------------------------------------------------------------
 # Connected components: the one iterative graph primitive the engine
 # ships (near-dup clusters q_x5 is built on it).

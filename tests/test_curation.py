@@ -167,3 +167,48 @@ def test_triangles_match_bruteforce(spark):
         for r in REGISTRY["q_g4_triangles"].spark(spark, SF_SMOKE).collect()
     }
     assert got == counts
+
+
+def test_pagerank_matches_pure_python(spark):
+    """Distributed power iteration == the obvious Python implementation
+    (same damping, iterations, dangling redistribution), and total rank
+    mass stays 1."""
+    from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERATIONS,
+        pagerank,
+    )
+
+    e = [
+        (r.sourceNodeId, r.targetNodeId)
+        for r in FX.edges(spark, SF_SMOKE)
+        .select("sourceNodeId", "targetNodeId")
+        .collect()
+    ]
+    nodes = sorted({n for pair in e for n in pair})
+    n = len(nodes)
+    deg: dict[str, int] = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in e:
+            contrib[t] += rank[s] / deg[s]
+        dang = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: (1.0 - PAGERANK_DAMPING) / n
+            + PAGERANK_DAMPING * (contrib[v] + dang / n)
+            for v in nodes
+        }
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            FX.edges(spark, SF_SMOKE).select("sourceNodeId", "targetNodeId")
+        ).collect()
+    }
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
