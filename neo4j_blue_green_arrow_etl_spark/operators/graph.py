@@ -166,7 +166,10 @@ def _coref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan runs with the edge list bucketed on its join keys.",
 )
 def q_g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _coref_pairs(spark, sf_dir)
+    # materialize the (frontier-bounded) pair graph ONCE — it feeds all
+    # three join branches, and exchange reuse only collapses two of them
+    # (measured: 24 residual parquet scans without this, 0 with)
+    p = _coref_pairs(spark, sf_dir).localCheckpoint(eager=True)
     ab = p.toDF("a", "b")
     bc = p.toDF("b", "c")
     ac = p.toDF("a", "c")
