@@ -187,3 +187,20 @@ def test_ivf_index_at_rest_prunes_partitions(spark, tmp_path):
         (r.vec_id, r.sim) for r in REGISTRY["q_sim_ivf"].spark(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_quantization_bounds(spark):
+    """int8 codes stay in [-127, 127] and dequantization error is
+    bounded by scale/2 per element (the floor(x+0.5) contract)."""
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    rows = REGISTRY["q_x12_quant"].spark(spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    assert rows and set(r.vec_id for r in rows) == set(emb)
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        for x, q in zip(emb[r.vec_id], r.qvec):
+            assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-9
