@@ -270,3 +270,43 @@ def q_x10_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "w")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-size deterministic per-group sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 40  # documents kept per language
+
+
+@register(
+    "q_x13_sample",
+    oracle=(
+        "SELECT doc_id, lang FROM ("
+        "SELECT doc_id, lang, ROW_NUMBER() OVER ("
+        "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+        f"FROM documents) WHERE rn <= {SAMPLE_K} ORDER BY doc_id"
+    ),
+    doc=f"Deterministic uniform sample of EXACTLY {SAMPLE_K} documents per "
+    "language: rank by md5(doc_id) inside each language and keep the "
+    f"first {SAMPLE_K}. Unlike rate-based mixing (q_x9_mix) this "
+    "guarantees exact output sizes, and unlike rand() it is reproducible "
+    "across runs/engines — the hash IS the shuffle. One window shuffle "
+    "partitioned by group; at 100 TB each language's rank runs on its "
+    "own reducers and skewed groups split via the standard two-phase "
+    "top-k (per-partition head then merge) that Spark's window + filter "
+    "already approximates with partial TakeOrdered pushdown.",
+)
+def q_x13_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -212,3 +212,22 @@ def test_pagerank_matches_pure_python(spark):
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_sample_exact_k_per_group_and_deterministic(spark):
+    """q_x13_sample returns exactly min(k, group size) docs per language
+    and the same set on every run."""
+    from neo4j_blue_green_arrow_etl_spark.operators.curation import SAMPLE_K
+
+    a = REGISTRY["q_x13_sample"].spark(spark, SF_SMOKE).collect()
+    b = REGISTRY["q_x13_sample"].spark(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.lang) for r in a] == [(r.doc_id, r.lang) for r in b]
+    sizes: dict[str, int] = {}
+    for r in a:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    group_sizes = {
+        r.lang: r.n
+        for r in _docs(spark).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in group_sizes.items():
+        assert sizes.get(lang, 0) == min(SAMPLE_K, n)
