@@ -28,7 +28,8 @@ from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY  # noqa: E402
 def _configure(spark: SparkSession) -> None:
     """Session options the engine depends on, applied to a session we
     did not build (the driver owns it): UTC timestamps for deterministic
-    formatting; nanosAsLong so events.parquet (ns timestamps) reads."""
+    formatting; nanosAsLong so legacy ns-timestamp events tables still
+    read (a no-op on the current timestamp[us] testdata)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

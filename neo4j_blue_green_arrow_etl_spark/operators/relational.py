@@ -50,6 +50,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType across data
+    generator versions: the current testdata writes timestamp[us]
+    (already TimestampType on read); older trees wrote nanosecond int64
+    which — under spark.sql.legacy.parquet.nanosAsLong — arrives as a
+    bigint and is integer-divided to microseconds here (no double
+    roundtrip: ns magnitudes exceed 2^53). Parquet timestamps without
+    timezone annotation read as TIMESTAMP_NTZ in Spark 4; cast them to
+    TIMESTAMP (numerically a no-op under the UTC session timezone) so
+    unix_micros/window expressions downstream resolve uniformly."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Scans / projections / filters
 # ---------------------------------------------------------------------------
@@ -457,8 +475,9 @@ def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value "
         "FROM events ORDER BY user_id, event_id"
     ),
-    doc="lag/lead analytic window over the event stream. Spark reads the "
-    "nanosecond ts as long (nanosAsLong) — ordering is identical.",
+    doc="lag/lead analytic window over the event stream; orders on the "
+    "raw ts column (TimestampType), which sorts identically in both "
+    "engines.",
 )
 def q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -719,12 +738,7 @@ def q_st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression runs under readStream with a watermark).",
 )
 def q_st2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").withColumn(
-        # ts arrives as long nanoseconds (nanosAsLong); integer-divide to
-        # microseconds (no double roundtrip — ns magnitudes exceed 2^53)
-        "ts",
-        F.timestamp_micros(F.expr("ts DIV 1000")),
-    )
+    e = normalize_event_ts(_t(spark, sf_dir, "events"))
     return (
         e.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))

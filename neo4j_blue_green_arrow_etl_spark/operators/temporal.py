@@ -21,17 +21,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import register
+from .relational import normalize_event_ts, register
 
 SESSION_GAP = "30 minutes"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with ns-long ts (nanosAsLong) plus a proper
-    microsecond timestamp column for window/session expressions."""
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_t", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    """events.parquet with ``ts`` normalized to TimestampType (handles
+    both the current timestamp[us] testdata and legacy ns-long trees)
+    plus the ``ts_t`` alias window/session expressions bind to."""
+    e = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return e.withColumn("ts_t", F.col("ts"))
 
 
 def asof_join_events(e: DataFrame) -> DataFrame:
@@ -80,7 +80,7 @@ def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
-ASOF_TOL_NS = 3_600 * 10**9  # 1 hour, in the raw ns ts domain
+ASOF_TOL_US = 3_600 * 10**6  # 1 hour, in the microsecond ts domain
 
 
 @register(
@@ -102,13 +102,18 @@ ASOF_TOL_NS = 3_600 * 10**9  # 1 hour, in the raw ns ts domain
 )
 def q_j7b_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_events_tol(
-        spark.read.parquet(f"{sf_dir}/events.parquet"), ASOF_TOL_NS
+        spark.read.parquet(f"{sf_dir}/events.parquet"), ASOF_TOL_US
     )
 
 
 def asof_join_events_tol(e: DataFrame, tol: int) -> DataFrame:
     """Tolerance-bounded as-of operator, DataFrame-in/DataFrame-out
-    (property tests drive it with generated inputs and small tol)."""
+    (property tests drive it with generated long inputs and small tol).
+    ``tol`` is in the units of ``ts``: a TimestampType ts is converted
+    to epoch microseconds internally, so pass tol in µs; an integer ts
+    stays in its own domain and tol matches it directly."""
+    if str(dict(e.dtypes).get("ts", "")).startswith("timestamp"):
+        e = e.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
     tagged = e.select(
         "event_id",
         "user_id",

@@ -47,9 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects by default; read as long (ns since epoch) and convert
-        # explicitly where timestamp semantics are needed.
+        # Current testdata writes timestamp[us]; legacy trees carried
+        # TIMESTAMP(NANOS), which Spark's reader rejects by default —
+        # keep nanosAsLong so those still read (as ns-long, normalized
+        # by operators.relational.normalize_event_ts). No-op on µs data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

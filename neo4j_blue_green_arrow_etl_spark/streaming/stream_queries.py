@@ -34,12 +34,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns since epoch (nanosAsLong contract)
+        StructField("ts", TimestampNTZType()),  # microsecond event time
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -57,13 +58,14 @@ ARRIVALS_STREAM_SCHEMA = StructType(
 
 def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-source stream of events parquet (one file per micro-batch
-    arrival), ts normalized ns→timestamp exactly as the batch reader."""
+    arrival); ``ts_t`` aliases the microsecond ts exactly as the batch
+    reader's normalize_event_ts output."""
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # ST5 backpressure analogue
         .parquet(input_dir)
     )
-    return raw.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts_t", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -48,7 +48,7 @@ def test_windowed_counts_match_batch(spark, chunked_events_dir):
     # batch ground truth over the same files
     batch = (
         spark.read.parquet(chunked_events_dir)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn("ts_t", F.col("ts").cast("timestamp"))
         .groupBy("user_id", F.window("ts_t", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
         .select("user_id", F.unix_timestamp("w.start").alias("window_start_s"), "cnt")
@@ -118,13 +118,14 @@ def test_watermark_bounds_state(spark, tmp_path):
 
     out = tmp_path / "late_in"
     out.mkdir()
-    hour_ns = 3_600 * 1_000_000_000
 
     def chunk(name, ids, hours, mtime_off):
         pd.DataFrame(
             {
                 "event_id": ids,
-                "ts": [int(h * hour_ns) for h in hours],
+                "ts": pd.to_datetime(
+                    [int(h * 3_600_000_000) for h in hours], unit="us"
+                ).astype("datetime64[us]"),
                 "user_id": [1] * len(ids),
                 "event_type": ["view"] * len(ids),
                 "value": [1.0] * len(ids),
@@ -178,7 +179,7 @@ def test_stream_stream_interval_join_matches_batch(spark, chunked_events_dir):
         clicks_with_recent_errors(stream, watermark="3650 days"), name, "append"
     )
     e = spark.read.parquet(chunked_events_dir).withColumn(
-        "ts_t", F.expr("timestamp_micros(ts DIV 1000)")
+        "ts_t", F.col("ts").cast("timestamp")
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts_t").alias("click_ts")

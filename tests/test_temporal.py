@@ -61,7 +61,7 @@ def test_sessions_respect_gap(spark):
         per_user.setdefault(r.user_id, []).append(r)
     events = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .select("user_id", F.expr("ts DIV 1000").alias("us"))
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
         .collect()
     )
     ev: dict[int, list[int]] = {}
