@@ -361,3 +361,112 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS: hop distance from a seed set, bounded depth.
+# --------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_SEED_BOUND = 20  # seed set: entity nodes with numeric id < this
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """(node, dist) — minimum hop count from any seed, up to ``max_hops``
+    (unreached nodes are absent). ``edges`` columns (a, b) are treated
+    undirected; ``seeds`` has one ``node`` column.
+
+    Level-synchronous frontier expansion: each hop is one equi-join of
+    the current frontier against the edge list, a distinct, and an
+    anti-join against the visited set, with no driver data path beyond
+    the optional frontier broadcast (the driver otherwise sees only
+    loop control and an emptiness probe on already-materialized data).
+    Each level is materialized once with localCheckpoint: levels feed
+    BOTH the next frontier and every later anti-join, so without
+    materialization the plan tree grows multiplicatively with depth
+    (measured 2x slower lazy at depth 4).
+
+    ``broadcast_frontier=True`` (right when the reachable set is known
+    small, e.g. a frontier-bounded projection) broadcasts the frontier
+    and visited set so the big edge list never shuffles — one shuffle
+    per hop (the distinct). Set it False when the frontier can grow
+    unbounded: every step becomes a hash-shuffle join, work per round
+    proportional to the frontier's edge neighborhood, and at 100 TB
+    the edge list is bucketed on its join key so every hop reuses one
+    partitioning."""
+    sym = (
+        edges.toDF("a", "b")
+        .union(edges.toDF("b", "a").select("a", "b"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("node").distinct().withColumn("dist", F.lit(0))
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        seen = dist.select("node")
+        if broadcast_frontier:
+            seen = F.broadcast(seen)
+        nxt = (
+            sym.join(fr, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        # dist is a union of already-checkpointed levels — lineage stays
+        # one union deep per hop, no re-checkpoint needed
+        dist = dist.union(nxt.withColumn("dist", F.lit(hop)))
+        frontier = nxt.select("node")
+    return dist
+
+
+_BFS_ORACLE = (
+    _PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", sym AS (SELECT src AS a, peer AS b FROM pairs "
+    "UNION SELECT peer, src FROM pairs)"
+    ", seeds AS (SELECT DISTINCT a AS node FROM sym "
+    f"WHERE a LIKE 'E%' AND CAST(substr(a, 2) AS BIGINT) < {BFS_SEED_BOUND})"
+    ", reach(node, d) AS ("
+    "SELECT node, 0 FROM seeds "
+    "UNION "
+    "SELECT s.b, r.d + 1 FROM reach r JOIN sym s ON r.node = s.a "
+    f"WHERE r.d < {BFS_MAX_HOPS}) "
+    "SELECT node AS nodeId, MIN(d) AS dist FROM reach GROUP BY node ORDER BY 1"
+)
+
+
+@register(
+    "q_g6_bfs",
+    oracle=_BFS_ORACLE,
+    doc=f"Multi-source BFS over the co-reference projection (q_g2's pair "
+    f"graph): hop distance (<= {BFS_MAX_HOPS}) from the seed set of "
+    f"entity nodes with numeric id < {BFS_SEED_BOUND}. Spark runs "
+    "level-synchronous frontier expansion — join + distinct + anti-join "
+    "per hop, frontier-proportional work, driver holds only loop "
+    "control; the oracle is a recursive CTE with the same depth bound, "
+    "reduced by MIN(d). The reference serves this traversal shape via "
+    "Cypher variable-length paths (docs/ALIASES.md consumer contract); "
+    "here it is a bounded sequence of Catalyst hash joins.",
+)
+def q_g6_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _coref_pairs(spark, sf_dir)
+    seeds = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("peer").alias("node")))
+        .filter(
+            F.col("node").startswith("E")
+            & (F.substring("node", 2, 100).cast("long") < BFS_SEED_BOUND)
+        )
+        .distinct()
+    )
+    dist = bfs_distances(pairs, seeds, BFS_MAX_HOPS)
+    return dist.select(F.col("node").alias("nodeId"), "dist").orderBy("nodeId")

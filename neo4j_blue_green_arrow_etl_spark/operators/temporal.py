@@ -234,3 +234,55 @@ def q_st4_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "window_start_s")
     )
+
+
+RANGE_JOIN_WINDOW_MIN = 30  # click must precede the error by < this
+
+
+@register(
+    "q_j10_range",
+    oracle=(
+        "SELECT e.event_id AS error_id, c.event_id AS click_id, "
+        "CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
+        "FROM events e JOIN events c ON e.user_id = c.user_id "
+        f"AND c.ts >= e.ts - INTERVAL {RANGE_JOIN_WINDOW_MIN} MINUTE "
+        "AND c.ts < e.ts "
+        "WHERE e.event_type = 'error' AND c.event_type = 'click' "
+        "ORDER BY error_id, click_id"
+    ),
+    doc="Batch interval/range join (SURVEY §2.3 declared range join): "
+    f"every (error, click) pair of the same user where the click falls "
+    f"in the {RANGE_JOIN_WINDOW_MIN}-minute window before the error — "
+    "the batch twin of the stream-stream interval join "
+    "(streaming/stream_queries.clicks_with_recent_errors). Executes as "
+    "ONE hash shuffle on the user_id equi-key with the band predicate "
+    "evaluated as a post-join filter inside the same stage; output is "
+    "bounded by per-user activity density, not |events|^2. Skewed "
+    "users are the risk at 100 TB: AQE skew-split handles moderate "
+    "skew, salting the hot user ids handles the tail.",
+)
+def q_j10_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    band_lo = F.col("err_ts") - F.expr(f"INTERVAL {RANGE_JOIN_WINDOW_MIN} MINUTES")
+    return (
+        err.join(
+            clk,
+            [
+                err["user_id"] == clk["user_id"],
+                F.col("click_ts") >= band_lo,
+                F.col("click_ts") < F.col("err_ts"),
+            ],
+        )
+        .select(
+            "error_id",
+            "click_id",
+            (F.unix_micros("err_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+        .orderBy("error_id", "click_id")
+    )

@@ -84,3 +84,60 @@ def test_connected_components_operator_direct(spark):
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_bfs_distances_operator_direct(spark):
+    """Multi-source BFS on a hand-built graph: path 1-2-3-4-5 plus a
+    branch 2-10, seeds {1, 10}; node 99 in a separate component is
+    unreachable and must be absent. Depth bound truncates at max_hops."""
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (99, 98)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, seeds, 4).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # depth bound: with max_hops=2, nodes at distance 3+ are absent
+    got2 = {r.node: r.dist for r in bfs_distances(edges, seeds, 2).collect()}
+    assert got2 == {1: 0, 10: 0, 2: 1, 3: 2}
+    # shuffle-join path computes the same distances
+    got3 = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, 4, broadcast_frontier=False).collect()
+    }
+    assert got3 == got
+
+
+def test_range_join_band_boundaries(spark, tmp_path):
+    """q_j10_range's band is half-open [err_ts - 30min, err_ts): a click
+    exactly 30 minutes before the error matches; a click AT the error
+    timestamp does not; clicks after the error never match."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    mins = lambda m: (base + pd.Timedelta(minutes=m)).to_datetime64()
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, mins(0), 7, "error"),
+        (2, mins(-30), 7, "click"),   # exactly -30min -> matches
+        (3, mins(-31), 7, "click"),   # outside band
+        (4, mins(0), 7, "click"),     # at error ts -> excluded
+        (5, mins(-5), 8, "click"),    # other user
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    out = REGISTRY["q_j10_range"].spark(spark, str(tmp_path)).collect()
+    assert [(r.error_id, r.click_id, r.gap_us) for r in out] == [
+        (1, 2, 30 * 60 * 1_000_000)
+    ]
