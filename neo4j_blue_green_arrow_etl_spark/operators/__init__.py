@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     pipeline,
     relational,
     similarity,
+    sketches,
     temporal,
     textops,
 )

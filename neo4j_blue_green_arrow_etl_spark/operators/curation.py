@@ -310,3 +310,66 @@ def q_x13_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 20  # words per chunk
+CHUNK_STRIDE = 10  # start-to-start distance; < CHUNK_SIZE -> overlap
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, words,
+         unnest(range(1, len(words) + 1, {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(words[start : start + {CHUNK_SIZE} - 1], ' ') AS chunk_text,
+       CAST(least({CHUNK_SIZE}, len(words) - start + 1) AS INT) AS n_tokens
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "q_x14_chunk",
+    oracle=_CHUNK_ORACLE,
+    doc=f"Overlapping fixed-size chunking for context-window prep: every "
+    f"document becomes ceil(words/{CHUNK_STRIDE}) chunks of up to "
+    f"{CHUNK_SIZE} words starting every {CHUNK_STRIDE} words (50% "
+    "overlap). Pure column expressions — sequence of start offsets -> "
+    "transform(slice) -> posexplode — so the operator is map-only: no "
+    "shuffle, scales with scan bandwidth, and output partitioning "
+    "inherits input partitioning (each task chunks its own documents). "
+    "The tail chunk is kept short rather than padded; padding/packing "
+    "to a fixed token budget is q_x11_pack's job downstream.",
+)
+def q_x14_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, CHUNK_SIZE), " ")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            F.least(
+                F.lit(CHUNK_SIZE),
+                F.col("n_words") - F.col("chunk_id") * CHUNK_STRIDE,
+            ).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -699,6 +699,40 @@ def q_f8_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q_f9_bucket",
+    oracle=(
+        # DuckDB has no width_bucket; for lo=0, hi=600000, n=12 the
+        # SQL-standard definition reduces to floor(x/50000)+1 clamped
+        # to [0, 13] (o_totalprice is always > 0 here).
+        "SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) + 1 AS INT), 13) AS bucket, "
+        "COUNT(*) AS cnt, ROUND(MIN(o_totalprice), 2) AS lo, "
+        "ROUND(MAX(o_totalprice), 2) AS hi "
+        "FROM orders GROUP BY bucket ORDER BY bucket"
+    ),
+    doc="Equi-width histogram via the SQL-standard width_bucket "
+    "(feature binning for model inputs / data profiling). Map-side "
+    "partial aggregation means the shuffle carries at most 14 rows per "
+    "task (12 buckets + under/overflow) regardless of input size — the "
+    "canonical scan-bound profile query at 100 TB.",
+)
+def q_f9_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped semantics (batch-checkable)
 # ---------------------------------------------------------------------------

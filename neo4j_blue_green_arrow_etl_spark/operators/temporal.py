@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import fixtures as FX
 from .relational import normalize_event_ts, register
 
 SESSION_GAP = "30 minutes"
@@ -285,4 +286,42 @@ def q_j10_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("err_ts") - F.unix_micros("click_ts")).alias("gap_us"),
         )
         .orderBy("error_id", "click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build from snapshot generations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_w4_scd2",
+    oracle=FX.with_clause("snapshots")
+    + " SELECT customer_id, ts AS valid_from, "
+    "LEAD(ts) OVER (PARTITION BY customer_id ORDER BY ts) AS valid_to, "
+    "LEAD(ts) OVER (PARTITION BY customer_id ORDER BY ts) IS NULL AS is_current "
+    "FROM snapshots ORDER BY customer_id, valid_from",
+    doc="Slowly-changing-dimension (type 2) build over snapshot "
+    "generations: each (customer, snapshot-ts) becomes a validity "
+    "interval [valid_from, valid_to) closed by the customer's NEXT "
+    "snapshot, open (is_current) on the newest — the warehouse-side "
+    "record of exactly the blue/green cutover history the reference's "
+    "alias repointing enacts (reference load_with_aliases.py:163-178: "
+    "each SET DATABASE repoint supersedes the previous generation). "
+    "One window shuffle on customer_id; interval closing is lead(), "
+    "map-side after the shuffle. At 100 TB of dimension history this "
+    "is the standard one-shuffle SCD2 shape.",
+)
+def q_w4_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("customer_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return (
+        FX.snapshots_df(spark)
+        .select(
+            "customer_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("customer_id", "valid_from")
     )
