@@ -373,3 +373,66 @@ def q_x14_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (re-aggregate partials, not raw data)
+# ---------------------------------------------------------------------------
+
+INCR_CUTOFF = "2000-01-01"  # base = orders before, delta = orders on/after
+
+
+def partial_order_aggs(df: DataFrame) -> DataFrame:
+    """Partial-aggregate state per o_orderpriority: (pc, ps). This is
+    the table a production pipeline MATERIALIZES per ingest batch; it
+    is combinable forever after (sums of sums)."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("pc"), F.sum("o_totalprice").alias("ps")
+    )
+
+
+def combine_partials(*partials: DataFrame) -> DataFrame:
+    """Fold any number of partial-aggregate tables into final
+    (n_orders, total, avg_price) per group — cost O(sum of partial
+    sizes), independent of raw-data size."""
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = acc.unionByName(p)
+    return (
+        acc.groupBy("o_orderpriority")
+        .agg(F.sum("pc").alias("n_orders"), F.sum("ps").alias("total_raw"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("total_raw", 2).alias("total"),
+            F.round(F.col("total_raw") / F.col("n_orders"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_x15_incragg",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS total, "
+        "ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    doc="Incremental aggregate maintenance: the per-group aggregate of "
+    "base ∪ delta is computed by COMBINING the two partial-aggregate "
+    "tables (sum of sums, sum of counts; avg re-derived from them), "
+    f"never re-touching base rows — here base is orders before "
+    f"{INCR_CUTOFF} standing in for the already-aggregated 100 TB "
+    "history and delta is the new arrivals. The oracle aggregates the "
+    "full table directly, pinning the algebraic-decomposition identity. "
+    "At scale this is the difference between an O(delta) nightly job "
+    "and an O(history) one; only algebraic aggregates (sum/count/min/"
+    "max/avg-via-sum-count) decompose this way — holistic ones "
+    "(exact percentile) need sketch state instead (see q_a11_hll).",
+)
+def q_x15_incragg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    base = partial_order_aggs(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial_order_aggs(o.filter(F.col("o_orderdate") >= cutoff))
+    return combine_partials(base, delta).orderBy("o_orderpriority")

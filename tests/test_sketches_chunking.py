@@ -136,3 +136,37 @@ def test_bucket_histogram_covers_all_rows_and_respects_edges(spark):
         if 1 <= r.bucket <= 12:
             lo_edge, hi_edge = (r.bucket - 1) * 50000, r.bucket * 50000
             assert r.lo >= lo_edge and r.hi < hi_edge, r
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_agg_from_materialized_partials(spark, tmp_path):
+    """The production shape: partials are WRITTEN per ingest batch, then
+    combined later without the raw data — three arbitrary date slices,
+    partials round-tripped through parquet, combined result must equal
+    the direct aggregate of the full table."""
+    from neo4j_blue_green_arrow_etl_spark.operators.curation import (
+        combine_partials,
+        partial_order_aggs,
+    )
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    cuts = ["1997-01-01", "1999-06-01"]
+    slices = [
+        o.filter(F.col("o_orderdate") < cuts[0]),
+        o.filter((F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])),
+        o.filter(F.col("o_orderdate") >= cuts[1]),
+    ]
+    paths = []
+    for i, s in enumerate(slices):
+        p = str(tmp_path / f"partial_{i}")
+        partial_order_aggs(s).write.parquet(p)
+        paths.append(p)
+    combined = combine_partials(*[spark.read.parquet(p) for p in paths])
+    direct = combine_partials(partial_order_aggs(o))
+    got = {tuple(r) for r in combined.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
