@@ -477,3 +477,199 @@ def q_x12_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
     )
     return b.select("vec_id", "scale", qvec.alias("qvec")).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN: per-subvector codebooks -> 8-byte codes ->
+# asymmetric-distance (ADC) scan over codes only -> exact re-rank.
+# The third scale path: unlike LSH/IVF which SHRINK the candidate set,
+# PQ shrinks the BYTES per candidate (64 floats -> M code bytes), so the
+# approximate scan touches ~32x less data than the raw embeddings.
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subvectors (EMB_DIM/PQ_M dims each)
+PQ_K = 16  # codes per subvector codebook
+PQ_REFINE = 24  # exact re-rank pool = TOP_K * PQ_REFINE
+PQ_LLOYD_ITERS = 3  # distributed k-means refinement rounds
+
+
+def pq_codebooks(e: DataFrame):
+    """Per-subvector codebooks: PQ_K stride-sampled seed vectors (same
+    no-driver-id-collection discipline as ivf_centroids) refined with
+    PQ_LLOYD_ITERS distributed Lloyd iterations. Each iteration is one
+    mapInPandas pass emitting per-partition partial (sum, count) per
+    (subvector, code) cell — M*K*d partial sums, NOT data rows — and a
+    tiny groupBy; the only thing that ever reaches the driver is the
+    (PQ_M x PQ_K x d_sub) centroid tensor itself, which is small by
+    construction at any data scale.
+
+    Returns ndarray (PQ_M, PQ_K, EMB_DIM/PQ_M); full vectors are
+    L2-normalized before splitting (ranking by L2 on normalized
+    vectors == ranking by cosine)."""
+    import numpy as np
+
+    n = e.count()
+    step = max(n // PQ_K, 1)
+    pdf = (
+        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select("embedding")
+        .toPandas()
+    )
+    mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    cb = mat.reshape(PQ_K, PQ_M, -1).transpose(1, 0, 2).copy()
+    for _ in range(PQ_LLOYD_ITERS):
+        cb = _lloyd_round(e, cb)
+    return cb
+
+
+def _lloyd_round(e: DataFrame, cb):
+    """One distributed Lloyd iteration: assign every subvector to its
+    nearest code, aggregate per-(m, code) mean, move centroids. Empty
+    cells keep their previous centroid."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(cb)
+    d_sub = cb.shape[2]
+    schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def partials(it):
+        import pandas as pd
+
+        book = bc.value
+        acc_sum = np.zeros((PQ_M, PQ_K, d_sub))
+        acc_cnt = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        for pdf in it:
+            matb = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            matb /= np.sqrt((matb * matb).sum(axis=1, keepdims=True))
+            sub = matb.reshape(len(matb), PQ_M, -1)
+            d2 = ((sub[:, :, None, :] - book[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)  # (n, M)
+            for m in range(PQ_M):
+                np.add.at(acc_sum[m], codes[:, m], sub[:, m, :])
+                np.add.at(acc_cnt[m], codes[:, m], 1)
+        rows = [
+            (m, k, list(acc_sum[m, k]), int(acc_cnt[m, k]))
+            for m in range(PQ_M)
+            for k in range(PQ_K)
+            if acc_cnt[m, k] > 0
+        ]
+        yield pd.DataFrame(rows, columns=["m", "code", "vsum", "cnt"])
+
+    agg = (
+        e.select("embedding")
+        .mapInPandas(partials, schema=schema)
+        .groupBy("m", "code")
+        .agg(
+            F.array(
+                *[F.sum(F.col("vsum")[i]).alias(f"s{i}") for i in range(d_sub)]
+            ).alias("vsum"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .collect()
+    )
+    new_cb = cb.copy()
+    for r in agg:
+        if r.cnt:
+            new_cb[r.m, r.code] = np.asarray(r.vsum) / r.cnt
+    return new_cb
+
+
+def pq_encode(spark: SparkSession, e: DataFrame, cb) -> DataFrame:
+    """(vec_id, codes array<int>): each vector L2-normalized, split into
+    PQ_M subvectors, each assigned its nearest codebook entry — one
+    linear blocked-BLAS pass with the (PQ_M x PQ_K x d_sub) codebook
+    broadcast; shuffle-free."""
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(cb)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        book = bc.value  # (M, K, d)
+        for pdf in it:
+            mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            sub = mat.reshape(len(mat), PQ_M, -1)  # (n, M, d)
+            # ||s - c||^2 per (n, M, K): argmin over K
+            d2 = ((sub[:, :, None, :] - book[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2).astype("int32")  # (n, M)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(map(list, codes))}
+            )
+
+    return e.mapInPandas(encode, schema=schema)
+
+
+def _adc_table(cb, qvec):
+    """(PQ_M, PQ_K) table of squared distances from the query's
+    subvectors to every codebook entry — 128 floats, a literal in the
+    plan, NOT a data-path broadcast."""
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+    q /= np.sqrt((q * q).sum())
+    qsub = q.reshape(PQ_M, -1)  # (M, d)
+    return ((qsub[:, None, :] - cb) ** 2).sum(axis=2)  # (M, K)
+
+
+@register(
+    "q_sim_pq",
+    oracle=None,  # approximate; recall vs q_x2 asserted in tests.
+    doc=f"Product-quantization ANN top-{TOP_K}: {PQ_M}x{PQ_K} codebooks "
+    f"compress each vector to {PQ_M} code bytes; the scan ranks by "
+    "asymmetric distance (per-subvector table lookups, a pure JVM "
+    "aggregate over the codes array with the 128-float table inlined "
+    f"as a literal), keeps the best {TOP_K * PQ_REFINE} via "
+    "TakeOrderedAndProject, and re-ranks exactly only those. Scale: "
+    "the ADC scan reads codes instead of embeddings (~32x fewer "
+    "bytes); encode is one linear mapInPandas pass; at 100 TB the "
+    "codes table is the thing you keep hot while raw vectors stay "
+    "cold until re-rank.",
+)
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cb = pq_codebooks(e)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    tab = _adc_table(cb, qrow.embedding)
+
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in tab]
+    )
+    codes = pq_encode(spark, e, cb).filter(F.col("vec_id") != QUERY_VEC_ID)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            lambda c, m: F.element_at(F.element_at(tab_lit, m), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        codes.select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(TOP_K * PQ_REFINE)
+        .select("vec_id")
+    )
+    pool = e.join(F.broadcast(cand), "vec_id")
+    return _rerank(spark, pool, qrow.embedding, QUERY_VEC_ID)
