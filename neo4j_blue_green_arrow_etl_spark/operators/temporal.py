@@ -325,3 +325,44 @@ def q_w4_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("customer_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (merge-on-read latest state with delete semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_x16_cdc",
+    oracle=(
+        "SELECT user_id, ROUND(value, 2) AS last_value, ts AS updated_at "
+        "FROM (SELECT user_id, value, ts, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1 AND event_type <> 'error' "
+        "ORDER BY user_id"
+    ),
+    doc="CDC changelog apply — the merge-on-read pattern (Delta/Hudi "
+    "MERGE semantics re-expressed as a query): the events stream is "
+    "read as a keyed changelog where 'error' acts as a tombstone and "
+    "everything else upserts; a key's CURRENT row is its latest entry "
+    "(ts, event_id order), and keys whose latest entry is a tombstone "
+    "are absent from the result. ONE hash shuffle on the key + "
+    "in-partition sort (row_number, keep rn=1) — at 100 TB this is the "
+    "compaction query that turns an append-only changelog into the "
+    "current-state table, and it composes with q_x15_incragg's "
+    "partial-combine for incremental re-compaction of only the "
+    "partitions that received new changes.",
+)
+def q_x16_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("last_value"),
+            F.col("ts").alias("updated_at"),
+        )
+        .orderBy("user_id")
+    )

@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 ARROW_PYTHON_OK = {
     "q_mm_features",
     "q_sim_ivf",
+    "q_sim_pq",  # Arrow-batched encode pass (codes assignment)
     "q_sim_neardup",
     "q_udaf_wavg",
     "q_udf_qnorm",
@@ -42,7 +43,7 @@ ARROW_PYTHON_OK = {
 # corpus count) against the scan — that is the broadcast pattern for
 # similarity search and global-constant attachment, not an all-pairs
 # blow-up (cost = one pass over the big side x broadcast size).
-ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf", "q_x6_batchann", "q_x10_idf"}
+ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf", "q_sim_pq", "q_x6_batchann", "q_x10_idf"}
 
 # Queries that read every column of their base table by design.
 FULL_SCAN_OK = {"q_s1"}
