@@ -169,3 +169,54 @@ def extract_features(media: DataFrame) -> DataFrame:
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media_table(spark, sf_dir))
     return feats.orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: fixed-size frame extraction from binary payloads
+# ---------------------------------------------------------------------------
+
+FRAME_SIZE = 64  # bytes per "frame"
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "q_mm_frames",
+    oracle=(
+        "WITH f AS (SELECT doc_id AS media_id, text, "
+        f"length(text) // {FRAME_SIZE} AS nf FROM documents), "
+        "s AS (SELECT media_id, text, "
+        f"unnest(range(0, nf, {FRAME_STRIDE})) AS frame_idx FROM f) "
+        "SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, "
+        f"md5(substring(text, CAST(frame_idx * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE})) AS frame_md5 "
+        "FROM s ORDER BY media_id, frame_idx"
+    ),
+    doc=f"Video-style frame sampling over opaque binary payloads: treat "
+    f"each payload as consecutive {FRAME_SIZE}-byte frames, keep every "
+    f"{FRAME_STRIDE}th, emit the frame digest. ALL JVM-side: sequence of "
+    "frame indices -> explode -> substring on the BINARY column -> md5; "
+    "no Python touches the bytes (a real codec would slot in as a "
+    "mapInPandas stage per sampled frame, decoding ~1/stride of the "
+    "payload bytes — the sampling happens BEFORE decode, which is the "
+    "point at 100 TB of video). The oracle slices the source text "
+    "instead of the blob (DuckDB cannot slice BLOBs); the corpus is "
+    "pure ASCII so byte offsets == char offsets and the md5s agree — "
+    "pinned by the n_bytes==length check in tests.",
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    nf = (F.floor(F.octet_length("payload") / FRAME_SIZE)).cast("int")
+    idxs = F.when(
+        nf > 0, F.sequence(F.lit(0), nf - 1, F.lit(FRAME_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        m.select("media_id", "payload", idxs.alias("idxs"))
+        .select("media_id", "payload", F.explode("idxs").alias("frame_idx"))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.md5(
+                F.expr(f"substring(payload, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})")
+            ).alias("frame_md5"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

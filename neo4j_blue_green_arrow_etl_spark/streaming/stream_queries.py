@@ -194,3 +194,17 @@ def clicks_with_recent_errors(
         & (F.col("error_ts") <= F.col("click_ts"))
         & (F.col("error_ts") >= F.col("click_ts") - lag),
     ).select("click_id", "user_id", "error_id", F.round("error_value", 2).alias("error_value"))
+
+
+def deduped_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each seen key only until the
+    watermark passes its event time, so dedup state is O(keys per
+    watermark horizon) instead of O(all keys ever) — the difference
+    between a stream that runs for years and one that OOMs. Trade-off
+    (documented, inherent): a duplicate arriving later than the
+    watermark horizon after its first copy is NOT caught; the batch
+    q_st5_dropdup is the unbounded-state exact twin."""
+    return events.withWatermark("ts_t", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -225,3 +225,27 @@ def test_backpressure_caps_one_file_per_microbatch(spark, chunked_events_dir):
     assert len(data_batches) >= n_files
     total_rows = spark.read.parquet(chunked_events_dir).count()
     assert all(p["numInputRows"] < total_rows for p in data_batches)
+
+
+def test_watermark_dedup_drops_duplicates_within_horizon(spark, tmp_path):
+    """Each arrival file repeats the SAME event rows; the watermarked
+    dedup must emit every event exactly once (duplicates here arrive
+    within the watermark horizon), matching batch dropDuplicates."""
+    from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+        deduped_event_stream,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(400)
+    out = tmp_path / "dup_stream_in"
+    for _ in range(3):  # the same rows, three arrival files
+        e.coalesce(1).write.mode("append").parquet(str(out))
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, str(out))
+    result = run_to_completion(
+        deduped_event_stream(stream, watermark="3650 days"), name, output_mode="append"
+    )
+    got = [r.event_id for r in result.select("event_id").collect()]
+    want = {r.event_id for r in e.select("event_id").collect()}
+    assert len(got) == len(want), "duplicates leaked or rows lost"
+    assert set(got) == want
