@@ -375,6 +375,35 @@ def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_a12_gsets",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid, "
+        "COUNT(*) AS cnt FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+        "ORDER BY gid, 1 NULLS LAST, 2 NULLS LAST"
+    ),
+    doc="Explicit GROUPING SETS — the third grouping-set shape next to "
+    "rollup (q_a4) and cube (q_a5): per-status totals, per-priority "
+    "totals, and the grand total in ONE pass, with grouping_id "
+    "disambiguating real NULLs from grouping NULLs. Same Expand + one "
+    "shuffle physical plan as cube, but expansion factor is "
+    "|sets| = 3, not 2^cols — at 100 TB you enumerate exactly the "
+    "rollup tiers you need and pay shuffle rows ∝ |sets|.",
+)
+def q_a12_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gsets_orders")
+    return o.sparkSession.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid, "
+        "COUNT(*) AS cnt FROM _gsets_orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+        "ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
+    )
+
+
+@register(
     "q_j8_multiway",
     oracle=(
         "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "

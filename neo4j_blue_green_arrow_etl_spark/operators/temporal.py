@@ -366,3 +366,71 @@ def q_x16_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill (resampling to a regular grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts1_gapfill",
+    oracle=(
+        "WITH hourly AS ("
+        "  SELECT user_id, date_trunc('hour', ts) AS h, "
+        "  ROUND(SUM(value), 2) AS v, COUNT(*) AS n "
+        "  FROM events GROUP BY 1, 2"
+        "), bounds AS ("
+        "  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1"
+        "), grid AS ("
+        "  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h "
+        "  FROM bounds"
+        "), j AS ("
+        "  SELECT g.user_id, g.h, hr.v, hr.n FROM grid g "
+        "  LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h"
+        ") SELECT user_id, h AS hour, "
+        "LAST_VALUE(v IGNORE NULLS) OVER ("
+        "  PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS value_sum, "
+        "LAST_VALUE(n IGNORE NULLS) OVER ("
+        "  PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS n_events, "
+        "CAST(v IS NULL AS INT) AS is_gap "
+        "FROM j ORDER BY user_id, hour"
+    ),
+    doc="Time-series resampling: per-user hourly averages densified to "
+    "a REGULAR hourly grid (every hour between the user's first and "
+    "last activity) with forward fill across gaps (the filled pair "
+    "(value_sum, n_events) comes from the same latest bucket, so avg "
+    "stays derivable downstream without avg-rounding cross-engine "
+    "instability) — the hypertable "
+    "gap-fill/locf operator. Plan: one agg to hourly buckets, per-user "
+    "min/max bounds, sequence+explode generates each user's grid IN THE "
+    "EXECUTORS (rows ∝ span/granularity, never driver-side), left join "
+    "back, and ONE window shuffle for last(ignorenulls) forward fill. "
+    "At 100 TB the grid explode is bounded per key and the fill is the "
+    "same single-shuffle running-last shape as the as-of join.",
+)
+def q_ts1_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"), F.count("*").alias("n"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("value_sum"),
+        F.last("n", ignorenulls=True).over(w).alias("n_events"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    ).orderBy("user_id", "hour")
