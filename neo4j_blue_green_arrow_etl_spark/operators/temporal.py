@@ -434,3 +434,71 @@ def q_ts1_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("n", ignorenulls=True).over(w).alias("n_events"),
         F.col("v").isNull().cast("int").alias("is_gap"),
     ).orderBy("user_id", "hour")
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (trailing time interval) + ranking family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_w5_range",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "ROUND(SUM(value) OVER ("
+        "  PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 2) AS sum_24h "
+        "FROM events ORDER BY event_id"
+    ),
+    doc="RANGE-frame analytic window: per event, the sum of the same "
+    "user's values over the TRAILING 24 HOURS of event time — a frame "
+    "defined by value distance (epoch microseconds), not row count, so "
+    "simultaneous events share a frame and sparse/dense activity is "
+    "handled uniformly. ONE hash shuffle on user_id + in-partition "
+    "sort; Spark evaluates the range frame with a sliding two-pointer "
+    "pass per partition (O(n) amortized). The rows-frame twin is q_w2.",
+)
+def q_w5_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    day_us = 86_400_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_24h"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_w6_rank",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "DENSE_RANK() OVER w AS drank, "
+        "NTILE(4) OVER w AS quartile, "
+        "ROUND(PERCENT_RANK() OVER w, 6) AS prank "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+        "ORDER BY o_orderkey"
+    ),
+    doc="Ranking-function family in one window: dense_rank, ntile(4) "
+    "quartile assignment, and percent_rank over each customer's orders "
+    "by price. All three share ONE window spec, so Catalyst computes "
+    "them in a single shuffle + sort pass (one Window node, three "
+    "expressions) — the row_number variants are q_w1/q_x13_sample.",
+)
+def q_w6_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    ).orderBy("o_orderkey")
