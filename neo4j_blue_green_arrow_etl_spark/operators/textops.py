@@ -296,3 +296,66 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pii.alias("n_pii"),
         F.sha2(redacted, 256).alias("redacted_sha"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Model inference as column math: linear quality classifier
+# ---------------------------------------------------------------------------
+
+# Fixed demo weights: (intercept, n_words, mean_word_len, stopword_ratio,
+# upper_ratio). A trained model exports exactly this shape.
+QC_W = (-1.2, 0.004, 0.35, 1.8, -2.5)
+QC_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+
+@register(
+    "q_x17_score",
+    oracle=(
+        "WITH f AS (SELECT doc_id, "
+        "  len(string_split(text, ' ')) AS n_words, "
+        "  (length(text) - length(replace(text, ' ', '')) + 1.0) AS n_toks, "
+        "  length(replace(text, ' ', '')) * 1.0 "
+        "    / len(string_split(text, ' ')) AS mean_wlen, "
+        "  len(list_filter(string_split(text, ' '), "
+        f"    w -> list_contains({list(QC_STOPWORDS)!r}, w))) * 1.0 "
+        "    / len(string_split(text, ' ')) AS stop_ratio, "
+        "  len(list_filter(string_split(text, ''), "
+        "    c -> c >= 'A' AND c <= 'Z')) * 1.0 / length(text) AS upper_ratio "
+        "FROM documents) "
+        "SELECT doc_id, ROUND(1.0 / (1.0 + exp(-("
+        f"  {QC_W[0]} + {QC_W[1]} * n_words + {QC_W[2]} * mean_wlen "
+        f"  + {QC_W[3]} * stop_ratio + {QC_W[4]} * upper_ratio))), 6) AS quality "
+        "FROM f ORDER BY doc_id"
+    ),
+    doc="Model inference as column math: a linear quality classifier "
+    "(fixed exported weights over length/word-shape/stopword/case "
+    "features) evaluated as ONE codegen'd projection — sigmoid(w.x) "
+    "with every feature derived in the same stage. Map-only: no "
+    "shuffle, no Python, scales with scan bandwidth; at 100 TB this is "
+    "how a distilled quality model scores a corpus (heavier models "
+    "slot into the same position as an Arrow-batched mapInPandas, cf. "
+    "q_mm_features). Weights are data, not code: swapping a retrained "
+    "model changes only the literal vector.",
+)
+def q_x17_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    no_space = F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    mean_wlen = F.length(no_space) / n_words
+    stop_ratio = F.size(
+        F.filter(words, lambda w: w.isin(*QC_STOPWORDS))
+    ) / n_words
+    upper_ratio = F.size(
+        F.filter(F.split("text", ""), lambda c: (c >= "A") & (c <= "Z"))
+    ) / F.length("text")
+    z = (
+        F.lit(QC_W[0])
+        + F.lit(QC_W[1]) * n_words
+        + F.lit(QC_W[2]) * mean_wlen
+        + F.lit(QC_W[3]) * stop_ratio
+        + F.lit(QC_W[4]) * upper_ratio
+    )
+    return d.select(
+        "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality")
+    ).orderBy("doc_id")
