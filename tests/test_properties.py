@@ -209,3 +209,106 @@ def test_asof_tolerance_matches_python_reference(spark, rows, tol):
         for r in asof_join_events_tol(df, tol).collect()
     }
     assert got == _python_asof_tol(rows, tol)
+
+
+# ---------------------------------------------------------------------------
+# Chunking: Spark == pure-Python reference for arbitrary word counts
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(words: list[str], size: int, stride: int) -> list[tuple[int, str, int]]:
+    out = []
+    for i, start in enumerate(range(0, len(words), stride)):
+        piece = words[start : start + size]
+        out.append((i, " ".join(piece), len(piece)))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(1, 95),  # words per synthetic doc
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_chunking_matches_python_reference(spark, word_counts):
+    from neo4j_blue_green_arrow_etl_spark.operators.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+    from neo4j_blue_green_arrow_etl_spark.operators.relational import REGISTRY
+
+    docs = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(word_counts)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
+            for r in REGISTRY["q_x14_chunk"].spark(spark, td).collect()
+        }
+    want = {
+        (doc_id, cid, text, n)
+        for doc_id, doc_text in docs
+        for cid, text, n in _py_chunks(doc_text.split(" "), CHUNK_SIZE, CHUNK_STRIDE)
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: Spark == dict-replay reference for arbitrary changelogs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user_id
+            st.integers(0, 50),  # ts offset (seconds); duplicates exercised
+            st.sampled_from(["click", "purchase", "error"]),
+            st.floats(0, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cdc_apply_matches_dict_replay(spark, rows):
+    import datetime as dt
+    import tempfile, os
+
+    from neo4j_blue_green_arrow_etl_spark.operators.relational import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (eid, base + dt.timedelta(seconds=ts), uid, etype, round(val, 2), "{}")
+        for eid, (uid, ts, etype, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            (r.user_id, r.last_value)
+            for r in REGISTRY["q_x16_cdc"].spark(spark, td).collect()
+        }
+    # dict replay: last (ts, event_id) wins; 'error' tombstones the key
+    latest: dict[int, tuple] = {}
+    for eid, ts, uid, etype, val, _ in events:
+        k = (ts, eid)
+        if uid not in latest or k > latest[uid][0]:
+            latest[uid] = (k, etype, val)
+    want = {
+        (uid, round(val, 2))
+        for uid, (_, etype, val) in latest.items()
+        if etype != "error"
+    }
+    assert got == want
