@@ -673,3 +673,40 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = e.join(F.broadcast(cand), "vec_id")
     return _rerank(spark, pool, qrow.embedding, QUERY_VEC_ID)
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroid statistics (class means, long form)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_x18_centroid",
+    oracle=(
+        "SELECT label, pos, ROUND(SUM(v), 4) AS sum_v, COUNT(*) AS n "
+        "FROM (SELECT label, unnest(embedding) AS v, "
+        "unnest(range(0, len(embedding))) AS pos FROM embeddings) "
+        "GROUP BY label, pos ORDER BY label, pos"
+    ),
+    doc="Per-label embedding centroid statistics in LONG form: "
+    "posexplode each vector and aggregate per (label, dimension) — the "
+    "class-mean computation behind nearest-centroid classifiers and "
+    "per-class drift monitors (mean = sum_v / n downstream, same "
+    "avg-derivability discipline as q_ts1_gapfill/q_x15_incragg). "
+    "Scale note: posexplode shuffles rows x dim, the BUILT-IN route; "
+    "for very high dim the mapInPandas partial-sum pattern used by PQ "
+    "Lloyd training (similarity.py:_lloyd_round) computes the same "
+    "result with fixed-size per-partition state — both shapes ship, "
+    "pick by dim x cardinality.",
+)
+def q_x18_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")), 4).alias("sum_v"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
