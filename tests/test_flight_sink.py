@@ -121,3 +121,53 @@ def test_recreate_replaces_graph(spark, server):
     b = _sink(server)
     b.create_database()
     assert server.graphs["acme-100"]["nodes"] == 0
+
+
+def test_orchestrator_loads_through_flight_sink(spark, server, sf_dir, tmp_path):
+    """End-to-end blue/green over REAL gRPC: the orchestrator's
+    pluggable load_fn drives the Flight sink's two-phase protocol per
+    snapshot (create -> nodes -> barrier -> edges -> done) while the
+    catalog records the deployment for alias cutover — the full
+    reference composition (orchestrator.py load_snapshot ->
+    neo4j_arrow_client.py) in one test."""
+    from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+    from neo4j_blue_green_arrow_etl_spark.plans.catalog import DeploymentCatalog
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import read_snapshot
+    from neo4j_blue_green_arrow_etl_spark.streaming import Orchestrator
+
+    base = str(tmp_path / "data")
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 1767741427)
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 1767742000)
+
+    def flight_load(spark_, ref, catalog):
+        nodes, edges = read_snapshot(spark_, ref)
+        sink = FlightGraphSink(
+            ref.database, host="127.0.0.1", port=server.port
+        )
+        sink.create_database()
+        sink.write_nodes(nodes)
+        sink.nodes_done()
+        sink.write_edges(edges)
+        sink.edges_done()
+        catalog.register_deployment(
+            ref.customer_id, ref.timestamp, nodes, edges, source_path=str(ref.path)
+        )
+
+    catalog = DeploymentCatalog(spark, tmp_path / "catalog.json")
+    orch = Orchestrator(
+        spark,
+        base,
+        catalog=catalog,
+        load_fn=flight_load,
+        status_path=tmp_path / "status.json",
+    )
+    orch.run_cycle()
+    orch.run_cycle()
+
+    assert orch.stats.completed == 2
+    assert catalog.alias_target("acme") == "acme-1767742000"
+    # both generations landed on the Flight server, fully two-phased
+    for db in ("acme-1767741427", "acme-1767742000"):
+        g = server.graphs[db]
+        assert g["state"] == "done"
+        assert g["nodes"] > 0 and g["relationships"] > 0
