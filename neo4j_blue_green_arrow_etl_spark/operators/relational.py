@@ -1012,3 +1012,91 @@ def q_a10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("user_id", "kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation surfaced as registry queries: the ORACLE proves the
+# salted plans compute exactly what the plain plans compute.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_a13_salted",
+    oracle=(
+        "SELECT l_returnflag, COUNT(*) AS cnt, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(MAX(l_extendedprice), 2) AS max_price "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    doc="Two-phase SALTED aggregation on a 3-value group key (the "
+    "worst-case skew shape: 600k rows, 3 groups -> 3 reducers do all "
+    "the work in a plain plan). Phase 1 aggregates on (key, "
+    "xxhash64-salt%16), spreading each hot group over 16 tasks; phase "
+    "2 folds 16 partial rows per key. The DuckDB oracle is the PLAIN "
+    "aggregate — the correctness gate itself proves salted == plain, "
+    "which only holds for re-aggregable functions (sum/count/min/max; "
+    "see functions/skew.py). Deterministic salt (never rand()) keeps "
+    "retries and oracle runs reproducible.",
+)
+def q_a13_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        "l_returnflag",
+        {
+            "cnt": ("*", "count"),
+            "sum_qty_raw": ("l_quantity", "sum"),
+            "max_price_raw": ("l_extendedprice", "max"),
+        },
+        salt_from="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "cnt",
+        F.round("sum_qty_raw", 2).alias("sum_qty"),
+        F.round("max_price_raw", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_j11_skewjoin",
+    oracle=(
+        "SELECT o.o_orderpriority, COUNT(*) AS cnt, "
+        "ROUND(SUM(l.l_extendedprice), 2) AS total "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc="SALTED equi-join: the fact side's join keys are spread over 16 "
+    "deterministic salt buckets and the dimension side is exploded to "
+    "match, so a pathologically hot key lands on 16 tasks instead of "
+    "one (functions/skew.py:salted_join; left-preserving join types "
+    "only — the guard is pytest-pinned). The oracle is the PLAIN join "
+    "+ aggregate, proving the salted plan is result-identical. At "
+    "100 TB you reach for this when AQE's skew split cannot help (a "
+    "single key's hash-aggregate bucket cannot be split by AQE).",
+)
+def q_j11_skewjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        # (l_orderkey, l_linenumber) is the PK; the salt column must be
+        # unique so the hot key's rows spread across all buckets
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("_uid"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="l_orderkey", salt_from="_uid")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
