@@ -392,12 +392,17 @@ def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup tiers you need and pay shuffle rows ∝ |sets|.",
 )
 def q_a12_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("_gsets_orders")
+    # unique per-call view name (concurrent-run safe, same discipline
+    # as q_udtf_tokens)
+    view = f"_gsets_orders_{uuid.uuid4().hex[:8]}"
+    o.createOrReplaceTempView(view)  # stays registered: the plan is lazy
     return o.sparkSession.sql(
         "SELECT o_orderstatus, o_orderpriority, "
         "grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid, "
-        "COUNT(*) AS cnt FROM _gsets_orders "
+        f"COUNT(*) AS cnt FROM {view} "
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
         "ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
     )
