@@ -2,8 +2,14 @@
 blue/green cycle (discover -> load -> alias switch -> retention) on a
 snapshot materialized from $SPARK_GRAFT_SF_DIR-equivalent data.
 
-Usage: python tools/bench_pipeline.py [sf_dir]
+Usage: python tools/bench_pipeline.py [sf_dir] [--flight]
 Prints one JSON line: {"pipeline_sec": ..., "rows": ..., "rows_per_sec": ...}
+
+--flight routes the load through the Arrow Flight gRPC sink against an
+in-process server (per-partition executor-side do_put streams), so the
+reported rows/s is the measurable analogue of the reference's
+node/edge load throughput (load_with_aliases.py:131-160, logged but
+never published).
 """
 
 from __future__ import annotations
@@ -18,7 +24,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--flight"]
+    use_flight = "--flight" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from neo4j_blue_green_arrow_etl_spark.fixtures import materialize_snapshot
     from neo4j_blue_green_arrow_etl_spark.plans.catalog import DeploymentCatalog
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
@@ -38,11 +46,37 @@ def main() -> None:
     total_rows = nodes.count() + edges.count()
 
     cat = DeploymentCatalog(spark, manifest_path=base / "manifest.json")
-    orch = Orchestrator(spark, base, catalog=cat)
+    server = None
+    load_fn = None
+    if use_flight:
+        from neo4j_blue_green_arrow_etl_spark.sinks.flight_server import (
+            InMemoryGraphFlightServer,
+        )
+        from neo4j_blue_green_arrow_etl_spark.sinks.graph_sink import FlightGraphSink
+
+        server = InMemoryGraphFlightServer()
+
+        def load_fn(spark_, ref_, catalog_):
+            n, e = read_snapshot(spark_, ref_)
+            sink = FlightGraphSink(ref_.database, host="127.0.0.1", port=server.port)
+            sink.create_database()
+            sink.write_nodes(n)
+            sink.nodes_done()
+            sink.write_edges(e)
+            sink.edges_done()
+            catalog_.register_deployment(
+                ref_.customer_id, ref_.timestamp, n, e, source_path=str(ref_.path)
+            )
+
+    orch = Orchestrator(spark, base, catalog=cat, load_fn=load_fn)
     t0 = time.time()
     orch.run_cycle()
     wall = time.time() - t0
     assert cat.alias_target("bench") == "bench-1000", cat.list_aliases()
+    if server is not None:
+        g = server.graphs["bench-1000"]
+        assert g["state"] == "done" and g["nodes"] + g["relationships"] == total_rows
+        server.shutdown()
 
     print(
         json.dumps(
@@ -50,6 +84,7 @@ def main() -> None:
                 "pipeline_sec": round(wall, 3),
                 "rows": total_rows,
                 "rows_per_sec": round(total_rows / wall),
+                "sink": "flight-grpc" if use_flight else "parquet",
                 "sf_dir": sf_dir,
             }
         )
