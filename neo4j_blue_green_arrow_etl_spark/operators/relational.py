@@ -392,19 +392,16 @@ def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup tiers you need and pay shuffle rows ∝ |sets|.",
 )
 def q_a12_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     o = _t(spark, sf_dir, "orders")
-    # unique per-call view name (concurrent-run safe, same discipline
-    # as q_udtf_tokens)
-    view = f"_gsets_orders_{uuid.uuid4().hex[:8]}"
-    o.createOrReplaceTempView(view)  # stays registered: the plan is lazy
-    return o.sparkSession.sql(
+    # parameterized sql: no temp-view registration, nothing to leak or
+    # collide across concurrent/repeated runs
+    return spark.sql(
         "SELECT o_orderstatus, o_orderpriority, "
         "grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid, "
-        f"COUNT(*) AS cnt FROM {view} "
+        "COUNT(*) AS cnt FROM {o} "
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
-        "ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"
+        "ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST",
+        o=o,
     )
 
 

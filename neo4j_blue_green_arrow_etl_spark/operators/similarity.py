@@ -517,6 +517,12 @@ def pq_codebooks(e: DataFrame):
         .select("embedding")
         .toPandas()
     )
+    if len(pdf) < PQ_K:
+        raise ValueError(
+            f"PQ codebook training needs at least {PQ_K} seed vectors; "
+            f"stride-sampling vec_id % {step} == 0 yielded {len(pdf)} "
+            f"(table too small or vec_ids too sparse)"
+        )
     mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
     mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
     cb = mat.reshape(PQ_K, PQ_M, -1).transpose(1, 0, 2).copy()
@@ -655,7 +661,9 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tab_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in row]) for row in tab]
     )
-    codes = pq_encode(spark, e, cb).filter(F.col("vec_id") != QUERY_VEC_ID)
+    codes = pq_encode(
+        spark, e.select("vec_id", "embedding"), cb
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),

@@ -313,7 +313,6 @@ QC_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
     oracle=(
         "WITH f AS (SELECT doc_id, "
         "  len(string_split(text, ' ')) AS n_words, "
-        "  (length(text) - length(replace(text, ' ', '')) + 1.0) AS n_toks, "
         "  length(replace(text, ' ', '')) * 1.0 "
         "    / len(string_split(text, ' ')) AS mean_wlen, "
         "  len(list_filter(string_split(text, ' '), "

@@ -320,3 +320,26 @@ class FlightGraphSink(GraphSink):
 
     def _write_edges(self, edges: DataFrame) -> WriteResult:
         return self._put(edges, "relationship")
+
+
+def flight_load_fn(host: str, port: int):
+    """Orchestrator-compatible ``load_fn`` that loads each discovered
+    snapshot through the Flight sink's two-phase protocol (create ->
+    nodes -> barrier -> edges -> done) and records the deployment in
+    the catalog. One definition serves the pipeline bench and the
+    integration tests, so protocol changes have a single home."""
+    from ..sources.snapshot import read_snapshot
+
+    def load(spark, ref, catalog):
+        nodes, edges = read_snapshot(spark, ref)
+        sink = FlightGraphSink(ref.database, host=host, port=port)
+        sink.create_database()
+        sink.write_nodes(nodes)
+        sink.nodes_done()
+        sink.write_edges(edges)
+        sink.edges_done()
+        catalog.register_deployment(
+            ref.customer_id, ref.timestamp, nodes, edges, source_path=str(ref.path)
+        )
+
+    return load

@@ -132,33 +132,19 @@ def test_orchestrator_loads_through_flight_sink(spark, server, sf_dir, tmp_path)
     neo4j_arrow_client.py) in one test."""
     from neo4j_blue_green_arrow_etl_spark import fixtures as FX
     from neo4j_blue_green_arrow_etl_spark.plans.catalog import DeploymentCatalog
-    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import read_snapshot
+    from neo4j_blue_green_arrow_etl_spark.sinks.graph_sink import flight_load_fn
     from neo4j_blue_green_arrow_etl_spark.streaming import Orchestrator
 
     base = str(tmp_path / "data")
     FX.materialize_snapshot(spark, sf_dir, base, "acme", 1767741427)
     FX.materialize_snapshot(spark, sf_dir, base, "acme", 1767742000)
 
-    def flight_load(spark_, ref, catalog):
-        nodes, edges = read_snapshot(spark_, ref)
-        sink = FlightGraphSink(
-            ref.database, host="127.0.0.1", port=server.port
-        )
-        sink.create_database()
-        sink.write_nodes(nodes)
-        sink.nodes_done()
-        sink.write_edges(edges)
-        sink.edges_done()
-        catalog.register_deployment(
-            ref.customer_id, ref.timestamp, nodes, edges, source_path=str(ref.path)
-        )
-
     catalog = DeploymentCatalog(spark, tmp_path / "catalog.json")
     orch = Orchestrator(
         spark,
         base,
         catalog=catalog,
-        load_fn=flight_load,
+        load_fn=flight_load_fn("127.0.0.1", server.port),
         status_path=tmp_path / "status.json",
     )
     orch.run_cycle()

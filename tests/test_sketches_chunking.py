@@ -11,7 +11,10 @@ from neo4j_blue_green_arrow_etl_spark.operators.curation import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
 )
-from neo4j_blue_green_arrow_etl_spark.operators.sketches import distinct_sketches
+from neo4j_blue_green_arrow_etl_spark.operators.sketches import (
+    HLL_LGK,
+    distinct_sketches,
+)
 
 from conftest import SF_ORACLE, SF_SMOKE
 
@@ -56,7 +59,7 @@ def test_hll_sketches_merge_across_regroupings(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
     ).collect()[0].n
     direct = e.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("n")
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK))).alias("n")
     ).collect()[0].n
     assert merged == direct
 

@@ -52,21 +52,10 @@ def main() -> None:
         from neo4j_blue_green_arrow_etl_spark.sinks.flight_server import (
             InMemoryGraphFlightServer,
         )
-        from neo4j_blue_green_arrow_etl_spark.sinks.graph_sink import FlightGraphSink
+        from neo4j_blue_green_arrow_etl_spark.sinks.graph_sink import flight_load_fn
 
         server = InMemoryGraphFlightServer()
-
-        def load_fn(spark_, ref_, catalog_):
-            n, e = read_snapshot(spark_, ref_)
-            sink = FlightGraphSink(ref_.database, host="127.0.0.1", port=server.port)
-            sink.create_database()
-            sink.write_nodes(n)
-            sink.nodes_done()
-            sink.write_edges(e)
-            sink.edges_done()
-            catalog_.register_deployment(
-                ref_.customer_id, ref_.timestamp, n, e, source_path=str(ref_.path)
-            )
+        load_fn = flight_load_fn("127.0.0.1", server.port)
 
     orch = Orchestrator(spark, base, catalog=cat, load_fn=load_fn)
     t0 = time.time()
