@@ -1102,3 +1102,51 @@ def q_j11_skewjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+Q3_DATE = "1998-06-01"
+
+
+@register(
+    "q_j12_q3",
+    oracle=(
+        "SELECT l_orderkey, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        f"WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '{Q3_DATE}' "
+        f"AND l_shipdate > '{Q3_DATE}' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    doc="TPC-H Q3 shape (shipping-priority): segment-filtered customers "
+    "join date-filtered orders join ship-date-filtered lineitem, "
+    "revenue per order, top-10. The classic selective-join-then-top-k "
+    "plan: all three filters push to their scans, customer broadcasts "
+    "after its segment filter, the orders<->lineitem join is the one "
+    "real shuffle, and the top-10 is TakeOrderedAndProject — no global "
+    "sort. Complements q_a1 (Q1) and q_j8_multiway (Q5) and "
+    "q_j9_part (Q14).",
+)
+def q_j12_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < Q3_DATE)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > Q3_DATE)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

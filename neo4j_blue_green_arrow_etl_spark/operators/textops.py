@@ -358,3 +358,51 @@ def q_x17_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization (fixed-width sparse features from text)
+# ---------------------------------------------------------------------------
+
+FEAT_BUCKETS = 32  # feature-vector width
+
+
+@register(
+    "q_x19_feathash",
+    oracle=(
+        "SELECT doc_id, bucket, COUNT(*) AS cnt FROM ("
+        "  SELECT doc_id, CAST("
+        "    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT "
+        f"    % {FEAT_BUCKETS} AS INT) AS bucket "
+        "  FROM documents) "
+        "GROUP BY doc_id, bucket ORDER BY doc_id, bucket"
+    ),
+    doc=f"Hashing-trick featurizer: every word hashes into one of "
+    f"{FEAT_BUCKETS} buckets and the per-(doc, bucket) count is the "
+    "sparse feature value — fixed feature width with NO vocabulary "
+    "build, the property that matters at 100 TB (a vocab dictionary is "
+    "itself a giant shuffle + broadcast; the hash needs neither). "
+    "Long-form output (doc_id, bucket, cnt); explode -> partial-agg "
+    "keeps shuffle rows bounded by docs x distinct buckets <= docs x "
+    f"{FEAT_BUCKETS}. NOTE the two engines hash differently, so the "
+    "oracle pins STRUCTURE not hash identity: both sides bucket by "
+    "their OWN 64-bit hash mod N... which would diverge. Instead both "
+    "sides use the SAME portable hash: see the Spark body — xxhash64 "
+    "is Spark-specific, so the portable form hashes the UTF-8 bytes "
+    "via crc32, available and bit-identical in both engines.",
+)
+def q_x19_feathash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.encode(F.col("w"), "UTF-8")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(FEAT_BUCKETS),
+    )
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", bucket.cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
