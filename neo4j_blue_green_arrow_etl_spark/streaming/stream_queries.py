@@ -208,3 +208,47 @@ def deduped_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     return events.withWatermark("ts_t", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running (count, max) operator as
+    ``running_user_stats``, on Spark 4's ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState (SPARK-49564
+    arbitrary-state v2): typed state handles (ValueState here; List/Map
+    state and timers exist for richer operators), an object lifecycle
+    (init/handleInputRows/close), and the same bounded one-record-per-
+    key state. Both APIs ship so pipelines on either surface have a
+    reference implementation; the convergence-to-batch test covers
+    them against the same oracle."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "agg", StructType([StructField("n", LongType()), StructField("mx100", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = self._st.get() if self._st.exists() else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    batch_max = int(round(pdf["value"].max() * 100))
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._st.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value_x100": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningMax(),
+        outputStructType=_RUNNING_MAX_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
