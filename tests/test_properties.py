@@ -312,3 +312,28 @@ def test_cdc_apply_matches_dict_replay(spark, rows):
         if etype != "error"
     }
     assert got == want
+
+
+def test_canon_hash_detects_mutations():
+    """The gate's sensitivity contract: canon() hashes VALUES under a
+    name-sorted column order — any value change or row drop changes the
+    hash; row order and column order do not. Column NAMES are outside
+    canon's scope on purpose (the gate compares sorted name lists as a
+    separate schema check), so a pure rename that preserves sort order
+    hashes equal — pinned here so nobody mistakes canon alone for the
+    whole gate."""
+    rows = [(1, "a", 2.5), (2, "b", None), (3, "c", float("nan"))]
+    cols = ["id", "s", "v"]
+    base = canon(rows, cols)
+    assert canon([(1, "a", 2.5), (2, "b", None), (3, "c", 0.0)], cols) != base
+    assert canon(rows[:2], cols) != base
+    # row-order permutation does NOT change it
+    assert canon(list(reversed(rows)), cols) == base
+    # column reordering (values moved accordingly) doesn't either
+    perm_rows = [(s, i, v) for (i, s, v) in rows]
+    assert canon(perm_rows, ["s", "id", "v"]) == base
+    # sort-order-preserving rename: canon-equal, caught by schema check
+    assert canon(rows, ["id", "s", "w"]) == base
+    assert sorted(["id", "s", "w"]) != sorted(cols)  # the schema check
+    # sort-order-CHANGING rename does change the hash (values re-order)
+    assert canon(rows, ["id", "s", "a"]) != base
