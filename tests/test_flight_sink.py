@@ -157,3 +157,27 @@ def test_orchestrator_loads_through_flight_sink(spark, server, sf_dir, tmp_path)
         g = server.graphs[db]
         assert g["state"] == "done"
         assert g["nodes"] > 0 and g["relationships"] > 0
+
+
+def test_create_database_retries_transient_failures(spark, server, monkeypatch):
+    """Reference parity (neo4j_arrow_client.py:208-225): CREATE_DATABASE
+    retries up to 10x with a 3 s delay — a just-dropped same-name
+    database can linger during blue/green churn. Injected: the first
+    two action calls fail, the third succeeds; no real sleeping."""
+    sink = _sink(server, "retry-1")
+    sleeps = []
+    sink._create_sleep = sleeps.append
+    real_action = sink._action
+    calls = {"n": 0}
+
+    def flaky_action(action, body):
+        calls["n"] += 1
+        if action == "CREATE_DATABASE" and calls["n"] <= 2:
+            raise RuntimeError("transient: database still dropping")
+        return real_action(action, body)
+
+    monkeypatch.setattr(sink, "_action", flaky_action)
+    sink.create_database()
+    assert calls["n"] == 3
+    assert sleeps == [3.0, 3.0]
+    assert server.graphs["retry-1"]["state"] == "feeding_nodes"
