@@ -1,0 +1,56 @@
+"""Guards on the driver contract (__spark_entry__): the one interface
+the external harness calls. A regression here invalidates every other
+green signal, so the shape is pinned explicitly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+import __spark_entry__ as entrymod
+
+ROWS_ONLY = {"q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf", "q_sim_pq"}
+
+
+def test_entry_returns_nonempty_stable_dataframe(spark):
+    df = entrymod.entry(spark)
+    assert isinstance(df, DataFrame)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "cnt"]
+
+
+def test_queries_and_oracles_are_consistent(spark):
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    # every oracle belongs to a registered query
+    assert set(os_) <= set(qs)
+    # the only queries without oracles are the declared rows-only set
+    assert set(qs) - set(os_) == ROWS_ONLY
+    # names are stable identifiers (driver uses them as dict keys/files)
+    for name in qs:
+        assert name.startswith("q_") and name.replace("_", "").isalnum()
+    # every callable is lazy: building the DataFrame must not collect
+    sample = sorted(qs)[:3]
+    for name in sample:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert isinstance(df, DataFrame)
+
+
+def test_oracles_are_runnable_duckdb_sql():
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    # every oracle must at least PREPARE (parse + bind) in DuckDB
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover
+            raise AssertionError(f"oracle for {name} failed to plan: {ex}") from ex
