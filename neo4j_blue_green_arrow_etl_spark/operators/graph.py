@@ -16,7 +16,7 @@ iteration driver is needed for fixed k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fixtures as FX
@@ -470,3 +470,93 @@ def q_g6_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = bfs_distances(pairs, seeds, BFS_MAX_HOPS)
     return dist.select(F.col("node").alias("nodeId"), "dist").orderBy("nodeId")
+
+
+# --------------------------------------------------------------------------
+# Label propagation (synchronous, deterministic): community detection
+# --------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(node, label) after ``rounds`` SYNCHRONOUS label-propagation
+    steps over the undirected deduped edge set: each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label — both choices make the algorithm deterministic
+    (classic async LPA is run-order dependent, useless under an oracle).
+
+    Each round is one equi-join + count + per-node rank: the same
+    single-shuffle shape as a round of connected_components, and the
+    same lineage-truncation discipline. Communities (unlike CC) can
+    stabilize into local neighborhoods well before global connectivity
+    is resolved — rounds is a quality knob, not a convergence bound."""
+    sym = (
+        edges.toDF("a", "b")
+        .union(edges.toDF("b", "a").select("a", "b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("label")), "b"
+            )
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        FX.with_clause("edges").replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        ", sym AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        "SELECT sourceNodeId AS a, targetNodeId AS b FROM edges "
+        "UNION ALL SELECT targetNodeId AS a, sourceNodeId AS b FROM edges))",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f", l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT a AS node, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY a ORDER BY c DESC, label) AS rn FROM ("
+            f"SELECT s.a, l.label, COUNT(*) AS c FROM sym s "
+            f"JOIN l{p} l ON s.b = l.node GROUP BY 1, 2)) WHERE rn = 1)"
+        )
+    parts.append(
+        f" SELECT node AS nodeId, label AS community FROM l{LPA_ROUNDS} ORDER BY 1"
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_g7_lpa",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection: {LPA_ROUNDS} synchronous label-propagation "
+    "rounds over the entity<->address graph, most-frequent-neighbor "
+    "label with min-label tie-break (deterministic by construction — "
+    "classic async LPA is run-order dependent and cannot be "
+    "oracle-checked). One join + count + per-node rank per round, "
+    "lineage truncated per round; the oracle unrolls the identical "
+    "rounds as chained CTEs. Complements q_x5_dupclusters' connected "
+    "components (connectivity) with a density-based grouping.",
+)
+def q_g7_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = FX.edges(spark, sf_dir).select("sourceNodeId", "targetNodeId")
+    return (
+        label_propagation(e)
+        .select(F.col("node").alias("nodeId"), F.col("label").alias("community"))
+        .orderBy("nodeId")
+    )
