@@ -47,17 +47,19 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver artifact truncates long tails; keep a durable full copy
+    # in the repo (overwritten per run, committed per round).
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        Path(out).write_text(json.dumps(payload, indent=1) + "\n")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,10 @@ def retry_on_failure(
     neo4j_arrow_client.py:208-225; its fixed 3 s delay is the
     ``backoff=1.0`` case — pass backoff>1 for exponential).
 
+    ``max_retries`` is the TOTAL attempt budget, matching the
+    reference's ``for attempt in range(max_retries)`` loop: the
+    wrapped call runs at most ``max_retries`` times.
+
     Never used on the distributed data path: executor-side retries are
     Spark task retries. ``sleep`` is injectable for tests."""
     import functools
@@ -89,7 +93,7 @@ def retry_on_failure(
                     return fn(*args, **kwargs)
                 except retry_on as exc:
                     attempt += 1
-                    if attempt > max_retries:
+                    if attempt >= max_retries:
                         raise
                     sleep(delay * (backoff ** (attempt - 1)))
 

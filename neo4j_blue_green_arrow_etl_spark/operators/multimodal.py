@@ -72,19 +72,52 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pil_image_module():
+    """Pillow's Image module when importable, else None. Pillow is a
+    public optional extra — this container doesn't ship it, so the fake
+    path keeps every test runnable; where PIL exists the real decode is
+    exercised (guarded test in tests/test_extensions.py)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads.
 
-    Real decoding needs an image codec (Pillow / libvips) that is NOT in
-    this container — STUB: raises unless ``fake=True``, which computes a
-    deterministic byte-level stand-in (length + mean byte value) with
-    the exact batch shape a real decoder would use."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an image codec not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
-        )
+    With ``fake=True``: a deterministic byte-level stand-in (length +
+    mean byte value) with the exact batch shape a real decoder would
+    use. With ``fake=False``: real decoding via Pillow when importable
+    (n_bytes = payload length, byte_mean = mean decoded pixel value);
+    raises NotImplementedError only when no codec is available."""
     import numpy as np
+
+    if not fake:
+        Image = _pil_image_module()
+        if Image is None:
+            raise NotImplementedError(
+                "image decode requires an image codec (pillow) not present "
+                "in this environment; pass fake=True for the deterministic "
+                "stand-in"
+            )
+        import io
+
+        lengths, means = [], []
+        for b in payloads.to_numpy():
+            lengths.append(len(b))
+            with Image.open(io.BytesIO(b)) as im:
+                arr = np.asarray(im, dtype=np.float64)
+            means.append(float(arr.mean()) if arr.size else 0.0)
+        return pd.DataFrame(
+            {
+                "n_bytes": np.asarray(lengths, dtype=np.int64),
+                "byte_mean": np.asarray(means),
+            },
+            index=payloads.index,
+        )
 
     vals = payloads.to_numpy()
     lengths = np.fromiter((len(b) for b in vals), dtype=np.int64, count=len(vals))

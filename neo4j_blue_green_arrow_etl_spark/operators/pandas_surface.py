@@ -76,10 +76,13 @@ def q_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udf_zscore",
     oracle=(
+        # the trailing + 0.0 collapses IEEE -0.0 (a tiny negative z
+        # rounded to 4 places) to +0.0 — the engines otherwise disagree
+        # on the zero's sign at sf0.1
         "SELECT o_orderkey, "
         "ROUND(CASE WHEN stddev_pop(o_totalprice) OVER w = 0 THEN 0.0 "
         "ELSE (o_totalprice - AVG(o_totalprice) OVER w) / (stddev_pop(o_totalprice) OVER w) "
-        "END, 4) AS z FROM orders "
+        "END, 4) + 0.0 AS z FROM orders "
         "WINDOW w AS (PARTITION BY o_custkey) ORDER BY o_orderkey"
     ),
     doc="Per-customer z-score normalization — implemented NATIVELY with "
@@ -97,7 +100,8 @@ def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / s
     return o.select(
         "o_orderkey",
-        F.round(F.when(s == 0, 0.0).otherwise(z), 4).alias("z"),
+        # + 0.0 normalizes -0.0 (see oracle comment)
+        (F.round(F.when(s == 0, 0.0).otherwise(z), 4) + F.lit(0.0)).alias("z"),
     ).orderBy("o_orderkey")
 
 

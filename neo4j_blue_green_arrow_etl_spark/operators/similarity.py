@@ -34,6 +34,12 @@ NEARDUP_COS = 0.4
 LSH_PLANES = 6
 LSH_PROBE_HAMMING = 2
 EMB_DIM = 64
+# q_sim_neardup block sizing: B = ceil(n / NEARDUP_BLOCK_TARGET) so one
+# block-pair group holds <= 2*NEARDUP_BLOCK_TARGET vectors regardless of
+# table size. Kept small here so the sandbox tiers (500 / 2000 rows)
+# exercise multiple effective B; production would size this so a pair of
+# blocks fits executor memory (e.g. 100k rows x 64 float64 ~ 100 MB/pair).
+NEARDUP_BLOCK_TARGET = 256
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,16 +113,31 @@ def q_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs it participates in; one shuffle groups each pair's two blocks "
     "onto an executor where a single numpy matmul scores the cross "
     "product and emits only threshold-passing pairs. Nothing is ever "
-    "materialized on the driver — at 100 TB, B scales as N/block_target "
-    "so every group stays executor-sized (shuffle volume N*B rows, "
-    "compute O(N^2) as any exact all-pairs must be); q_sim_lsh is the "
-    "sub-quadratic path.",
+    "materialized on the driver — B is DERIVED as ceil(n/"
+    f"{NEARDUP_BLOCK_TARGET}) from a metadata-only parquet count, so "
+    "every group stays executor-sized at any scale (shuffle volume N*B "
+    "rows, compute O(N^2) as any exact all-pairs must be); q_sim_lsh is "
+    "the sub-quadratic path.",
 )
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return neardup_pairs(e)
+
+
+def neardup_block_count(n: int, block_target: int = NEARDUP_BLOCK_TARGET) -> int:
+    """ceil(n/block_target), min 1 — the invariant is that one block is
+    at most ``block_target`` rows (dense ids; ~balanced under pmod)."""
+    return max(-(-n // block_target), 1)
+
+
+def neardup_pairs(e: DataFrame, block_target: int = NEARDUP_BLOCK_TARGET) -> DataFrame:
+    """All (vec_a < vec_b) pairs with cosine >= NEARDUP_COS via the
+    distributed block-pair join described on q_sim_neardup."""
     from pyspark.sql import types as T
 
-    B = 8  # blocks -> B*(B+1)/2 = 36 pair-groups, replication factor B
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # Metadata-only count (parquet row-group stats; no data scan) sizes
+    # the block grid: B blocks -> B*(B+1)/2 pair-groups, replication B.
+    B = neardup_block_count(e.count(), block_target)
 
     # Replicate each vector to every unordered block pair containing its
     # block: vector in block k meets block j in group (min(k,j),max(k,j)).

@@ -388,8 +388,9 @@ FEAT_BUCKETS = 32  # feature-vector width
     "oracle pins STRUCTURE not hash identity: both sides bucket by "
     "their OWN 64-bit hash mod N... which would diverge. Instead both "
     "sides use the SAME portable hash: see the Spark body — xxhash64 "
-    "is Spark-specific, so the portable form hashes the UTF-8 bytes "
-    "via crc32, available and bit-identical in both engines.",
+    "is Spark-specific, so the portable form takes the first 8 hex "
+    "chars (32 bits) of md5 over the UTF-8 bytes, available and "
+    "bit-identical in both engines.",
 )
 def q_x19_feathash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

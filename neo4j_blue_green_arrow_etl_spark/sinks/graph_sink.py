@@ -239,9 +239,10 @@ class FlightGraphSink(GraphSink):
         finally:
             client.close()
 
-    # CREATE_DATABASE retries 10x / 3 s like the reference
-    # (@retry_on_failure on create_database, neo4j_arrow_client.py:
-    # 208-225): a just-dropped database of the same name can linger
+    # CREATE_DATABASE gets 10 total attempts, 3 s apart, like the
+    # reference (@retry_on_failure on create_database,
+    # neo4j_arrow_client.py:208-225, `for attempt in range(10)`): a
+    # just-dropped database of the same name can linger
     # server-side for a few seconds during blue/green churn. _sleep is
     # injectable for tests.
     _create_sleep = None
@@ -347,10 +348,21 @@ def flight_load_fn(host: str, port: int):
         nodes, edges = read_snapshot(spark, ref)
         sink = FlightGraphSink(ref.database, host=host, port=port)
         sink.create_database()
-        sink.write_nodes(nodes)
-        sink.nodes_done()
-        sink.write_edges(edges)
-        sink.edges_done()
+        try:
+            sink.write_nodes(nodes)
+            sink.nodes_done()
+            sink.write_edges(edges)
+            sink.edges_done()
+        except Exception:
+            # Don't leave the server database stuck in a feeding state:
+            # abort the import (reference parity — load_with_aliases.py
+            # clears stuck imports via client.abort) before surfacing
+            # the failure to the orchestrator's retry loop.
+            try:
+                sink.abort()
+            except Exception:
+                pass  # the original error is the one worth raising
+            raise
         catalog.register_deployment(
             ref.customer_id, ref.timestamp, nodes, edges, source_path=str(ref.path)
         )

@@ -210,25 +210,29 @@ def deduped_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-def running_user_stats_tws(events: DataFrame) -> DataFrame:
-    """The same per-user running (count, max) operator as
-    ``running_user_stats``, on Spark 4's ``transformWithStateInPandas``
-    — the successor API to applyInPandasWithState (SPARK-49564
-    arbitrary-state v2): typed state handles (ValueState here; List/Map
-    state and timers exist for richer operators), an object lifecycle
-    (init/handleInputRows/close), and the same bounded one-record-per-
-    key state. Both APIs ship so pipelines on either surface have a
-    reference implementation; the convergence-to-batch test covers
-    them against the same oracle."""
+def _make_running_user_stats_processor():
+    """Module-level construction of the TWS StatefulProcessor so its
+    batch-update logic is unit-testable with a faked handle (see
+    tests/test_streaming.py::test_tws_processor_logic_with_fake_handle)
+    even where the TWS state-server protocol (google.protobuf) is
+    unavailable. Import stays lazy: pyspark's stateful_processor module
+    is Spark-4-only public API."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    class RunningMax(StatefulProcessor):
+    class RunningUserStatsProcessor(StatefulProcessor):
+        """Per-user running (count, max*100) with one ValueState record
+        per key — identical semantics to the applyInPandasWithState
+        twin ``running_user_stats``."""
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._st = handle.getValueState(
-                "agg", StructType([StructField("n", LongType()), StructField("mx100", LongType())])
+                "agg",
+                StructType(
+                    [StructField("n", LongType()), StructField("mx100", LongType())]
+                ),
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -246,8 +250,22 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningUserStatsProcessor
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running (count, max) operator as
+    ``running_user_stats``, on Spark 4's ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState (SPARK-49564
+    arbitrary-state v2): typed state handles (ValueState here; List/Map
+    state and timers exist for richer operators), an object lifecycle
+    (init/handleInputRows/close), and the same bounded one-record-per-
+    key state. Both APIs ship so pipelines on either surface have a
+    reference implementation; the convergence-to-batch test covers
+    them against the same oracle."""
+    RunningUserStatsProcessor = _make_running_user_stats_processor()
     return events.groupBy("user_id").transformWithStateInPandas(
-        RunningMax(),
+        RunningUserStatsProcessor(),
         outputStructType=_RUNNING_MAX_SCHEMA,
         outputMode="Update",
         timeMode="None",

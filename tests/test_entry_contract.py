@@ -54,3 +54,26 @@ def test_oracles_are_runnable_duckdb_sql():
             con.execute(f"EXPLAIN {sql}")
         except Exception as ex:  # pragma: no cover
             raise AssertionError(f"oracle for {name} failed to plan: {ex}") from ex
+
+
+def test_local_sweep_artifact_covers_entire_registry():
+    """VERDICT r2 task 1: the driver's CORRECTNESS file caps at 50 rows,
+    so the full-registry evidence lives in the committed
+    CORRECTNESS_LOCAL_r*.json (tools/check_correctness.py --out). Guard:
+    the latest artifact exists, covers EVERY registered query, and
+    records zero failures — a stale or partial sweep fails this test."""
+    import json
+    from pathlib import Path
+
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    repo = Path(__file__).resolve().parent.parent
+    artifacts = sorted(repo.glob("CORRECTNESS_LOCAL_r*.json"))
+    assert artifacts, "no committed CORRECTNESS_LOCAL_r*.json sweep artifact"
+    data = json.loads(artifacts[-1].read_text())
+    queries = data["queries"]
+    missing = sorted(set(REGISTRY) - set(queries))
+    assert not missing, f"sweep artifact missing registry queries: {missing}"
+    failed = sorted(n for n, r in queries.items() if r["status"] == "fail")
+    assert not failed, f"sweep artifact records failures: {failed}"
+    assert data["summary"]["fail"] == 0

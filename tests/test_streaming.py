@@ -269,16 +269,28 @@ def test_transformwithstate_matches_batch(spark, chunked_events_dir):
         running_user_stats_tws,
     )
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:
+        prev_provider = None
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-
-    name = f"tws_{uuid.uuid4().hex[:8]}"
-    stream = read_event_stream(spark, chunked_events_dir)
-    result = run_to_completion(
-        running_user_stats_tws(stream), name, output_mode="update"
-    )
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        stream = read_event_stream(spark, chunked_events_dir)
+        result = run_to_completion(
+            running_user_stats_tws(stream), name, output_mode="update"
+        )
+    finally:
+        # don't leak the provider override into later streaming tests
+        # sharing this session
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     # update mode emits one row per (user, batch); keep the final state
     final = {}
     for r in result.collect():
@@ -300,3 +312,72 @@ def test_transformwithstate_matches_batch(spark, chunked_events_dir):
         if r.user_id not in best or r.n_events > best[r.user_id][0]:
             best[r.user_id] = (r.n_events, r.max_value_x100)
     assert best == want
+
+
+def test_tws_processor_logic_with_fake_handle():
+    """VERDICT r2 task 6: the container's broken google.protobuf blocks
+    the end-to-end transformWithStateInPandas run, so the processor's
+    state-update logic is proven here against a faked handle/ValueState
+    — multi-batch accumulation, max semantics, and one-record-per-key
+    bounded state — without the state server."""
+    import pandas as _pd
+
+    from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+        _make_running_user_stats_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = _make_running_user_stats_processor()()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    # batch 1: two chunks for user "u1"
+    out1 = list(
+        proc.handleInputRows(
+            ("u1",),
+            iter(
+                [
+                    _pd.DataFrame({"value": [1.0, 2.5]}),
+                    _pd.DataFrame({"value": [0.25]}),
+                ]
+            ),
+            None,
+        )
+    )
+    assert len(out1) == 1
+    assert out1[0].iloc[0].tolist() == ["u1", 3, 250]
+    # state holds exactly one record per key
+    assert handle.states["agg"].value == (3, 250)
+
+    # batch 2: running state carries over; new max wins
+    out2 = list(
+        proc.handleInputRows(("u1",), iter([_pd.DataFrame({"value": [9.99]})]), None)
+    )
+    assert out2[0].iloc[0].tolist() == ["u1", 4, 999]
+    assert handle.states["agg"].value == (4, 999)
+
+    # empty batch: count unchanged, emission still reflects state
+    out3 = list(
+        proc.handleInputRows(("u1",), iter([_pd.DataFrame({"value": []})]), None)
+    )
+    assert out3[0].iloc[0].tolist() == ["u1", 4, 999]
+    proc.close()

@@ -43,7 +43,17 @@ ARROW_PYTHON_OK = {
 # corpus count) against the scan — that is the broadcast pattern for
 # similarity search and global-constant attachment, not an all-pairs
 # blow-up (cost = one pass over the big side x broadcast size).
-ONE_ROW_BROADCAST_OK = {"q_x2", "q_sim_lsh", "q_sim_ivf", "q_sim_pq", "q_x6_batchann", "q_x10_idf"}
+ONE_ROW_BROADCAST_OK = {
+    "q_x2",
+    "q_sim_lsh",
+    "q_sim_ivf",
+    "q_sim_pq",
+    "q_x6_batchann",
+    "q_x10_idf",
+    # per-round plan only: the dangling-mass aggregate (ONE row) is
+    # crossJoin-broadcast onto the rank table each power iteration
+    "q_g5_pagerank",
+}
 
 # Queries that read every column of their base table by design.
 FULL_SCAN_OK = {"q_s1"}
@@ -97,9 +107,13 @@ def audit(name: str, plan: str) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import (
+        iterative_round_probes,
+    )
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
 
     spark = get_spark("audit_plans")
+    probes = iterative_round_probes()
     failures = 0
     for name in sorted(REGISTRY):
         try:
@@ -111,6 +125,15 @@ def main() -> int:
             failures += 1
             continue
         problems = audit(name, full if "ReadSchema" in full else plan)
+        # iterative queries checkpoint per round: ALSO audit the
+        # per-round plan — the one that actually runs N times
+        if name in probes:
+            try:
+                rdf = probes[name][0](spark, sf_dir)
+                rplan = rdf._jdf.queryExecution().toString()
+                problems += [f"round-plan: {p}" for p in audit(name, rplan)]
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"round-plan probe error: {e}")
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")

@@ -58,14 +58,19 @@ def main() -> None:
         load_fn = flight_load_fn("127.0.0.1", server.port)
 
     orch = Orchestrator(spark, base, catalog=cat, load_fn=load_fn)
-    t0 = time.time()
-    orch.run_cycle()
-    wall = time.time() - t0
-    assert cat.alias_target("bench") == "bench-1000", cat.list_aliases()
-    if server is not None:
-        g = server.graphs["bench-1000"]
-        assert g["state"] == "done" and g["nodes"] + g["relationships"] == total_rows
-        server.shutdown()
+    try:
+        t0 = time.time()
+        orch.run_cycle()
+        wall = time.time() - t0
+        assert cat.alias_target("bench") == "bench-1000", cat.list_aliases()
+        if server is not None:
+            g = server.graphs["bench-1000"]
+            assert g["state"] == "done" and g["nodes"] + g["relationships"] == total_rows
+    finally:
+        # shut the gRPC server down even when the cycle or an assertion
+        # fails, so the bench process doesn't leak the server thread
+        if server is not None:
+            server.shutdown()
 
     print(
         json.dumps(

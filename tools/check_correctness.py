@@ -4,12 +4,18 @@ Runs every registered query on Spark AND its DuckDB oracle over the
 same parquet tables, then compares row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--out FILE.json] [sf_dir] [query ...]
+
+With --out, also writes a machine-readable artifact
+{name: {"status": "pass"|"rows_only"|"fail", "rows": N, "secs": s,
+"detail": ...}} so the full-registry sweep is durable in git even though
+the driver's per-round CORRECTNESS file caps at 50 rows.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 from pathlib import Path
@@ -53,8 +59,14 @@ def canon(rows, columns) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
@@ -67,6 +79,7 @@ def main() -> int:
         )
 
     failures = []
+    report: dict[str, dict] = {}
     for name, spec in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
@@ -78,9 +91,21 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {
+                "status": "fail",
+                "rows": None,
+                "secs": round(time.time() - t0, 2),
+                "detail": f"spark error: {e}"[:300],
+            }
             continue
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            report[name] = {
+                "status": "rows_only",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 2),
+                "detail": "no oracle by design; recall asserted in pytest",
+            }
             continue
         try:
             res = con.execute(spec.oracle)
@@ -89,6 +114,12 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
+            report[name] = {
+                "status": "fail",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 2),
+                "detail": f"oracle error: {e}"[:300],
+            }
             continue
         problems = []
         if len(srows) != len(orows):
@@ -106,9 +137,33 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failures.append(name)
+            report[name] = {
+                "status": "fail",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 2),
+                "detail": "; ".join(problems)[:300],
+            }
         else:
             print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            report[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 2),
+                "detail": None,
+            }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if out_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(report),
+            "pass": sum(1 for r in report.values() if r["status"] == "pass"),
+            "rows_only": sum(1 for r in report.values() if r["status"] == "rows_only"),
+            "fail": len(failures),
+        }
+        Path(out_path).write_text(
+            json.dumps({"summary": summary, "queries": report}, indent=1) + "\n"
+        )
+        print(f"wrote {out_path}: {summary}")
     return 1 if failures else 0
 
 
