@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     relational,
     similarity,
     sketches,
+    subqueries,
     temporal,
     textops,
 )

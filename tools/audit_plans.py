@@ -53,6 +53,9 @@ ONE_ROW_BROADCAST_OK = {
     # per-round plan only: the dangling-mass aggregate (ONE row) is
     # crossJoin-broadcast onto the rank table each power iteration
     "q_g5_pagerank",
+    # the global-average scalar subquery: a ONE-ROW aggregate broadcast
+    # onto the customer scan
+    "q_sq4_scalar",
 }
 
 # Queries that read every column of their base table by design.
