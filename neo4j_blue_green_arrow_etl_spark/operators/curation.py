@@ -436,3 +436,46 @@ def q_x15_incragg(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = partial_order_aggs(o.filter(F.col("o_orderdate") < cutoff))
     delta = partial_order_aggs(o.filter(F.col("o_orderdate") >= cutoff))
     return combine_partials(base, delta).orderBy("o_orderpriority")
+
+
+@register(
+    "q_x20_tokfreq",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        "freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1), "
+        "tot AS (SELECT SUM(c) AS n FROM freq) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, MIN(c) AS rarest_count, "
+        "ROUND(SUM(c) * 1000000.0 / (MAX(n) * COUNT(*)), 4) AS avg_freq_ppm "
+        "FROM tok JOIN freq USING (w), tot GROUP BY doc_id ORDER BY 1"
+    ),
+    doc="Corpus-statistics document scoring (unigram-LM proxy): each "
+    "doc's average token corpus-frequency (ppm) and its rarest token's "
+    "count — the common-wordness / OOV-risk signals a pretraining "
+    "quality filter thresholds on. Two shuffles (token count, doc "
+    "regroup) + the corpus total as a one-row broadcast; the frequency "
+    "table joins back on the token (at 100 TB the head of that table "
+    "is the classic skew key — salt or AQE-split it). Determinism: all "
+    "aggregates are INTEGER sums/mins (exact at any partition order); "
+    "the single double division happens once per row at the end.",
+)
+def q_x20_tokfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min("c").alias("rarest_count"),
+            F.round(
+                F.sum("c") * 1000000.0 / (F.max("n") * F.count("*")), 4
+            ).alias("avg_freq_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -310,3 +310,36 @@ def q_f11_regexall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(first == "", "-").otherwise(first).alias("first_long_word"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_sq6_q2min",
+    oracle=(
+        "SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal "
+        "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2 "
+        "WHERE s2.s_nationkey = s.s_nationkey) ORDER BY 1"
+    ),
+    doc="Correlated MIN join-back (TPC-H Q2 shape): the supplier(s) "
+    "holding each nation's minimum balance. Unlike argmin/max_by "
+    "(q_t2_argmax) this KEEPS ties — the subquery decorrelates into a "
+    "per-nation MIN aggregate equi-joined back on (nationkey, acctbal). "
+    "The equality compares a selected value (no arithmetic) so it is "
+    "exact across engines. Both the aggregate and the nation dim "
+    "broadcast; the probe side scans once.",
+)
+def q_sq6_q2min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    mn = s.groupBy(F.col("s_nationkey").alias("m_nationkey")).agg(
+        F.min("s_acctbal").alias("mn")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(mn),
+            (s["s_nationkey"] == mn["m_nationkey"]) & (s["s_acctbal"] == mn["mn"]),
+        )
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

@@ -56,10 +56,13 @@ ONE_ROW_BROADCAST_OK = {
     # the global-average scalar subquery: a ONE-ROW aggregate broadcast
     # onto the customer scan
     "q_sq4_scalar",
+    # corpus-total (ONE row) broadcast onto the token-frequency join
+    "q_x20_tokfreq",
 }
 
 # Queries that read every column of their base table by design.
-FULL_SCAN_OK = {"q_s1"}
+# q_sq6_q2min projects/joins/filters on all 4 supplier columns.
+FULL_SCAN_OK = {"q_s1", "q_sq6_q2min"}
 
 TABLE_WIDTHS = {
     "lineitem": 11,
