@@ -253,3 +253,88 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# Audio-style windowing: treat the payload as a waveform of 8-bit
+# samples and frame it into fixed windows (160 samples = "10 ms at
+# 16 kHz" stand-in), computing per-frame energy/RMS — the front half of
+# every audio featurizer (VAD, loudness normalization, spectrogram
+# framing). A real PCM decode is the same plumbing with int16 frames.
+AUDIO_WINDOW = 160
+
+
+@register(
+    "q_mm_audio_rms",
+    oracle=(
+        "WITH idx AS (SELECT doc_id AS media_id, text, "
+        "unnest(range(1, length(text) + 1)) AS i FROM documents), "
+        f"s AS (SELECT media_id, CAST((i - 1) // {AUDIO_WINDOW} AS INT) AS win, "
+        "unicode(text[i]) AS v FROM idx) "
+        "SELECT media_id, win, COUNT(*) AS n_samples, "
+        "SUM(v * v) * 1.0 / COUNT(*) AS energy, "
+        "sqrt(SUM(v * v) * 1.0 / COUNT(*)) AS rms "
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc=f"Audio-shaped windowed energy: frame each payload into "
+    f"{AUDIO_WINDOW}-sample windows (ragged tail kept) and emit "
+    "per-window sample count, mean energy, and RMS. Arrow-batched "
+    "mapInPandas with the same zero-per-byte-Python discipline as "
+    "q_mm_features: one concatenated uint8 buffer, one squared cumsum, "
+    "sliced at window offsets built by vectorized repeat/arange — "
+    "map-only, no shuffle, scales with payload bytes. Integer "
+    "sums of squares are exact, so the single division + IEEE sqrt "
+    "(correctly rounded) is engine-independent — NO decimal rounding "
+    "on either side (np.round is half-even, SQL ROUND half-away; at a "
+    "…5 boundary they disagree, so the raw doubles are the stable "
+    "contract). Oracle recovers byte values via unicode() over the "
+    "ASCII stand-in payloads.",
+)
+def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    W = AUDIO_WINDOW
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("win", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            vals = pdf["payload"].to_numpy()
+            n = len(vals)
+            lengths = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+            nwin = -(-lengths // W)  # ceil; 0-length payloads get 0 windows
+            buf = np.frombuffer(b"".join(vals), dtype=np.uint8).astype(np.int64)
+            sq = np.concatenate(([0], np.cumsum(buf * buf)))
+            doc_off = np.concatenate(([0], np.cumsum(lengths)))
+            total = int(nwin.sum())
+            win_off = np.concatenate(([0], np.cumsum(nwin)))
+            # window index within its payload, fully vectorized
+            win = np.arange(total) - np.repeat(win_off[:-1], nwin)
+            starts = np.repeat(doc_off[:-1], nwin) + win * W
+            ends = np.minimum(starts + W, np.repeat(doc_off[1:], nwin))
+            n_samp = ends - starts
+            esum = sq[ends] - sq[starts]
+            energy = esum / n_samp  # n_samp >= 1 by construction
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), nwin),
+                    "win": win.astype(np.int32),
+                    "n_samples": n_samp,
+                    "energy": energy,
+                    "rms": np.sqrt(energy),
+                }
+            )
+
+    return (
+        m.select("media_id", "payload")
+        .mapInPandas(frames, out_schema)
+        .orderBy("media_id", "win")
+    )

@@ -297,3 +297,35 @@ def test_neardup_block_count_derives_from_table_size(spark):
     sizes = replicated.groupBy("pa", "pb").count().collect()
     assert len(sizes) == B * (B + 1) // 2
     assert max(r["count"] for r in sizes) <= 2 * block_cap
+
+
+def test_audio_rms_windows_edge_cases(spark):
+    """Windowed RMS: ragged tail window keeps its true sample count;
+    empty payloads emit no windows; values match a direct numpy
+    computation."""
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators.multimodal import AUDIO_WINDOW
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    rows = REGISTRY["q_mm_audio_rms"].spark(spark, SF_SMOKE).collect()
+    assert rows, "no windows produced"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, []).append(r)
+    for mid, wins in list(by_doc.items())[:25]:
+        data = np.frombuffer(docs[mid].encode(), dtype=np.uint8).astype(np.int64)
+        n = len(data)
+        assert len(wins) == -(-n // AUDIO_WINDOW)
+        for r in sorted(wins, key=lambda x: x.win):
+            seg = data[r.win * AUDIO_WINDOW : (r.win + 1) * AUDIO_WINDOW]
+            assert r.n_samples == len(seg)
+            want = (seg * seg).sum() / len(seg)
+            assert r.energy == want
+            assert r.rms == np.sqrt(want)
+    # docs produce ceil(len/W) windows only — no empty-window rows
+    assert all(r.n_samples >= 1 for r in rows)

@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Queries that legitimately run Arrow-batched Python on the data path.
 ARROW_PYTHON_OK = {
     "q_mm_features",
+    "q_mm_audio_rms",
     "q_sim_ivf",
     "q_sim_pq",  # Arrow-batched encode pass (codes assignment)
     "q_sim_neardup",
