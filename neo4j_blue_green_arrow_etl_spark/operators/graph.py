@@ -210,20 +210,28 @@ def pagerank(
     by :func:`write_bucketed_edges` + the round >= 2 no-edge-exchange
     assertion in tests/test_bucketing.py."""
     e = edges.toDF("src", "dst").localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    nd = (
-        nodes.join(deg, nodes["node"] == deg["src"], "left")
-        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    nd = _pagerank_inputs(e).localCheckpoint(eager=True)
     n = nd.count()
     ranks = nd.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         ranks = _pagerank_round(e, nd, ranks, n, damping).localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def _pagerank_inputs(e: DataFrame) -> DataFrame:
+    """The (node, deg) table every PageRank variant starts from —
+    shared by :func:`pagerank`, the plan probe, and the bucketed-edge
+    test so all three audit the SAME input construction. ``e`` must
+    have columns (src, dst)."""
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes.join(deg, nodes["node"] == deg["src"], "left").select(
+        "node", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
 
 
 def _pagerank_round(
@@ -613,17 +621,7 @@ def iterative_round_probes() -> dict:
             .toDF("src", "dst")
             .localCheckpoint(eager=True)
         )
-        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        nd = (
-            nodes.join(deg, nodes["node"] == deg["src"], "left")
-            .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-            .localCheckpoint(eager=True)
-        )
+        nd = _pagerank_inputs(e).localCheckpoint(eager=True)
         # ranks as the loop holds it after a checkpointed prior round
         ranks = nd.withColumn("rank", F.lit(1.0 / 1000)).localCheckpoint(eager=True)
         return _pagerank_round(e, nd, ranks, 1000, PAGERANK_DAMPING)

@@ -133,12 +133,15 @@ def q_sq3_corr17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == Q17_BRAND)
         .select("p_partkey")
     )
-    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    # restrict to the brand's lineitems BEFORE aggregating: the per-part
+    # AVG is identical (partkey determines the group) but the aggregate
+    # shuffles only the brand's share of the table, not all of lineitem
+    brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+    thresh = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_thresh")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(thresh, li["l_partkey"] == thresh["t_partkey"])
+        brand_li.join(thresh, brand_li["l_partkey"] == thresh["t_partkey"])
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             F.round(
@@ -258,9 +261,12 @@ def q_w7_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_f10_hof",
     oracle=(
+        # COALESCE: DuckDB's list_aggregate([], 'sum') is NULL while
+        # Spark's aggregate fold starts at 0.0 — an all-nonpositive
+        # embedding must score 0.0 on both sides
         "SELECT vec_id, "
-        "ROUND(list_aggregate(list_transform(list_filter(embedding, x -> x > 0), "
-        "x -> x::DOUBLE * x::DOUBLE), 'sum'), 4) AS pos_energy, "
+        "COALESCE(ROUND(list_aggregate(list_transform(list_filter(embedding, x -> x > 0), "
+        "x -> x::DOUBLE * x::DOUBLE), 'sum'), 4), 0.0) AS pos_energy, "
         "len(list_filter(embedding, x -> x > 0)) AS n_pos "
         "FROM embeddings ORDER BY 1"
     ),

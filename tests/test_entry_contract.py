@@ -68,7 +68,12 @@ def test_local_sweep_artifact_covers_entire_registry():
     from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
 
     repo = Path(__file__).resolve().parent.parent
-    artifacts = sorted(repo.glob("CORRECTNESS_LOCAL_r*.json"))
+    # sort by the NUMERIC round suffix: lexicographic order would pick
+    # r9 over r10 once rounds reach double digits
+    artifacts = sorted(
+        repo.glob("CORRECTNESS_LOCAL_r*.json"),
+        key=lambda p: int(p.stem.rsplit("_r", 1)[1]),
+    )
     assert artifacts, "no committed CORRECTNESS_LOCAL_r*.json sweep artifact"
     data = json.loads(artifacts[-1].read_text())
     queries = data["queries"]

@@ -63,6 +63,9 @@ def main() -> int:
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: check_correctness.py [--out FILE.json] [sf_dir] [query ...]")
+            return 2
         out_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
