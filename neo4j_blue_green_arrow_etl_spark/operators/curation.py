@@ -37,7 +37,7 @@ Design notes (the 100 TB argument per operator):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import register
@@ -478,4 +478,132 @@ def q_x20_tokfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_freq_ppm"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Passage-level exact span dedup (C4/RefinedWeb-style duplicated spans)
+# --------------------------------------------------------------------------
+
+SPAN_WORDS = 10  # non-overlapping passage length in words
+
+
+@register(
+    "q_x23_spandedup",
+    oracle=(
+        "WITH toks AS ("
+        " SELECT doc_id, string_split(text, ' ') AS t,"
+        f" len(string_split(text, ' ')) // {SPAN_WORDS} AS np"
+        " FROM documents"
+        "), plist AS ("
+        " SELECT doc_id, list_transform(range(0, np),"
+        f" i -> array_to_string(t[i*{SPAN_WORDS}+1 : i*{SPAN_WORDS}+{SPAN_WORDS}], ' ')) AS passages"
+        " FROM toks"
+        "), pass AS ("
+        " SELECT doc_id, CAST(unnest(range(0, len(passages))) AS INT) AS p,"
+        " unnest(passages) AS passage FROM plist"
+        "), marked AS ("
+        " SELECT doc_id, p,"
+        " (row_number() OVER (PARTITION BY passage ORDER BY doc_id, p) > 1) AS is_dup"
+        " FROM pass"
+        ") SELECT doc_id, COUNT(*) AS n_passages,"
+        " SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup,"
+        " ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac"
+        " FROM marked GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc=f"Passage-level exact span dedup: each document is cut into "
+    f"non-overlapping {SPAN_WORDS}-word passages; an occurrence is a "
+    "duplicate iff an earlier (doc_id, position) emitted the same "
+    "passage corpus-wide (the C4/RefinedWeb 'remove duplicated spans' "
+    "primitive, reported here as per-doc dup fraction). Plan: JVM "
+    "transform/slice builds passages (no Python), posexplode, ONE "
+    "shuffle keyed by passage for the first-occurrence window, one "
+    "groupBy doc. Scale: passage keys are near-unique so the shuffle "
+    "is skew-free; at 100 TB hash the passage to a 128-bit digest "
+    "first (as q_x1 does for whole docs) so shuffle rows stay "
+    "constant-width instead of carrying full text.",
+)
+def q_x23_spandedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).withColumn("np", (F.size("t") / SPAN_WORDS).cast("int"))
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("np") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * SPAN_WORDS + 1, SPAN_WORDS), " "
+                ),
+            )
+        ).alias("p", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "p")
+    marked = passages.withColumn("is_dup", F.row_number().over(w) > 1)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
+            F.round(
+                F.sum(F.col("is_dup").cast("int")) / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Percentile winsorization (outlier clipping for feature columns)
+# --------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "q_x25_winsorize",
+    oracle=(
+        "WITH q AS (SELECT lang, "
+        f"quantile_cont(n_chars, {WINSOR_LO}) AS lo, "
+        f"quantile_cont(n_chars, {WINSOR_HI}) AS hi "
+        "FROM documents GROUP BY 1) "
+        "SELECT d.lang, COUNT(*) AS n, "
+        "ROUND(AVG(LEAST(GREATEST(d.n_chars, q.lo), q.hi)), 4) AS clipped_mean, "
+        "SUM(CASE WHEN d.n_chars < q.lo OR d.n_chars > q.hi THEN 1 ELSE 0 END) AS n_clipped "
+        "FROM documents d JOIN q USING (lang) GROUP BY d.lang ORDER BY d.lang"
+    ),
+    doc=f"Percentile winsorization: per-language p{int(WINSOR_LO*100)}/"
+    f"p{int(WINSOR_HI*100)} bounds on document length, values clipped "
+    "into the band — the outlier treatment feature pipelines apply "
+    "before normalization (vs dropping rows, which shifts the "
+    "distribution). Two passes by necessity (bounds, then clip): the "
+    "per-group bound table is group-cardinality (5 rows) and "
+    "broadcasts back onto the scan, so the fact table shuffles only "
+    "for its own final groupBy. Exact interpolated percentile both "
+    "sides; approx_percentile is the documented 100 TB swap (q_a7).",
+)
+def q_x25_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("lang", "n_chars")
+    q = d.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {WINSOR_LO}D)").alias("lo"),
+        F.expr(f"percentile(n_chars, {WINSOR_HI}D)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi"))
+    return (
+        d.join(F.broadcast(q), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clipped), 4).alias("clipped_mean"),
+            F.sum(
+                (
+                    (F.col("n_chars") < F.col("lo"))
+                    | (F.col("n_chars") > F.col("hi"))
+                ).cast("int")
+            ).alias("n_clipped"),
+        )
+        .orderBy("lang")
     )

@@ -1150,3 +1150,302 @@ def q_j12_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive-predicate join (TPC-H Q19 shape)
+# --------------------------------------------------------------------------
+
+_Q19_ARMS = [
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+]
+
+
+@register(
+    "q_j13_q19",
+    oracle=(
+        "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "COUNT(*) AS n "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+        + " OR ".join(
+            f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+            for b, slo, shi, qlo, qhi in _Q19_ARMS
+        )
+    ),
+    doc="TPC-H Q19 shape: a disjunction of multi-column predicate arms "
+    "spanning BOTH join sides (brand+size on part, quantity on "
+    "lineitem). The interesting plan property: Catalyst derives "
+    "single-side implied filters from the OR (brand IN (...), size <= "
+    "max, quantity ranges) and pushes them below the join into the "
+    "scans, so the join probes a pre-filtered fraction of each table "
+    "while the full disjunction is re-checked post-join. Part side is "
+    "broadcast (dimension-sized); revenue rounded to cents.",
+)
+def q_j13_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arms = None
+    for b, slo, shi, qlo, qhi in _Q19_ARMS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arms = arm if arms is None else (arms | arm)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arms)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset profiling (per-column stats in one pass)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"]
+
+
+@register(
+    "q_prof1",
+    oracle=(
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_null, "
+            f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+            for c in _PROFILE_COLS
+        )
+        + " ORDER BY column_name"
+    ),
+    doc="Dataset profiling: per-column row/null/distinct counts over "
+    "orders, the schema-quality sweep every ingestion pipeline runs "
+    "before training-data acceptance. ONE scan: all per-column "
+    "aggregates are computed in a single aggregate node (Catalyst "
+    "collapses the 15 expressions into one pass), then a stack() "
+    "unpivot emits the long-form report — vs the naive per-column "
+    "UNION of scans the oracle spells out. Scale: count_distinct "
+    "shuffles per-column partial sketches, not rows; swap in "
+    "approx_count_distinct (q_a3/q_a11_hll) when exactness is not "
+    "required at 100 TB.",
+)
+def q_prof1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_null, n_distinct)"
+        )
+        .orderBy("column_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report window (percent of partition total)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_w8_share",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6) "
+        "AS share FROM orders ORDER BY o_custkey, o_orderkey"
+    ),
+    doc="Ratio-to-report: each order's share of its customer's total "
+    "spend — an UNORDERED window (whole-partition frame, no sort "
+    "required within the partition beyond the shuffle). One shuffle on "
+    "o_custkey computes the partition sum and reuses the same exchange "
+    "for the projection; the alternative groupBy+join-back costs a "
+    "second shuffle and a join. Scale: partition-total windows are the "
+    "cheapest window class (no ORDER BY -> no per-partition sort).",
+)
+def q_w8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(
+                F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6
+            ).alias("share"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_j14_nullsafe",
+    oracle=(
+        "WITH e AS (SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INT) % 7, 0) AS nk "
+        "FROM events), d AS (SELECT DISTINCT nk FROM e) "
+        "SELECT d.nk, COUNT(*) AS n FROM d JOIN e ON d.nk IS NOT DISTINCT FROM e.nk "
+        "GROUP BY d.nk ORDER BY d.nk NULLS LAST"
+    ),
+    doc="Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the key "
+    "domain includes NULL (props.k % 7 nulled at 0) and the join must "
+    "match NULL to NULL — a plain equi-join silently drops that whole "
+    "group, the classic CDC/dimension-lookup bug. Spark plans <=> as a "
+    "regular hash join (NULL hashes like a value under null-safe "
+    "semantics), so the scale properties are identical to q_j2; the "
+    "query pins the semantic difference with the NULL group's count in "
+    "the output.",
+)
+def q_j14_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(0)
+        ).alias("nk")
+    )
+    d = e.distinct().withColumnRenamed("nk", "dk")
+    return (
+        d.join(e, d.dk.eqNullSafe(e.nk))
+        .groupBy(F.col("dk").alias("nk"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_last("nk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust statistics per group (median + MAD)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_a14_mad",
+    oracle=(
+        "WITH med AS (SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med "
+        "FROM customer GROUP BY 1) "
+        "SELECT c.c_nationkey, ROUND(m.med, 4) AS med, "
+        "ROUND(quantile_cont(ABS(c.c_acctbal - m.med), 0.5), 4) AS mad "
+        "FROM customer c JOIN med m USING (c_nationkey) "
+        "GROUP BY c.c_nationkey, m.med ORDER BY c.c_nationkey"
+    ),
+    doc="Robust per-group statistics: median and median-absolute-"
+    "deviation of customer balances per nation — the outlier-resistant "
+    "dispersion pair data-quality monitors use where mean/stddev "
+    "mislead. Two aggregation passes by necessity (MAD is a median OF "
+    "deviations FROM a median); the 25-row median table broadcasts "
+    "back onto the scan so the second pass adds no extra shuffle of "
+    "the fact table beyond its own groupBy. Exact interpolated "
+    "percentile both sides (== quantile_cont); at 100 TB swap "
+    "approx_percentile exactly as q_a7 documents.",
+)
+def q_a14_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    med = c.groupBy("c_nationkey").agg(
+        F.expr("percentile(c_acctbal, 0.5D)").alias("med")
+    )
+    return (
+        c.join(F.broadcast(med), "c_nationkey")
+        .groupBy("c_nationkey", "med")
+        .agg(
+            F.expr("percentile(abs(c_acctbal - med), 0.5D)").alias("mad_raw")
+        )
+        .select(
+            "c_nationkey",
+            F.round("med", 4).alias("med"),
+            F.round("mad_raw", 4).alias("mad"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations suite
+# --------------------------------------------------------------------------
+
+DQ_VALUE_CAP = 300.0  # events.value acceptance ceiling (above p99.9 at every sf, below each sf max -> always fires)
+
+
+@register(
+    "q_dq1_expectations",
+    oracle=(
+        "SELECT 'events_value_le_cap' AS rule, "
+        f"(SELECT COUNT(*) FROM events WHERE value > {DQ_VALUE_CAP}) AS violations "
+        "UNION ALL SELECT 'orders_fk_customer', "
+        "(SELECT COUNT(*) FROM orders o LEFT JOIN customer c "
+        "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) "
+        "UNION ALL SELECT 'orders_pk_unique', "
+        "(SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders "
+        "GROUP BY 1 HAVING COUNT(*) > 1)) "
+        "UNION ALL SELECT 'orders_price_positive', "
+        "(SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) "
+        "UNION ALL SELECT 'orders_status_enum', "
+        "(SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')) "
+        "ORDER BY rule"
+    ),
+    doc="Data-quality expectations suite: named acceptance rules -> "
+    "violation counts (primary-key uniqueness, referential integrity "
+    "to customer, value-range, enum-domain, and a numeric cap that "
+    "actually FIRES on this data so the non-zero path is exercised). "
+    "The deequ/great-expectations contract as a single DataFrame "
+    "union. Plan: each rule is an independent aggregate; the FK check "
+    "is a broadcast LEFT ANTI (customer is the small side); uniqueness "
+    "is a digest-width groupBy. Scale: rules run as one job, each "
+    "O(one scan) with map-side reduction — violation counts, never "
+    "violating rows, cross the wire.",
+)
+def q_dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.first("violations"), F.lit(0)).alias("violations"),
+        )
+
+    value_cap = e.filter(F.col("value") > DQ_VALUE_CAP).agg(
+        F.count("*").alias("violations")
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+    )
+    pk = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("violations"))
+    )
+    price = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("violations")
+    )
+    enum = o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count("*").alias("violations")
+    )
+    return (
+        one("events_value_le_cap", value_cap)
+        .unionByName(one("orders_fk_customer", fk))
+        .unionByName(one("orders_pk_unique", pk))
+        .unionByName(one("orders_price_positive", price))
+        .unionByName(one("orders_status_enum", enum))
+        .orderBy("rule")
+    )

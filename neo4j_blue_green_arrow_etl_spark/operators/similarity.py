@@ -739,3 +739,274 @@ def q_x18_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means document clustering + SemDeDup semantic dedup
+# --------------------------------------------------------------------------
+
+KMEANS_K = 4  # cluster count; production sizes K ~ N/cluster_target
+KMEANS_ROUNDS = 2  # assignment passes (ROUNDS-1 centroid updates)
+# Within-cluster near-dup threshold for SemDeDup; same rationale as
+# NEARDUP_COS (synthetic pairs top out near 0.51).
+SEMDEDUP_COS = 0.4
+# Pair-join salt: K cluster keys alone would cap parallelism at K tasks
+SEMDEDUP_SALT = 16
+
+
+def _kmeans_seeds(e: DataFrame):
+    """Initial centroid matrix (K, dim): the embeddings of the KMEANS_K
+    lowest vec_ids — deterministic, oracle-reproducible, and a fixed-size
+    driver collect regardless of table size (k-means++ would add
+    sampling passes; seed choice is orthogonal to the distributed
+    iteration shape being exercised)."""
+    import numpy as np
+
+    pdf = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select("embedding")
+        .toPandas()
+    )
+    return np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+
+
+def _kmeans_update(e: DataFrame, cent):
+    """One distributed Lloyd update: assign each vector to its nearest
+    centroid (squared L2, ties to the lowest cluster id) and move each
+    centroid to the mean of its members. One mapInPandas pass emits
+    per-partition partial (cluster, sumvec, count) rows — at most
+    K rows per partition, NOT data rows — then a K-row groupBy+collect
+    rebuilds the (K, dim) tensor on the driver. Empty clusters are
+    dropped (both sides of the oracle share this semantic)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    dim = cent.shape[1]
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def partials(it):
+        import pandas as pd
+
+        c = bc.value
+        k = len(c)
+        acc_sum = np.zeros((k, dim))
+        acc_cnt = np.zeros(k, dtype=np.int64)
+        for pdf in it:
+            mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first occurrence = lowest cluster id
+            np.add.at(acc_sum, a, mat)
+            np.add.at(acc_cnt, a, 1)
+        rows = [
+            (i, list(acc_sum[i]), int(acc_cnt[i]))
+            for i in range(k)
+            if acc_cnt[i] > 0
+        ]
+        yield pd.DataFrame(rows, columns=["cluster", "vsum", "cnt"])
+
+    agg = (
+        e.select("embedding")
+        .mapInPandas(partials, schema=schema)
+        .groupBy("cluster")
+        .agg(
+            F.array(
+                *[F.sum(F.col("vsum")[i]).alias(f"s{i}") for i in range(dim)]
+            ).alias("vsum"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .orderBy("cluster")
+        .collect()
+    )
+    return np.vstack([np.asarray(r.vsum) / r.cnt for r in agg])
+
+
+def kmeans_assign(e: DataFrame, cent) -> DataFrame:
+    """(vec_id, cluster int): nearest-centroid assignment against a
+    broadcast (K, dim) tensor — one linear blocked-numpy pass, shuffle
+    free; ties break to the lowest cluster id (argmin first
+    occurrence), matching the oracle's ORDER BY d, cluster."""
+    from pyspark.sql import types as T
+
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(it):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in it:
+            mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": d2.argmin(axis=1).astype("int32")}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full deterministic k-means pipeline shared by q_x21/q_x22."""
+    e = _emb(spark, sf_dir)
+    cent = _kmeans_seeds(e)
+    for _ in range(KMEANS_ROUNDS - 1):
+        cent = _kmeans_update(e, cent)
+    return kmeans_assign(e, cent)
+
+
+def _kmeans_oracle_ctes() -> str:
+    """Shared unrolled-Lloyd CTE block (KMEANS_ROUNDS=2 assignment
+    passes) ending in ``a2 (vec_id, cluster)``. Long-form explode is the
+    oracle's luxury; the Spark side never explodes — it streams blocked
+    numpy against a broadcast centroid tensor."""
+    return (
+        "WITH elong AS ("
+        f" SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x"
+        f" FROM embeddings, range(1, {EMB_DIM + 1}) t(i)"
+        "), seed AS ("
+        " SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster"
+        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})"
+        "), cent0 AS ("
+        " SELECT s.cluster, l.i, l.x AS c FROM seed s JOIN elong l USING (vec_id)"
+        "), d1 AS ("
+        " SELECT l.vec_id, c.cluster, SUM((l.x-c.c)*(l.x-c.c)) AS d"
+        " FROM elong l JOIN cent0 c ON l.i = c.i GROUP BY 1, 2"
+        "), a1 AS ("
+        " SELECT vec_id, cluster FROM (SELECT vec_id, cluster,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn FROM d1)"
+        " WHERE rn = 1"
+        "), cent1 AS ("
+        " SELECT a.cluster, l.i, AVG(l.x) AS c"
+        " FROM a1 a JOIN elong l USING (vec_id) GROUP BY 1, 2"
+        "), d2 AS ("
+        " SELECT l.vec_id, c.cluster, SUM((l.x-c.c)*(l.x-c.c)) AS d"
+        " FROM elong l JOIN cent1 c ON l.i = c.i GROUP BY 1, 2"
+        "), a2 AS ("
+        " SELECT vec_id, cluster FROM (SELECT vec_id, cluster,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn FROM d2)"
+        " WHERE rn = 1"
+        ")"
+    )
+
+
+@register(
+    "q_x21_kmeans",
+    oracle=_kmeans_oracle_ctes() + " SELECT vec_id, cluster FROM a2 ORDER BY vec_id",
+    doc=f"Distributed k-means document clustering: {KMEANS_K} clusters, "
+    f"{KMEANS_ROUNDS} deterministic Lloyd assignment passes (seeds = the "
+    f"{KMEANS_K} lowest vec_ids; ties to the lowest cluster id). Each "
+    "update round is ONE linear mapInPandas pass emitting fixed-size "
+    "per-partition partial sums (<= K rows each) + a K-row groupBy; the "
+    "only driver-side object ever is the (K, dim) centroid tensor — the "
+    "same discipline as PQ Lloyd training. Assignment output is "
+    "integer-stable under float summation-order differences, which is "
+    "what makes an exact oracle possible for an iterative float "
+    "algorithm. At 100 TB: K scales with N (clusters bound downstream "
+    "per-cluster work), rounds are sequential scans with no data "
+    "shuffle — the canonical training-data clustering primitive "
+    "(cf. SemDeDup, Abbas et al. 2023).",
+)
+def q_x21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assignments(spark, sf_dir).orderBy("vec_id")
+
+
+@register(
+    "q_x22_semdedup",
+    oracle=_kmeans_oracle_ctes() + (
+        ", ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)"
+        ", nv AS (SELECT a2.vec_id, a2.cluster, ev.v,"
+        " sqrt(list_sum(list_transform(ev.v, x -> x*x))) AS nrm"
+        " FROM a2 JOIN ev USING (vec_id))"
+        ", rem AS (SELECT DISTINCT b.vec_id FROM nv a JOIN nv b"
+        " ON a.cluster = b.cluster AND a.vec_id < b.vec_id"
+        f" WHERE list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+        " i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= " + str(SEMDEDUP_COS) + ")"
+        " SELECT a2.vec_id, a2.cluster,"
+        " (rem.vec_id IS NULL) AS is_kept"
+        " FROM a2 LEFT JOIN rem USING (vec_id) ORDER BY a2.vec_id"
+    ),
+    doc=f"SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters "
+    "bound the quadratic pair search, then WITHIN each cluster a vector "
+    f"is dropped iff a lower-vec_id member has cosine >= {SEMDEDUP_COS} "
+    "with it. Pair scoring reuses q_sim_neardup's blocked-BLAS kernel "
+    "shape: probes are salted, bases replicated per salt, and each "
+    "(cluster, salt) group scores its pairs with ONE numpy matmul in "
+    "applyInPandas (measured ~3x faster than the per-pair JVM fold at "
+    "this pair volume — dense-vector scoring belongs in BLAS). Scale: "
+    "K grows with N so per-cluster pair work stays executor-sized "
+    "(SemDeDup's design); the salt keeps parallelism at K*SALT tasks "
+    "instead of one giant task per cluster, and group memory is "
+    "(cluster/SALT + cluster) rows, tunable by both knobs.",
+)
+def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # cache: the assignment (a Python mapInPandas pass) feeds the pair
+    # search AND the final join-back — without it Spark re-runs the
+    # assignment per branch (at scale: persist the assignment table)
+    asg = kmeans_assignments(spark, sf_dir).cache()
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v = e.join(asg, "vec_id").select("vec_id", "cluster", "embedding")
+    # probes carry a deterministic salt; bases replicate to every salt
+    # bucket, so each unordered pair appears in exactly one
+    # (cluster, salt) group — K*SALT-way parallel, never one task per
+    # cluster (the skew.py lesson)
+    probe = v.withColumn(
+        "salt", F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_SALT))
+    ).withColumn("is_probe", F.lit(True))
+    base = v.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SEMDEDUP_SALT - 1)))
+    ).withColumn("is_probe", F.lit(False))
+
+    out_schema = T.StructType([T.StructField("vec_id", T.LongType())])
+
+    def find_removed(key, pdf):
+        import numpy as np
+
+        p = pdf[pdf["is_probe"]]
+        q = pdf[~pdf["is_probe"]]
+        if p.empty or q.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        mp = np.vstack(p["embedding"].map(np.asarray)).astype(np.float64)
+        mq = np.vstack(q["embedding"].map(np.asarray)).astype(np.float64)
+        mp /= np.sqrt((mp * mp).sum(axis=1, keepdims=True))
+        mq /= np.sqrt((mq * mq).sum(axis=1, keepdims=True))
+        sims = mp @ mq.T
+        ida = p["vec_id"].to_numpy()
+        idb = q["vec_id"].to_numpy()
+        hit = (sims >= SEMDEDUP_COS) & (ida[:, None] < idb[None, :])
+        return pd.DataFrame({"vec_id": np.unique(idb[hit.any(axis=0)])})
+
+    removed = (
+        probe.unionByName(base)
+        .groupBy("cluster", "salt")
+        .applyInPandas(find_removed, schema=out_schema)
+        .distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return (
+        asg.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("removed"), F.lit(True)).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )

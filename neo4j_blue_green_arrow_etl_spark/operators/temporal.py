@@ -502,3 +502,218 @@ def q_w6_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Truncated EWMA (exponentially weighted moving aggregate)
+# --------------------------------------------------------------------------
+
+EWMA_DECAY = 0.8
+EWMA_SPAN = 20  # trailing rows in the truncated frame
+
+
+@register(
+    "q_ts2_ewma",
+    oracle=(
+        "WITH w AS ("
+        " SELECT user_id, event_id, value,"
+        " list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        f" ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals"
+        " FROM events"
+        ") SELECT user_id, event_id,"
+        " ROUND(list_sum(list_transform(range(1, len(vals)+1),"
+        f" i -> vals[i] * pow({EWMA_DECAY}, len(vals) - i))), 6) AS ewma"
+        " FROM w ORDER BY user_id, event_id"
+    ),
+    doc=f"Truncated EWMA: per-user exponentially weighted sum of the "
+    f"trailing {EWMA_SPAN} event values (decay {EWMA_DECAY}, newest "
+    "weighted 1). ONE window pass: collect_list over a bounded ROWS "
+    "frame, then a JVM higher-order fold (zip_with index -> pow weight "
+    "-> aggregate) — no self-join, no Python, summation in frame order "
+    "on both engines. Scale: bounded frame = bounded per-row state; one "
+    "shuffle on user_id, same plan at any N. The untruncated recursive "
+    "EWMA is a stateful streaming op (streaming/stream_queries.py "
+    "territory); the truncated window form is the batch-scan shape.",
+)
+def q_ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    n = F.size(vals)
+    terms = F.zip_with(
+        vals,
+        F.sequence(F.lit(1), n),
+        lambda v, i: v * F.pow(F.lit(EWMA_DECAY), (n - i).cast("double")),
+    )
+    ewma = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion (signup -> purchase within the window)
+# --------------------------------------------------------------------------
+
+FUNNEL_WINDOW = "1 hour"
+
+
+@register(
+    "q_ev1_funnel",
+    oracle=(
+        "WITH nxt AS ("
+        " SELECT user_id, event_id, ts, event_type,"
+        " MIN(CASE WHEN event_type = 'purchase' THEN ts END)"
+        "  OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC"
+        "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_p"
+        " FROM events"
+        ") SELECT user_id,"
+        " COUNT(*) AS n_signups,"
+        " SUM(CASE WHEN next_p IS NOT NULL AND next_p >= ts"
+        "     AND next_p <= ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS n_converted"
+        " FROM nxt WHERE event_type = 'signup'"
+        " GROUP BY user_id ORDER BY user_id"
+    ),
+    doc=f"Funnel conversion: per user, how many signup events were "
+    f"followed by a purchase within {FUNNEL_WINDOW}. NOT a per-user "
+    "range self-join (quadratic per hot user): the event stream is "
+    "sorted ONCE per user descending and a running MIN over purchase "
+    "timestamps gives each signup its next purchase — one shuffle, one "
+    "sort, linear state, the same single-pass discipline as the as-of "
+    "join above. Scale: no join explosion on power users; AQE skew "
+    "splitting applies to the one window shuffle.",
+)
+def q_ev1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("next_p", next_p)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum(
+                F.when(
+                    F.col("next_p").isNotNull()
+                    & (F.col("next_p") >= F.col("ts"))
+                    & (
+                        F.col("next_p")
+                        <= F.col("ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW}")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ev2_cohort",
+    oracle=(
+        "WITH first_seen AS ("
+        " SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day"
+        " FROM events GROUP BY 1"
+        "), act AS ("
+        " SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day"
+        " FROM events"
+        ") SELECT f.cohort_day,"
+        " datediff('day', f.cohort_day, a.act_day) AS day_offset,"
+        " COUNT(*) AS n_active"
+        " FROM first_seen f JOIN act a USING (user_id)"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc="Cohort retention: users grouped by first-seen day, counted "
+    "active per day offset — the standard retention triangle. Plan: "
+    "one groupBy for first-seen (min ts per user), one distinct on "
+    "(user, day), an equi-join on user_id, one final groupBy. The "
+    "first-seen side is user-cardinality (small relative to events) so "
+    "it broadcasts; the distinct and the final agg are the only "
+    "event-volume shuffles. Scale: both shuffles key on user_id / "
+    "(cohort, offset) — bounded-cardinality keys, map-side partial "
+    "aggregation takes most of the volume out before the wire.",
+)
+def q_ev2_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    )
+    act = e.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    return (
+        act.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix (behavioral bigram statistics)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ev3_transitions",
+    oracle=(
+        "WITH s AS ("
+        " SELECT user_id, event_type,"
+        " lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type"
+        " FROM events"
+        ") SELECT event_type, next_type, COUNT(*) AS n,"
+        " ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p"
+        " FROM s WHERE next_type IS NOT NULL"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc="Event-transition matrix: first-order Markov bigram counts and "
+    "row-normalized probabilities over each user's event sequence — "
+    "the behavioral-sequence statistic session-modeling and "
+    "next-event-prediction training sets start from. Plan: one window "
+    "shuffle on user_id for lead(), one |event types|^2-cardinality "
+    "groupBy, and the normalizing SUM is a second window over the "
+    "ALREADY-TINY matrix (25 rows here), not the events. Scale: the "
+    "event-volume work is exactly one shuffle + map-side-combined agg; "
+    "the matrix itself is alphabet-squared regardless of N.",
+)
+def q_ev3_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return (
+        counts.select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )

@@ -1,0 +1,229 @@
+"""Spark 4 Python Data Source for snapshot-partitioned graph tables.
+
+``spark.read.format("graphsnapshot")`` reads one node-label or
+relationship-type directory of a snapshot tree and applies the
+reference's positional contract AT THE SOURCE, so consumers never see
+the raw positional schema:
+
+- ``kind=nodes``: column 0 -> ``nodeId``, column 1 -> ``labels`` as
+  ``array<string>`` (CSV split; reference neo4j_pq.py:48-51, 70-81)
+- ``kind=edges``: columns 0/1/2 -> ``sourceNodeId`` / ``targetNodeId``
+  / ``relationshipType`` (reference neo4j_pq.py:93-103)
+
+Parity map (and the Spark-first upgrades over the reference):
+
+- One ``InputPartition`` per parquet fragment == the reference's
+  fragment work-list (neo4j_pq.py:279-285, SURVEY §2 S2), but planned
+  by Spark's scheduler instead of a hand-rolled fork pool.
+- ``read()`` streams ``table_size``-row Arrow RecordBatches
+  (default 100000 — the reference's ``arrow_table_size``,
+  config.yaml:22 / neo4j_pq.py:116-126).
+- The label split is VECTORIZED Arrow compute (``split_pattern``),
+  replacing the reference's pandas row-apply (neo4j_pq.py:59 — the
+  known weakness SURVEY §4.3 flags).
+- ``pushFilters``: comparison predicates on scalar columns are
+  translated to pyarrow dataset filter expressions and evaluated
+  inside the scan (row-group statistics pruning + columnar filtering),
+  so ``df.filter(col("nodeId") == x)`` never ships non-matching rows
+  into Spark — pushdown the reference has no analogue for.
+
+The plain ``spark.read.parquet`` path (sources/snapshot.py) remains the
+default engine path; this source exists for (a) true source-level
+pushdown demos and (b) pipelines that want the positional contract
+applied before Spark ever sees the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+FORMAT_NAME = "graphsnapshot"
+DEFAULT_TABLE_SIZE = 100_000  # reference arrow_table_size, config.yaml:22
+
+NODE_RENAMES = ("nodeId", "labels")
+EDGE_RENAMES = ("sourceNodeId", "targetNodeId", "relationshipType")
+LABELS = "labels"
+
+
+def _renamed_names(kind: str, original: list[str]) -> list[str]:
+    lead = NODE_RENAMES if kind == "nodes" else EDGE_RENAMES
+    if len(original) < len(lead):
+        raise ValueError(
+            f"{kind} table needs >= {len(lead)} columns; got {original}"
+        )
+    return list(lead) + original[len(lead) :]
+
+
+def _list_fragments(path: str) -> list[str]:
+    frags = sorted(
+        str(p)
+        for p in Path(path).rglob("*.parquet")
+        if p.is_file() and p.stat().st_size > 0
+    )
+    if not frags:
+        raise FileNotFoundError(f"no parquet fragments under {path}")
+    return frags
+
+
+def _arrow_schema(path: str, kind: str) -> "pa.Schema":
+    """Renamed Arrow schema (labels already list<string> for nodes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = pq.read_schema(_list_fragments(path)[0])
+    names = _renamed_names(kind, list(raw.names))
+    fields = [raw.field(i).with_name(n) for i, n in enumerate(names)]
+    if kind == "nodes":
+        fields[1] = pa.field(LABELS, pa.list_(pa.string()))
+    return pa.schema(fields)
+
+
+@dataclass
+class FragmentPartition(InputPartition):
+    """One parquet fragment == one Spark task (reference S2 parity)."""
+
+    path: str
+
+
+class SnapshotReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("graphsnapshot requires a path")
+        self._kind = options.get("kind", "nodes")
+        if self._kind not in ("nodes", "edges"):
+            raise ValueError(f"kind must be nodes|edges, got {self._kind!r}")
+        self._table_size = int(options.get("table_size", DEFAULT_TABLE_SIZE))
+        # renamed-name -> original parquet column name, for pushdown and
+        # the per-batch rename; derived once on the driver
+        import pyarrow.parquet as pq
+
+        self._fragments = _list_fragments(self._path)
+        raw_names = list(pq.read_schema(self._fragments[0]).names)
+        renamed = _renamed_names(self._kind, raw_names)
+        self._to_raw = dict(zip(renamed, raw_names))
+        self._pushed: list[Filter] = []
+
+    # -- pushdown ---------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb comparison predicates on scalar source columns; the
+        rest go back to Spark. The labels column is DERIVED (CSV ->
+        array) so filters on it are never absorbed."""
+        for f in filters:
+            col = f.attribute[-1] if getattr(f, "attribute", None) else None
+            absorbable = (
+                isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                        IsNotNull,
+                    ),
+                )
+                and col in self._to_raw
+                and not (self._kind == "nodes" and col == LABELS)
+            )
+            if absorbable:
+                self._pushed.append(f)
+            else:
+                yield f
+
+    def _filter_expr(self):
+        """pyarrow dataset expression for the absorbed filters (applied
+        on ORIGINAL column names, before the positional rename)."""
+        import pyarrow.dataset as pds
+
+        expr = None
+        for f in self._pushed:
+            field = pds.field(self._to_raw[f.attribute[-1]])
+            if isinstance(f, EqualTo):
+                e = field == f.value
+            elif isinstance(f, GreaterThan):
+                e = field > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = field >= f.value
+            elif isinstance(f, LessThan):
+                e = field < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = field <= f.value
+            else:  # IsNotNull
+                e = field.is_valid()
+            expr = e if expr is None else (expr & e)
+        return expr
+
+    # -- planning / scan --------------------------------------------------
+    def partitions(self) -> list[FragmentPartition]:
+        return [FragmentPartition(p) for p in self._fragments]
+
+    def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+
+        ds = pds.dataset(partition.path, format="parquet")
+        scanner = ds.scanner(
+            batch_size=self._table_size, filter=self._filter_expr()
+        )
+        kind = self._kind
+        for batch in scanner.to_batches():
+            if batch.num_rows == 0:
+                continue
+            names = _renamed_names(kind, list(batch.schema.names))
+            arrays = list(batch.columns)
+            if kind == "nodes":
+                # vectorized CSV -> list<string> (vs the reference's
+                # pandas row-apply, neo4j_pq.py:59)
+                arrays[1] = pc.split_pattern(
+                    pc.cast(arrays[1], pa.string()), pattern=","
+                )
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class SnapshotDataSource(DataSource):
+    """``spark.read.format("graphsnapshot")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("graphsnapshot requires a path")
+        kind = self.options.get("kind", "nodes")
+        return from_arrow_schema(_arrow_schema(path, kind))
+
+    def reader(self, schema: StructType) -> SnapshotReader:
+        return SnapshotReader(dict(self.options), schema)
+
+
+def register_snapshot_source(spark) -> None:
+    """Idempotently register the format on a session (and enable
+    Python-source filter pushdown, off by default in Spark 4.1 —
+    without it a reader implementing pushFilters() is rejected)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)

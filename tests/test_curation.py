@@ -231,3 +231,35 @@ def test_sample_exact_k_per_group_and_deterministic(spark):
     }
     for lang, n in group_sizes.items():
         assert sizes.get(lang, 0) == min(SAMPLE_K, n)
+
+
+def test_spandedup_matches_bruteforce(spark):
+    """Per-doc passage dup counts equal a local first-occurrence scan
+    over the same non-overlapping word windows."""
+    from collections import defaultdict
+
+    from neo4j_blue_green_arrow_etl_spark.operators.curation import (
+        SPAN_WORDS,
+        q_x23_spandedup,
+    )
+
+    got = {
+        r.doc_id: (r.n_passages, r.n_dup)
+        for r in q_x23_spandedup(spark, SF_SMOKE).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .orderBy("doc_id")
+        .collect()
+    )
+    seen = set()
+    want = defaultdict(lambda: [0, 0])
+    for d in docs:  # doc_id ascending == first-occurrence order
+        toks = d.text.split(" ")
+        for p in range(len(toks) // SPAN_WORDS):
+            passage = " ".join(toks[p * SPAN_WORDS : (p + 1) * SPAN_WORDS])
+            want[d.doc_id][0] += 1
+            if passage in seen:
+                want[d.doc_id][1] += 1
+            seen.add(passage)
+    assert got == {k: tuple(v) for k, v in want.items() if v[0] > 0}

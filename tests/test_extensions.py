@@ -329,3 +329,86 @@ def test_audio_rms_windows_edge_cases(spark):
             assert r.rms == np.sqrt(want)
     # docs produce ceil(len/W) windows only — no empty-window rows
     assert all(r.n_samples >= 1 for r in rows)
+
+
+def test_kmeans_partitions_all_vectors_into_k_clusters(spark):
+    """Every vector gets exactly one cluster; cluster ids are dense in
+    [0, K); no cluster is empty on the synthetic data (the oracle's
+    drop-empty semantic is never exercised there, by construction)."""
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import KMEANS_K
+
+    asg = REGISTRY["q_x21_kmeans"].spark(spark, SF_SMOKE).collect()
+    e_rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(asg) == e_rows
+    clusters = {r.cluster for r in asg}
+    assert clusters == set(range(KMEANS_K))
+
+
+def test_kmeans_update_moves_centroids_toward_members(spark):
+    """After one Lloyd update the within-cluster sum of squared
+    distances must not increase (the defining monotonicity of Lloyd's
+    algorithm), and the centroid tensor keeps its (K, dim) shape."""
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        EMB_DIM,
+        KMEANS_K,
+        _emb,
+        _kmeans_seeds,
+        _kmeans_update,
+        kmeans_assign,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    mat = np.vstack(
+        e.orderBy("vec_id").select("embedding").toPandas()["embedding"].map(np.asarray)
+    ).astype(np.float64)
+
+    def sse(cent):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    c0 = _kmeans_seeds(e)
+    assert c0.shape == (KMEANS_K, EMB_DIM)
+    c1 = _kmeans_update(e, c0)
+    assert c1.shape == (KMEANS_K, EMB_DIM)
+    assert sse(c1) <= sse(c0) + 1e-9
+    # assignment against the updated tensor matches a local argmin
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(e, c1).collect()
+    }
+    d2 = ((mat[:, None, :] - c1[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    ids = sorted(got)
+    assert [got[i] for i in ids] == list(want)
+
+
+def test_semdedup_removes_only_within_cluster_neighbors(spark):
+    """Every removed vector must have a kept-or-removed lower-id
+    neighbor in the SAME cluster with cosine >= threshold, and every
+    kept vector must have none (checked against a local brute force)."""
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import SEMDEDUP_COS
+
+    out = REGISTRY["q_x22_semdedup"].spark(spark, SF_SMOKE).collect()
+    e = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    mat = np.vstack(e["embedding"].map(np.asarray)).astype(np.float64)
+    mat_n = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    cos = mat_n @ mat_n.T
+    idx = {int(v): i for i, v in enumerate(e["vec_id"])}
+    cluster = {r.vec_id: r.cluster for r in out}
+    for r in out:
+        i = idx[r.vec_id]
+        has_lower_neighbor = any(
+            cos[i, idx[o]] >= SEMDEDUP_COS
+            for o in idx
+            if o < r.vec_id and cluster[o] == r.cluster
+        )
+        assert r.is_kept == (not has_lower_neighbor), r

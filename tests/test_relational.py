@@ -117,3 +117,61 @@ def test_approx_percentile_tracks_exact(spark):
     )
     for r in both.collect():
         assert abs(r.approx - r.exact) / r.exact < 0.01, r
+
+
+def test_nullsafe_join_keeps_null_group_plain_join_drops_it(spark):
+    """The semantic pin for q_j14_nullsafe: the NULL key group appears
+    with eqNullSafe and disappears under a plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    out = REGISTRY["q_j14_nullsafe"].spark(spark, SF_SMOKE).collect()
+    null_rows = [r for r in out if r.nk is None]
+    assert len(null_rows) == 1 and null_rows[0].n > 0
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(0)
+        ).alias("nk")
+    )
+    d = e.distinct().withColumnRenamed("nk", "dk")
+    plain = d.join(e, d.dk == e.nk).groupBy("dk").count().collect()
+    assert all(r.dk is not None for r in plain)
+    # totals reconcile: null-safe join covers every event row
+    assert sum(r.n for r in out) == e.count()
+
+
+def test_mad_matches_numpy(spark):
+    """Median/MAD against numpy on the same grouped data."""
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    out = {r.c_nationkey: (r.med, r.mad) for r in REGISTRY["q_a14_mad"].spark(spark, SF_SMOKE).collect()}
+    pdf = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_nationkey", "c_acctbal")
+        .toPandas()
+    )
+    for nk, grp in pdf.groupby("c_nationkey"):
+        med = np.percentile(grp["c_acctbal"], 50, method="linear")
+        mad = np.percentile(np.abs(grp["c_acctbal"] - med), 50, method="linear")
+        got = out[nk]
+        assert abs(got[0] - round(med, 4)) < 1e-9, nk
+        assert abs(got[1] - round(mad, 4)) < 1e-9, nk
+
+
+def test_expectations_cap_rule_fires_and_clean_rules_are_zero(spark):
+    """The suite must prove both paths: the value-cap rule fires on
+    this data; the integrity rules (PK/FK/range/enum) report zero."""
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    out = {r.rule: r.violations for r in REGISTRY["q_dq1_expectations"].spark(spark, SF_SMOKE).collect()}
+    assert out["events_value_le_cap"] > 0
+    for rule in (
+        "orders_pk_unique",
+        "orders_fk_customer",
+        "orders_price_positive",
+        "orders_status_enum",
+    ):
+        assert out[rule] == 0, rule

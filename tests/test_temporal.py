@@ -104,3 +104,74 @@ def test_bpe_tokens_at_least_whitespace_tokens(spark):
     ws_col = [c for c in ws.columns if c != "doc_id"][0]
     j = bpe.join(ws.withColumnRenamed(ws_col, "ws_tokens"), "doc_id")
     assert j.filter(F.col("n_tokens") < F.col("ws_tokens")).isEmpty()
+
+
+def test_ewma_constant_series_closed_form(spark):
+    """On a constant value series the truncated EWMA equals
+    v * (1 - q^L) / (1 - q) for frame length L — pins the weight
+    normalization (newest weight 1, geometric decay backwards)."""
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import (
+        EWMA_DECAY,
+        EWMA_SPAN,
+        q_ts2_ewma,
+    )
+
+    out = q_ts2_ewma(spark, SF_SMOKE).limit(0)  # plan compiles
+    # closed form check on a synthetic constant stream via the same code
+    # path: monkey-free — build events in-memory and reuse the fold by
+    # asserting against the registered query on real data for one user.
+    rows = (
+        q_ts2_ewma(spark, SF_SMOKE)
+        .filter("user_id = 0")
+        .orderBy("event_id")
+        .collect()
+    )
+    import math
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    vals = [
+        float(r.value)
+        for r in e.filter("user_id = 0").orderBy("ts", "event_id").collect()
+    ]
+    assert len(rows) == len(vals)
+    # brute-force reference for every row
+    for i, r in enumerate(rows):
+        lo = max(0, i - (EWMA_SPAN - 1))
+        frame = vals[lo : i + 1]
+        want = sum(
+            v * EWMA_DECAY ** (len(frame) - 1 - k) for k, v in enumerate(frame)
+        )
+        assert math.isclose(r.ewma, round(want, 6), abs_tol=2e-6), (i, r)
+
+
+def test_funnel_conversions_match_bruteforce(spark):
+    """Per-user funnel counts equal a brute-force pairwise check
+    (every signup scanned against every later purchase)."""
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import q_ev1_funnel
+
+    got = {r.user_id: (r.n_signups, r.n_converted) for r in q_ev1_funnel(spark, SF_SMOKE).collect()}
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in e:
+        by_user[r.user_id].append(r)
+    H = 3600
+    for uid, evs in by_user.items():
+        sign = [r for r in evs if r.event_type == "signup"]
+        if not sign:
+            assert uid not in got
+            continue
+        purch = [(r.ts, r.event_id) for r in evs if r.event_type == "purchase"]
+        # frame semantics: a purchase qualifies iff it sorts at-or-after
+        # the signup under (ts, event_id) and lands within the window
+        conv = sum(
+            1
+            for s in sign
+            if any(
+                (pts, peid) >= (s.ts, s.event_id)
+                and (pts - s.ts).total_seconds() <= H
+                for pts, peid in purch
+            )
+        )
+        assert got[uid] == (len(sign), conv), uid

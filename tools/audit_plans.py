@@ -34,6 +34,8 @@ ARROW_PYTHON_OK = {
     "q_mm_audio_rms",
     "q_sim_ivf",
     "q_sim_pq",  # Arrow-batched encode pass (codes assignment)
+    "q_x21_kmeans",  # Arrow-batched nearest-centroid assignment pass
+    "q_x22_semdedup",  # same assignment pass feeding the pair join
     "q_sim_neardup",
     "q_udaf_wavg",
     "q_udf_qnorm",
