@@ -263,6 +263,75 @@ class Orchestrator:
         self.write_status()
         return processed
 
+    def _drain_due(self) -> int:
+        """Process up to ``max_concurrent_loads`` tasks whose backoff
+        has elapsed; returns how many ran."""
+        now = self.clock()
+        due = [t for t in self._queue if t.not_before <= now]
+        n = 0
+        for task in due[: self.cfg["max_concurrent_loads"]]:
+            self._queue.remove(task)
+            self.process_task(task)
+            n += 1
+        return n
+
+    def run_streaming(
+        self,
+        checkpoint: str | Path,
+        processing_time: str | None = None,
+    ):
+        """The same ST1-ST9 pipeline driven by REAL Structured
+        Streaming: the ``snapshotarrivals`` Python data source feeds
+        ``foreachBatch``, so discovery dedup (ST2) is the engine's
+        offset log in ``checkpoint`` — it survives restarts, unlike the
+        in-memory ``_seen`` set of the driver-loop mode (which still
+        guards within-process replays here). Each micro-batch enqueues
+        the newly arrived snapshots and drains every task whose retry
+        backoff has elapsed; backed-off tasks ride the queue to the
+        next micro-batch (ST6). ``foreachBatch`` is at-least-once, so
+        the catalog existence check makes batch replays idempotent
+        (J3). With ``processing_time=None`` the trigger is
+        availableNow (drain-and-stop — ST8 by construction); pass
+        e.g. ``"30 seconds"`` for the reference's continuous cadence
+        (ST1, config.yaml:27). Returns the StreamingQuery; the caller
+        owns awaitTermination/stop."""
+        from ..sources.snapshot_datasource import register_arrival_source
+
+        register_arrival_source(self.spark)
+
+        def handle(batch_df, _batch_id: int) -> None:
+            rows = sorted(
+                batch_df.collect(),
+                key=lambda r: (r.customer_id, r.timestamp),
+            )  # control-plane rows: a few per batch, never data-plane
+            for r in rows:
+                ref = SnapshotRef(r.customer_id, r.timestamp, r.path)
+                key = (ref.customer_id, ref.timestamp)
+                if key in self._seen:
+                    continue
+                self._seen.add(key)
+                if self.catalog.database_exists(ref.database):
+                    self.stats.skipped_existing += 1  # replayed batch
+                    continue
+                self._queue.append(_Task(ref))
+                self.stats.discovered += 1
+            while self._drain_due():
+                pass
+            self.write_status()
+
+        writer = (
+            self.spark.readStream.format("snapshotarrivals")
+            .option("path", str(self.data_path))
+            .load()
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(checkpoint))
+        )
+        if processing_time is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
     def run(self, max_cycles: int | None = None, sleep: Callable[[float], None] = time.sleep) -> None:
         cycles = 0
         while not self._stop:

@@ -333,3 +333,56 @@ def test_concurrency_cap_respected(spark, sf_dir, tmp_path):
     assert orch.run_cycle() == 2
     assert orch.run_cycle() == 2
     assert orch.run_cycle() == 1
+
+
+# ---------------------------------------------------------------------------
+# Structured-Streaming orchestrate mode (run_streaming)
+# ---------------------------------------------------------------------------
+
+
+def _stream_drain(orch, ckpt):
+    q = orch.run_streaming(ckpt)
+    q.awaitTermination(180)
+    q.stop()
+
+
+def test_streaming_orchestrate_loads_and_switches(spark, sf_dir, tmp_path):
+    """availableNow drain over the snapshotarrivals source: both
+    snapshots load, the alias lands on the max timestamp, retention
+    keeps newest 2, and stats/status report the work (ST1-ST9 on real
+    Structured Streaming)."""
+    base = str(tmp_path / "data")
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 100)
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 300)
+    orch = make_orch(spark, base, tmp_path)
+    _stream_drain(orch, str(tmp_path / "ckpt"))
+    assert orch.stats.discovered == 2
+    assert orch.stats.completed == 2
+    assert orch.catalog.alias_target("acme").endswith("-300")
+    status = json.loads((tmp_path / "status.json").read_text())
+    assert status["completed"] == 2 and status["queue_size"] == 0
+
+
+def test_streaming_orchestrate_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """A fresh orchestrator over the SAME checkpoint re-discovers
+    nothing (the offset log carries ST2 dedup across restarts); a late
+    OLDER snapshot then loads without moving the alias (ST3)."""
+    base = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 300)
+    orch1 = make_orch(spark, base, tmp_path)
+    _stream_drain(orch1, ckpt)
+    assert orch1.stats.completed == 1
+
+    # restart: new orchestrator instance, same checkpoint + catalog
+    orch2 = make_orch(spark, base, tmp_path)
+    _stream_drain(orch2, ckpt)
+    assert orch2.stats.discovered == 0
+    assert orch2.stats.completed == 0
+
+    # late OLDER snapshot: loads, alias stays on 300
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 200)
+    orch3 = make_orch(spark, base, tmp_path)
+    _stream_drain(orch3, ckpt)
+    assert orch3.stats.completed == 1
+    assert orch3.catalog.alias_target("acme").endswith("-300")
