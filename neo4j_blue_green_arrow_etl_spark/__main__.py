@@ -70,7 +70,17 @@ def cmd_orchestrate(args) -> int:
         catalog=cat,
         status_path=Path(args.base) / "status.json",
     )
-    if args.cycles:
+    if getattr(args, "streaming", False):
+        # Structured-Streaming mode: discovery dedup lives in the
+        # engine's offset log under --checkpoint (survives restarts)
+        ckpt = args.checkpoint or str(Path(args.base) / "_checkpoint")
+        q = orch.run_streaming(
+            ckpt,
+            processing_time=None if args.cycles else "30 seconds",
+        )
+        q.awaitTermination()  # availableNow drains and stops on its own
+        q.stop()
+    elif args.cycles:
         for _ in range(args.cycles):
             orch.run_cycle()
     else:
@@ -200,6 +210,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("orchestrate", help="run the discovery/load loop")
     sp.add_argument("--cycles", type=int, default=0, help="0 = run forever")
+    sp.add_argument(
+        "--streaming",
+        action="store_true",
+        help="drive via Structured Streaming (snapshotarrivals source; "
+        "--cycles>0 = availableNow drain-and-stop, else 30s trigger)",
+    )
+    sp.add_argument(
+        "--checkpoint",
+        default=None,
+        help="offset-log dir for --streaming (default {base}/_checkpoint)",
+    )
     sp.set_defaults(fn=cmd_orchestrate)
 
     sp = sub.add_parser("aliases", help="list/set/drop aliases")

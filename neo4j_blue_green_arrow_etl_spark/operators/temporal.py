@@ -512,6 +512,32 @@ EWMA_DECAY = 0.8
 EWMA_SPAN = 20  # trailing rows in the truncated frame
 
 
+def ewma_over_events(
+    e: DataFrame, span: int = EWMA_SPAN, decay: float = EWMA_DECAY
+) -> DataFrame:
+    """The operator itself, DataFrame-in/DataFrame-out (property tests
+    drive it with generated inputs): per-user truncated exponentially
+    weighted sum over the trailing ``span`` values, newest weight 1."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    n = F.size(vals)
+    terms = F.zip_with(
+        vals,
+        F.sequence(F.lit(1), n),
+        lambda v, i: v * F.pow(F.lit(decay), (n - i).cast("double")),
+    )
+    ewma = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(ewma, 6).alias("ewma"),
+    ).orderBy("user_id", "event_id")
+
+
 @register(
     "q_ts2_ewma",
     oracle=(
@@ -536,28 +562,7 @@ EWMA_SPAN = 20  # trailing rows in the truncated frame
     "territory); the truncated window form is the batch-scan shape.",
 )
 def q_ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(EWMA_SPAN - 1), 0)
-    )
-    vals = F.collect_list("value").over(w)
-    n = F.size(vals)
-    terms = F.zip_with(
-        vals,
-        F.sequence(F.lit(1), n),
-        lambda v, i: v * F.pow(F.lit(EWMA_DECAY), (n - i).cast("double")),
-    )
-    ewma = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
-    return (
-        e.select(
-            "user_id",
-            "event_id",
-            F.round(ewma, 6).alias("ewma"),
-        )
-        .orderBy("user_id", "event_id")
-    )
+    return ewma_over_events(_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -565,6 +570,42 @@ def q_ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 FUNNEL_WINDOW = "1 hour"
+
+
+def funnel_over_events(
+    e: DataFrame, window: str = FUNNEL_WINDOW
+) -> DataFrame:
+    """The operator itself, DataFrame-in/DataFrame-out (property tests
+    drive it with generated inputs): per-user signup -> purchase
+    conversion within ``window`` via a running next-purchase MIN."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("next_p", next_p)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum(
+                F.when(
+                    F.col("next_p").isNotNull()
+                    & (F.col("next_p") >= F.col("ts"))
+                    & (
+                        F.col("next_p")
+                        <= F.col("ts") + F.expr(f"INTERVAL {window}")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(
@@ -593,35 +634,7 @@ FUNNEL_WINDOW = "1 hour"
     "splitting applies to the one window shuffle.",
 )
 def q_ev1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    next_p = F.min(
-        F.when(F.col("event_type") == "purchase", F.col("ts"))
-    ).over(w)
-    return (
-        e.withColumn("next_p", next_p)
-        .filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_signups"),
-            F.sum(
-                F.when(
-                    F.col("next_p").isNotNull()
-                    & (F.col("next_p") >= F.col("ts"))
-                    & (
-                        F.col("next_p")
-                        <= F.col("ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW}")
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("n_converted"),
-        )
-        .orderBy("user_id")
-    )
+    return funnel_over_events(_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -67,3 +67,19 @@ def test_demo_workflow_end_to_end(tmp_path, capsys):
     capsys.readouterr()
     assert main(["--base", base, "databases"]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_orchestrate_streaming_drains_and_reports(base, capsys):
+    """--streaming --cycles 1 = availableNow drain through the
+    snapshotarrivals source; stats JSON lands on stdout."""
+    import json as _json
+
+    assert main(["--base", base, "orchestrate", "--streaming", "--cycles", "1"]) == 0
+    out = capsys.readouterr().out
+    stats = _json.loads(out[out.index("{") :])
+    assert stats["discovered"] == 1 and stats["completed"] == 1
+    # second run, same default checkpoint: offset log says nothing new
+    assert main(["--base", base, "orchestrate", "--streaming", "--cycles", "1"]) == 0
+    out = capsys.readouterr().out
+    stats = _json.loads(out[out.index("{") :])
+    assert stats["discovered"] == 0 and stats["completed"] == 0

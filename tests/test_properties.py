@@ -337,3 +337,105 @@ def test_canon_hash_detects_mutations():
     assert sorted(["id", "s", "w"]) != sorted(cols)  # the schema check
     # sort-order-CHANGING rename does change the hash (values re-order)
     assert canon(rows, ["id", "s", "a"]) != base
+
+
+# ---------------------------------------------------------------------------
+# EWMA + funnel vs pure-Python references (dense tie stress)
+# ---------------------------------------------------------------------------
+
+
+def _mk_events_df(spark, rows):
+    data = [
+        (eid, ts, uid, typ, v100 / 100.0)
+        for eid, (ts, uid, typ, v100) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, EVENT_SCHEMA).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+
+
+def _python_ewma(rows, span, decay):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, (ts, uid, typ, v100) in enumerate(rows):
+        by_user[uid].append((ts, eid, v100 / 100.0))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i, (_, eid, _) in enumerate(evs):
+            frame = [v for _, _, v in evs[max(0, i - span + 1) : i + 1]]
+            out[eid] = round(
+                sum(v * decay ** (len(frame) - 1 - k) for k, v in enumerate(frame)),
+                6,
+            )
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, st.integers(1, 4))
+def test_ewma_matches_python_reference(spark, rows, span):
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import (
+        ewma_over_events,
+    )
+
+    got = {
+        r.event_id: r.ewma
+        for r in ewma_over_events(_mk_events_df(spark, rows), span=span).collect()
+    }
+    want = _python_ewma(rows, span, 0.8)
+    assert set(got) == set(want)
+    for eid in want:
+        assert abs(got[eid] - want[eid]) < 2e-6, (eid, got[eid], want[eid])
+
+
+def _python_funnel(rows, window_sec):
+    """signup converts iff a purchase sorts at-or-after it under
+    (ts, event_id) and lands within the window (frame semantics)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(lambda: ([], []))
+    for eid, (ts, uid, typ, v100) in enumerate(rows):
+        if typ == "signup":
+            by_user[uid][0].append((ts, eid))
+        elif typ == "purchase":
+            by_user[uid][1].append((ts, eid))
+    out = {}
+    for uid, (signs, purch) in by_user.items():
+        if not signs:
+            continue
+        conv = sum(
+            1
+            for s in signs
+            if any(p >= s and p[0] <= s[0] + window_sec for p in purch)
+        )
+        out[uid] = (len(signs), conv)
+    return out
+
+
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # ts seconds
+        st.integers(0, 1),  # user_id
+        st.sampled_from(["signup", "purchase", "view"]),
+        st.integers(0, 99),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(funnel_strategy)
+def test_funnel_matches_python_reference(spark, rows):
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import (
+        funnel_over_events,
+    )
+
+    got = {
+        r.user_id: (r.n_signups, r.n_converted)
+        for r in funnel_over_events(
+            _mk_events_df(spark, rows), window="2 seconds"
+        ).collect()
+    }
+    assert got == _python_funnel(rows, 2)
