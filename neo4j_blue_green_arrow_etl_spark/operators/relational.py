@@ -1449,3 +1449,42 @@ def q_dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("orders_status_enum", enum))
         .orderBy("rule")
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters per group (top-k frequent values)
+# --------------------------------------------------------------------------
+
+HH_K = 3
+
+
+@register(
+    "q_a15_heavyhitters",
+    oracle=(
+        "SELECT user_id, event_type, n FROM ("
+        " SELECT user_id, event_type, COUNT(*) AS n,"
+        " row_number() OVER (PARTITION BY user_id"
+        "   ORDER BY COUNT(*) DESC, event_type) AS rk"
+        " FROM events GROUP BY 1, 2"
+        f") WHERE rk <= {HH_K} ORDER BY user_id, n DESC, event_type"
+    ),
+    doc=f"Heavy hitters: each user's top-{HH_K} event types by "
+    "frequency (ties to the alphabetically-first type). One groupBy "
+    "(map-side combined: the shuffle carries (user, type, partial "
+    "count), bounded by user x alphabet) + one window on the ALREADY "
+    "AGGREGATED table — the window input is group-cardinality, not "
+    "event-cardinality. Scale: for unbounded type alphabets swap the "
+    "exact count for a count-min/space-saving sketch; this exact form "
+    "is that swap's oracle, the same role q_a7 plays for "
+    "approx_percentile.",
+)
+def q_a15_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HH_K)
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id", F.desc("n"), "event_type")
+    )

@@ -771,17 +771,21 @@ def _kmeans_seeds(e: DataFrame):
     return np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
 
 
-def _kmeans_update(e: DataFrame, cent):
+def _kmeans_update(e: DataFrame, cent, ids=None):
     """One distributed Lloyd update: assign each vector to its nearest
     centroid (squared L2, ties to the lowest cluster id) and move each
     centroid to the mean of its members. One mapInPandas pass emits
     per-partition partial (cluster, sumvec, count) rows — at most
     K rows per partition, NOT data rows — then a K-row groupBy+collect
     rebuilds the (K, dim) tensor on the driver. Empty clusters are
-    dropped (both sides of the oracle share this semantic)."""
+    dropped (both sides of the oracle share this semantic); ``ids``
+    maps matrix row -> ORIGINAL cluster id so labels stay stable when
+    a drop shrinks the matrix. Returns (new_cent, new_ids)."""
     import numpy as np
     from pyspark.sql import types as T
 
+    if ids is None:
+        ids = list(range(len(cent)))
     spark = e.sparkSession
     bc = spark.sparkContext.broadcast(cent)
     dim = cent.shape[1]
@@ -826,18 +830,25 @@ def _kmeans_update(e: DataFrame, cent):
         .orderBy("cluster")
         .collect()
     )
-    return np.vstack([np.asarray(r.vsum) / r.cnt for r in agg])
+    new_cent = np.vstack([np.asarray(r.vsum) / r.cnt for r in agg])
+    new_ids = [ids[r.cluster] for r in agg]
+    return new_cent, new_ids
 
 
-def kmeans_assign(e: DataFrame, cent) -> DataFrame:
+def kmeans_assign(e: DataFrame, cent, ids=None) -> DataFrame:
     """(vec_id, cluster int): nearest-centroid assignment against a
     broadcast (K, dim) tensor — one linear blocked-numpy pass, shuffle
     free; ties break to the lowest cluster id (argmin first
-    occurrence), matching the oracle's ORDER BY d, cluster."""
+    occurrence, positions sorted by original id), matching the
+    oracle's ORDER BY d, cluster. ``ids`` maps matrix row -> original
+    cluster id (identity when no cluster ever emptied)."""
     from pyspark.sql import types as T
 
+    if ids is None:
+        ids = list(range(len(cent)))
     spark = e.sparkSession
     bc = spark.sparkContext.broadcast(cent)
+    bc_ids = spark.sparkContext.broadcast(list(ids))
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -850,11 +861,12 @@ def kmeans_assign(e: DataFrame, cent) -> DataFrame:
         import pandas as pd
 
         c = bc.value
+        id_map = np.asarray(bc_ids.value, dtype="int32")
         for pdf in it:
             mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
             d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cluster": d2.argmin(axis=1).astype("int32")}
+                {"vec_id": pdf["vec_id"], "cluster": id_map[d2.argmin(axis=1)]}
             )
 
     return e.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
@@ -864,9 +876,10 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full deterministic k-means pipeline shared by q_x21/q_x22."""
     e = _emb(spark, sf_dir)
     cent = _kmeans_seeds(e)
+    ids = list(range(len(cent)))
     for _ in range(KMEANS_ROUNDS - 1):
-        cent = _kmeans_update(e, cent)
-    return kmeans_assign(e, cent)
+        cent, ids = _kmeans_update(e, cent, ids)
+    return kmeans_assign(e, cent, ids)
 
 
 def _kmeans_oracle_ctes() -> str:

@@ -349,3 +349,56 @@ def q_sq6_q2min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested aggregate semi-join (dominant-share suppliers)
+# --------------------------------------------------------------------------
+
+Q20_BRAND = "Brand#12"
+Q20_SHARE = 0.10  # a supplier "dominates" a part above this volume share
+
+
+@register(
+    "q_sq7_q20",
+    oracle=(
+        f"WITH brand_parts AS (SELECT p_partkey FROM part WHERE p_brand = '{Q20_BRAND}'), "
+        "vol AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq "
+        "FROM lineitem JOIN brand_parts ON l_partkey = p_partkey GROUP BY 1, 2), "
+        "tot AS (SELECT l_partkey, SUM(sq) AS tq FROM vol GROUP BY 1) "
+        "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+        "SELECT v.l_suppkey FROM vol v JOIN tot t USING (l_partkey) "
+        f"WHERE v.sq > {Q20_SHARE} * t.tq) ORDER BY s_suppkey"
+    ),
+    doc=f"TPC-H Q20 shape: suppliers shipping more than "
+    f"{int(Q20_SHARE * 100)}% of any {Q20_BRAND} part's total volume — "
+    "a nested-aggregate semi-join (IN over a correlated-aggregate "
+    "derived table), decorrelated the same way as q_sq2/q_sq3: "
+    "aggregate once per (part, supplier), re-aggregate per part, join "
+    "the two SMALL aggregate tables, semi-join the supplier dimension "
+    "on the survivors. Scale: the fact table is touched by exactly one "
+    "brand-filtered scan + one groupBy; everything after operates on "
+    "aggregate-cardinality tables (broadcastable), never on lineitem "
+    "again.",
+)
+def q_sq7_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == Q20_BRAND)
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    tot = vol.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        vol.join(tot, "l_partkey")
+        .filter(F.col("sq") > Q20_SHARE * F.col("tq"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(dominant), "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -730,3 +730,51 @@ def q_ev3_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ev4_attribution",
+    oracle=(
+        "WITH tagged AS ("
+        " SELECT event_id, ts, event_type,"
+        " last_value(CASE WHEN event_type <> 'purchase' THEN event_type END"
+        " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch"
+        " FROM events"
+        ") SELECT COALESCE(touch, 'direct') AS channel,"
+        " COUNT(*) AS n_purchases"
+        " FROM tagged WHERE event_type = 'purchase'"
+        " GROUP BY 1 ORDER BY 1"
+    ),
+    doc="Last-touch attribution: each purchase is credited to the most "
+    "recent PRECEDING non-purchase event of the same user ('direct' "
+    "when none exists) — the standard marketing-attribution primitive "
+    "and the same single-pass running-last discipline as the as-of "
+    "join: one shuffle on user_id, a 1-PRECEDING frame so a purchase "
+    "never attributes to itself or a simultaneous later event, then a "
+    "channel-cardinality groupBy. Scale: no per-user self-join; the "
+    "final aggregate is alphabet-sized.",
+)
+def q_ev4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("channel")
+    )

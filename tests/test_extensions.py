@@ -370,8 +370,9 @@ def test_kmeans_update_moves_centroids_toward_members(spark):
 
     c0 = _kmeans_seeds(e)
     assert c0.shape == (KMEANS_K, EMB_DIM)
-    c1 = _kmeans_update(e, c0)
+    c1, ids1 = _kmeans_update(e, c0)
     assert c1.shape == (KMEANS_K, EMB_DIM)
+    assert ids1 == list(range(KMEANS_K))  # nothing emptied on this data
     assert sse(c1) <= sse(c0) + 1e-9
     # assignment against the updated tensor matches a local argmin
     got = {
@@ -412,3 +413,28 @@ def test_semdedup_removes_only_within_cluster_neighbors(spark):
             if o < r.vec_id and cluster[o] == r.cluster
         )
         assert r.is_kept == (not has_lower_neighbor), r
+
+
+def test_kmeans_update_preserves_original_ids_when_clusters_empty():
+    """If a Lloyd update drops an emptied cluster, surviving centroids
+    must keep their ORIGINAL cluster ids (never renumber) — otherwise
+    labels silently shift relative to the oracle's."""
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        _kmeans_update,
+        kmeans_assign,
+    )
+    from neo4j_blue_green_arrow_etl_spark.session import get_spark
+
+    spark = get_spark("kmeans-empty")
+    # 1-dim points all near 0 and 10; seed centroid 1 (at 5.2) loses
+    # every point to 0 or 2 -> cluster 1 empties after one update
+    pts = [(i, [float(v)]) for i, v in enumerate([0.0, 0.1, 0.2, 9.9, 10.0, 10.1])]
+    e = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cent = np.array([[0.05], [5.2], [10.0]])
+    new_cent, new_ids = _kmeans_update(e, cent)
+    assert new_ids == [0, 2]  # cluster 1 dropped, ids NOT renumbered
+    got = {r.vec_id: r.cluster for r in kmeans_assign(e, new_cent, new_ids).collect()}
+    assert set(got.values()) == {0, 2}
+    assert got[0] == 0 and got[5] == 2
