@@ -607,3 +607,150 @@ def q_x25_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination overlap scoring (graded decontamination)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), grams AS (
+  SELECT DISTINCT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS gram
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN words d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+  JOIN words e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+), bench_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (WHERE b.gram IS NOT NULL) AS n_matched,
+       ROUND(COUNT(*) FILTER (WHERE b.gram IS NOT NULL)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS overlap_frac
+FROM grams g
+LEFT JOIN bench_grams b ON g.gram = b.gram
+WHERE g.doc_id % {BENCH_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@register(
+    "q_x26_overlap",
+    oracle=_OVERLAP_ORACLE,
+    doc="Graded contamination scoring: for every corpus document, the "
+    f"FRACTION of its distinct word {DECONTAM_N}-grams that appear in "
+    f"the benchmark subset (doc_id % {BENCH_MOD} = 0) — the score "
+    "behind threshold-based decontamination policies (q_x8_decontam is "
+    "the binary any-overlap special case; real pipelines drop at "
+    ">X% overlap and audit the rest). Plan: distinct grams per doc "
+    "(array_distinct BEFORE explode bounds shuffle rows at per-doc "
+    "vocabulary), broadcast LEFT join against the tiny benchmark gram "
+    "set, one conditional-count groupBy per doc. Scale: the corpus "
+    "side is never shuffled except by its own doc_id groupBy; the "
+    "benchmark side stays broadcast-sized by nature (eval suites vs "
+    "a 100 TB corpus).",
+)
+def q_x26_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    grams = d.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))
+        ).alias("gram"),
+    ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
+    bench_grams = (
+        grams.filter("is_bench").select("gram").distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    return (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("matched").alias("n_matched"),
+            F.round(
+                F.count("matched") / F.count("*").cast("double"), 4
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language quality bucketing
+# ---------------------------------------------------------------------------
+
+QBUCKET_N = 3  # head / middle / tail tertiles
+_QBUCKET_NAMES = "CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+@register(
+    "q_x27_qbucket",
+    oracle=(
+        "WITH scored AS ("
+        " SELECT doc_id, lang,"
+        " len(text) / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        "   AS score"
+        " FROM documents"
+        "), bucketed AS ("
+        " SELECT lang, score,"
+        f" ntile({QBUCKET_N}) OVER (PARTITION BY lang"
+        "   ORDER BY score DESC, doc_id) AS bkt"
+        " FROM scored"
+        ") SELECT lang, "
+        f"{_QBUCKET_NAMES} AS bucket, "
+        "COUNT(*) AS n_docs, ROUND(AVG(score), 4) AS avg_score "
+        "FROM bucketed GROUP BY lang, bkt ORDER BY lang, "
+        f"{_QBUCKET_NAMES}"
+    ),
+    doc="CCNet-style quality bucketing: per language, rank documents "
+    "by a cheap quality proxy (mean token length = chars/words — the "
+    "stand-in for a perplexity score, which needs a model this "
+    "container doesn't ship) and split into head/middle/tail "
+    f"tertiles (ntile({QBUCKET_N})), then report bucket sizes and "
+    "mean scores. This is the partition step pretraining pipelines "
+    "use to oversample 'head' text. Plan: one window shuffle on lang "
+    "(ntile over a per-lang sort) + an alphabet-sized groupBy. Scale: "
+    "exact ntile needs the per-lang global sort; at 100 TB swap the "
+    "tertile boundaries for approx_percentile cutoffs (q_a7 pattern) "
+    "and bucket by comparison — the exact form here is that swap's "
+    "oracle. Deterministic tie-break by doc_id keeps both engines' "
+    "tile assignment identical.",
+)
+def q_x27_qbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.length("text")
+            / F.size(F.split(F.col("text"), " ")).cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    bucket = (
+        F.when(F.col("bkt") == 1, "head")
+        .when(F.col("bkt") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.withColumn("bkt", F.ntile(QBUCKET_N).over(w))
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1488,3 +1488,167 @@ def q_a15_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "n")
         .orderBy("user_id", F.desc("n"), "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical-moment aggregates (corr / covar / stddev / variance)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_a16_stats",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr, "
+        "ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar, "
+        "ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev, "
+        "ROUND(var_pop(l_quantity), 4) AS qty_var "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    doc="Statistical-moment aggregate family: Pearson correlation, "
+    "sample covariance, sample stddev, and population variance of "
+    "lineitem quantity/price per return flag — the profiling moments a "
+    "feature-drift monitor tracks. All four are single-pass streaming "
+    "aggregates (sum, sum-of-squares, cross-product accumulators) with "
+    "map-side partials, so the shuffle carries one accumulator row per "
+    "(partition, flag): identical cost to a plain SUM at any scale. "
+    "Definitions are engine-identical (corr/covar_samp/stddev_samp/"
+    "var_pop); skewness/kurtosis deliberately excluded — Spark uses "
+    "population formulas, DuckDB bias-corrected sample formulas, so "
+    "they are not cross-engine comparable. Results rounded: moment "
+    "accumulation order differs across engines in the last float bits.",
+)
+def q_a16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_pop("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-average gate + anti-join + substring grouping
+# --------------------------------------------------------------------------
+
+Q22_CUTOFF = "2000-06-01"  # "dormant" = no order on/after this date
+
+
+@register(
+    "q_j15_q22",
+    oracle=(
+        "SELECT cntrycode, COUNT(*) AS numcust, "
+        "ROUND(SUM(c_acctbal), 2) AS totacctbal FROM ("
+        " SELECT lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS cntrycode,"
+        "        c_acctbal"
+        " FROM customer c"
+        " WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer"
+        "                    WHERE c_acctbal > 0.0)"
+        " AND NOT EXISTS (SELECT 1 FROM orders o"
+        "                 WHERE o.o_custkey = c.c_custkey"
+        f"                 AND o.o_orderdate >= DATE '{Q22_CUTOFF}')"
+        ") GROUP BY cntrycode ORDER BY cntrycode"
+    ),
+    doc="TPC-H Q22 shape (global-customer-distribution): customers with "
+    f"above-average balance and no order since {Q22_CUTOFF} (every "
+    "custkey in this generator has SOME order, so the date predicate "
+    "inside the NOT EXISTS keeps the anti-join non-vacuous at every "
+    "SF — Q22's 'dormant customer' semantics). Exercises a scalar "
+    "subquery (the positive-balance average) "
+    "feeding a filter, a NOT EXISTS anti-join, and substring-derived "
+    "grouping in one plan. Scale: the scalar average is a one-row "
+    "broadcast gate evaluated before the join; the anti-join shuffles "
+    "on custkey (or broadcasts the distinct-custkey side when orders "
+    "is pre-aggregated); the final groupBy is over the tiny country-"
+    "code alphabet so its shuffle is a few dozen partial rows. This "
+    "testdata has no c_phone column, so the country code is derived "
+    "as zero-padded c_nationkey, identically in both engines — the "
+    "substring-grouping shape of Q22 is preserved.",
+)
+def q_j15_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("date"))
+        .select("o_custkey")
+    )
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.lpad(F.col("c_nationkey").cast("string"), 2, "0").alias(
+                "cntrycode"
+            ),
+            "c_acctbal",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# --------------------------------------------------------------------------
+# URL parsing (web-corpus provenance columns)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_f12_url",
+    oracle=(
+        "WITH u AS (SELECT doc_id, 'https://' || source || "
+        "'.example.com/docs/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang "
+        "AS url FROM documents) "
+        "SELECT doc_id, "
+        "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+        "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, "
+        "regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param "
+        "FROM u ORDER BY doc_id"
+    ),
+    doc="URL decomposition — the provenance columns every web-scraped "
+    "training corpus carries (host for per-domain capping/blocklists, "
+    "path for boilerplate heuristics, query params for tracking "
+    "stripping). The testdata has no URL column, so one is synthesized "
+    "deterministically from (source, doc_id, lang) on BOTH engines, "
+    "then parsed: Spark with the built-in parse_url (HOST/PATH/QUERY-"
+    "key extraction, JVM codegen), the oracle with equivalent anchored "
+    "regexes. Scale: pure map-side column expressions — no shuffle, "
+    "prunes to three input columns; this is the normalize step that "
+    "feeds q_x13_sample-style per-domain capping at 100 TB.",
+)
+def q_f12_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")

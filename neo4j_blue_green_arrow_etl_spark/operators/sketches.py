@@ -76,3 +76,97 @@ def distinct_sketches(df: DataFrame, value: str, *group_cols: str) -> DataFrame:
     return df.groupBy(*group_cols).agg(
         F.hll_sketch_agg(value, F.lit(HLL_LGK)).alias("sk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency summary)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row (fixed memory: DEPTH x WIDTH cells)
+
+
+def _cms_bucket_sql(d: int) -> str:
+    """DuckDB bucket expression for hash row ``d`` (portable md5-prefix
+    hash — bit-identical to the Spark body's, q_x19 technique)."""
+    return (
+        f"CAST(('0x' || substr(md5('{d}:' || CAST(user_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {CMS_WIDTH} AS INT)"
+    )
+
+
+@register(
+    "q_a17_cms",
+    oracle=(
+        "SELECT d, bucket, COUNT(*) AS cnt FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_bucket_sql(d)} AS bucket FROM events"
+            for d in range(CMS_DEPTH)
+        )
+        + ") GROUP BY d, bucket ORDER BY d, bucket"
+    ),
+    doc=f"Count-min sketch build: every event increments one of "
+    f"{CMS_WIDTH} buckets in each of {CMS_DEPTH} independent hash rows "
+    "(portable md5-prefix hashes so both engines fill identical "
+    "cells); a key's frequency estimate is the MIN over its row cells "
+    "— always an overestimate, bounded by collisions "
+    "(tests/test_extensions.py asserts both properties plus cell-wise "
+    "mergeability). This is the fixed-memory swap for q_a15's exact "
+    "heavy hitters: the sketch is DEPTH x WIDTH cells no matter how "
+    "many distinct keys exist. Plan: one scan, posexplode to DEPTH "
+    "rows per event, ONE groupBy whose result — and therefore whose "
+    "shuffle — is bounded by the sketch size, not the key cardinality; "
+    "partial aggs mean each map task emits at most DEPTH x WIDTH "
+    "partial cells. Scale: cell tables from any partitioning merge by "
+    "addition (counts are associative), the 'aggregate once, "
+    "re-aggregate forever' property shared with the HLL path above.",
+)
+def q_a17_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _t
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    buckets = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat(
+                                    F.lit(f"{d}:"),
+                                    F.col("user_id").cast("string"),
+                                ),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(CMS_WIDTH),
+            ).cast("int")
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        e.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("d", "bucket")
+    )
+
+
+def cms_estimate(cells: dict[tuple[int, int], int], key: str) -> int:
+    """Point-query the sketch built by q_a17_cms: MIN over the key's
+    cell in each hash row (missing cell = 0). Driver-side helper for
+    tests and interactive use — the sketch itself is tiny by design."""
+    import hashlib
+
+    est = None
+    for d in range(CMS_DEPTH):
+        h = hashlib.md5(f"{d}:{key}".encode()).hexdigest()[:8]
+        cell = cells.get((d, int(h, 16) % CMS_WIDTH), 0)
+        est = cell if est is None else min(est, cell)
+    return est or 0

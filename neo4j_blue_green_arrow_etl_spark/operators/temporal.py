@@ -778,3 +778,179 @@ def q_ev4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation of missing time-series values
+# --------------------------------------------------------------------------
+
+INTERP_MISS_MOD = 7  # event_id % MOD == 0 -> value treated as missing
+
+
+def interpolate_series(
+    df: DataFrame, key: str, ts: str, tiebreak: str, t: str, v: str
+) -> DataFrame:
+    """The interpolation operator itself, DataFrame-in/DataFrame-out
+    (property tests drive it with generated inputs): add
+    ``value_interp`` reconstructing NULLs in ``v`` linearly between the
+    nearest non-null neighbors (positions from numeric column ``t``),
+    forward/back-filling at the series edges, previous-anchor fallback
+    when both anchors share a position. Ordering within a key is
+    (``ts``, ``tiebreak``); both window frames share one partitioning,
+    so Catalyst plans a single shuffle + sort."""
+    wp = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_of_v = F.when(F.col(v).isNotNull(), F.col(t))
+    filled = df.select(
+        "*",
+        F.last(v, ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_of_v, ignorenulls=True).over(wp).alias("pt"),
+        F.first(v, ignorenulls=True).over(wn).alias("nv"),
+        F.first(t_of_v, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = (
+        F.when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") != F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col(t) - F.col("pt"))
+            / (F.col("nt") - F.col("pt")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return filled.withColumn("value_interp", interp).drop(
+        "pv", "pt", "nv", "nt"
+    )
+
+
+@register(
+    "q_ts3_interp",
+    oracle=(
+        "WITH base AS ("
+        " SELECT event_id, user_id, epoch_us(ts) AS t,"
+        f" CASE WHEN event_id % {INTERP_MISS_MOD} = 0 THEN NULL"
+        "       ELSE value END AS v,"
+        " ts FROM events"
+        "), filled AS ("
+        " SELECT event_id, user_id, t, v,"
+        " last_value(v IGNORE NULLS) OVER wp AS pv,"
+        " last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)"
+        "   OVER wp AS pt,"
+        " first_value(v IGNORE NULLS) OVER wn AS nv,"
+        " first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)"
+        "   OVER wn AS nt"
+        " FROM base"
+        " WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+        " wn AS (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        ") SELECT event_id, user_id, "
+        "ROUND(CASE"
+        " WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN"
+        "   pv + (nv - pv) * (t - pt) / (nt - pt)"
+        " WHEN pv IS NOT NULL THEN pv"
+        " ELSE nv END, 4) AS value_interp, "
+        f"(event_id % {INTERP_MISS_MOD} = 0) AS was_missing "
+        "FROM filled ORDER BY user_id, event_id"
+    ),
+    doc="Linear interpolation of missing sensor values (every "
+    f"{INTERP_MISS_MOD}th event's value is deterministically masked to "
+    "NULL to simulate gaps): per user, each missing value is "
+    "reconstructed from the nearest non-null neighbors weighted by "
+    "event-time distance — v = pv + (nv-pv)*(t-pt)/(nt-pt) — with "
+    "forward/back-fill at series edges and a prev-value fallback when "
+    "both anchors share a timestamp. TWO window passes over ONE "
+    "partitioning (prev via last ignorenulls over the preceding frame, "
+    "next via first ignorenulls over the following frame): Catalyst "
+    "plans both in a single shuffle on user_id + one in-partition "
+    "sort. Scale: per-row constant state, no self-join — the standard "
+    "gap-repair step before resampling feeds model training; contrast "
+    "q_ts1_gapfill which inserts rows, while this repairs values.",
+)
+def q_ts3_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    masked = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts_t")).alias("t"),
+        F.when(
+            F.col("event_id") % INTERP_MISS_MOD == 0, F.lit(None)
+        ).otherwise(F.col("value")).alias("v"),
+        "ts",
+    )
+    return (
+        interpolate_series(
+            masked, key="user_id", ts="ts", tiebreak="event_id", t="t", v="v"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value_interp", 4).alias("value_interp"),
+            (F.col("event_id") % INTERP_MISS_MOD == 0).alias("was_missing"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-hierarchy rollup (continuous-aggregate / hypertable shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ts4_rollup",
+    oracle=(
+        "SELECT EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS m, "
+        "EXTRACT(DAY FROM ts) AS d, "
+        "GROUPING(EXTRACT(YEAR FROM ts)) * 4 "
+        " + GROUPING(EXTRACT(MONTH FROM ts)) * 2 "
+        " + GROUPING(EXTRACT(DAY FROM ts)) AS gid, "
+        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+        "FROM events "
+        "GROUP BY ROLLUP(EXTRACT(YEAR FROM ts), EXTRACT(MONTH FROM ts), "
+        "EXTRACT(DAY FROM ts)) "
+        "ORDER BY gid, y NULLS LAST, m NULLS LAST, d NULLS LAST"
+    ),
+    doc="Time-hierarchy rollup: event counts and value sums at "
+    "day/month/year/grand-total granularity in ONE pass — the "
+    "continuous-aggregate ladder a hypertable maintains, expressed as "
+    "GROUP BY ROLLUP over calendar parts. grouping_id distinguishes "
+    "each tier. Plan: one Expand (x4 = hierarchy depth + 1) + one "
+    "shuffle whose rows are bounded by distinct (day, tier) buckets — "
+    "calendar cardinality, not event cardinality, thanks to partial "
+    "aggregation. Scale: at 100 TB the coarser tiers are FREE "
+    "by-products of the day-level partials; materialize the output as "
+    "the serving rollup and maintain it incrementally per q_x15's "
+    "delta pattern.",
+)
+def q_ts4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        F.year("ts_t").alias("y"),
+        F.month("ts_t").alias("m"),
+        F.dayofmonth("ts_t").alias("d"),
+        "value",
+    )
+    return (
+        e.rollup("y", "m", "d")
+        .agg(
+            (
+                F.grouping(F.col("y")) * 4
+                + F.grouping(F.col("m")) * 2
+                + F.grouping(F.col("d"))
+            ).alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("gid", F.asc_nulls_last("y"), F.asc_nulls_last("m"), F.asc_nulls_last("d"))
+    )

@@ -407,3 +407,102 @@ def q_x19_feathash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI (collocation / association mining)
+# ---------------------------------------------------------------------------
+
+PMI_SUPPORT_DENOM = 1000  # keep bigrams with count >= total/DENOM
+
+
+@register(
+    "q_x28_pmi",
+    oracle=(
+        "WITH words AS ("
+        " SELECT doc_id, unnest(string_split(text, ' ')) AS w,"
+        " unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos"
+        " FROM documents"
+        "), uni AS (SELECT w, COUNT(*) AS cw FROM words GROUP BY w"
+        "), bi AS ("
+        " SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cxy"
+        " FROM words a JOIN words b"
+        " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+        " GROUP BY 1, 2"
+        "), tot AS ("
+        " SELECT (SELECT SUM(cw) FROM uni) AS nu,"
+        " (SELECT SUM(cxy) FROM bi) AS nb"
+        ") SELECT bi.w1, bi.w2, bi.cxy, "
+        "ROUND(log2((bi.cxy / CAST(tot.nb AS DOUBLE)) / "
+        "((u1.cw / CAST(tot.nu AS DOUBLE)) * (u2.cw / CAST(tot.nu AS DOUBLE))"
+        ")), 4) + 0.0 AS pmi "  # +0.0 folds IEEE -0.0 to 0.0
+        "FROM bi, tot "
+        "JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w "
+        f"WHERE bi.cxy * {PMI_SUPPORT_DENOM} >= tot.nb "
+        "ORDER BY w1, w2"
+    ),
+    doc="Pointwise mutual information of adjacent word pairs — the "
+    "classic collocation score (log2 of observed bigram probability "
+    "over the independence expectation), the signal behind phrase "
+    "mining and tokenizer-merge candidates. Relative support (count >= "
+    f"total/{PMI_SUPPORT_DENOM}) bounds the output to real collocations "
+    "and is scale-invariant — the same query is non-trivial at sf0.001 "
+    "and at 100 TB. Plan: ONE scan explodes "
+    "per-doc bigram arrays (map-side combine makes the shuffle carry "
+    "(bigram, partial count), bounded by vocabulary^2 observed, not "
+    "token count); unigram counts from a second explode of the same "
+    "scan; the two corpus totals ride a one-row broadcast and the "
+    "unigram table broadcasts onto the (far smaller) thresholded "
+    "bigram table. Scale: vocabulary-sized shuffles, token-sized "
+    "scans — the same partial-agg discipline as q_x20_tokfreq.",
+)
+def q_x28_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import word_ngrams
+
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("cw"))
+    bigrams = d.select(
+        F.explode(word_ngrams(F.col("text"), 2)).alias("bg")
+    ).filter(F.size(F.split(F.col("bg"), " ")) == 2)
+    bi_all = bigrams.groupBy("bg").agg(F.count("*").alias("cxy"))
+    # Totals WITHOUT re-aggregating the aggregates (each DataFrame
+    # reference recompiles its scan subtree): nu = total token count in
+    # one cheap pruned scan, and nb = nu - ndocs because a doc with w
+    # words contributes exactly w-1 adjacent pairs.
+    n_words = F.sum(F.size(F.split(F.col("text"), " ")))
+    totals = d.agg(
+        n_words.alias("nu"), (n_words - F.count("*")).alias("nb")
+    )
+    bi = bi_all.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        "cxy",
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    return (
+        bi.join(F.broadcast(totals))
+        .filter(F.col("cxy") * PMI_SUPPORT_DENOM >= F.col("nb"))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            (
+                F.round(
+                    F.log2(
+                        (F.col("cxy") / F.col("nb").cast("double"))
+                        / (
+                            (F.col("cw1") / F.col("nu").cast("double"))
+                            * (F.col("cw2") / F.col("nu").cast("double"))
+                        )
+                    ),
+                    4,
+                )
+                + 0.0  # fold IEEE -0.0 to 0.0, matching the oracle
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -263,3 +263,71 @@ def test_spandedup_matches_bruteforce(spark):
                 want[d.doc_id][1] += 1
             seen.add(passage)
     assert got == {k: tuple(v) for k, v in want.items() if v[0] > 0}
+
+
+def test_overlap_zero_iff_decontam_survivor(spark):
+    """q_x26_overlap and q_x8_decontam must agree: a non-benchmark doc
+    survives binary decontamination exactly when its graded overlap
+    fraction is zero (docs too short to form any n-gram appear only in
+    q_x8's survivor list)."""
+    overlap = REGISTRY["q_x26_overlap"].spark(spark, SF_SMOKE)
+    survivors = REGISTRY["q_x8_decontam"].spark(spark, SF_SMOKE)
+    zero_docs = overlap.filter(F.col("n_matched") == 0).select("doc_id")
+    contaminated = overlap.filter(F.col("n_matched") > 0).select("doc_id")
+    # every zero-overlap doc survives; every contaminated doc is dropped
+    assert zero_docs.join(survivors, "doc_id", "left_anti").isEmpty()
+    assert contaminated.join(survivors, "doc_id", "left_semi").isEmpty()
+    # fraction is consistent with its own numerator/denominator
+    assert overlap.filter(
+        F.abs(
+            F.col("overlap_frac")
+            - F.round(F.col("n_matched") / F.col("n_grams"), 4)
+        )
+        > 1e-9
+    ).isEmpty()
+
+
+def test_qbucket_tertiles_partition_each_language(spark):
+    """q_x27_qbucket: per language the three buckets partition the doc
+    count (sizes differ by at most one) and mean scores are ordered
+    head >= middle >= tail."""
+    res = REGISTRY["q_x27_qbucket"].spark(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per_lang = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    by_lang: dict[str, dict[str, tuple[int, float]]] = {}
+    for r in res:
+        by_lang.setdefault(r.lang, {})[r.bucket] = (r.n_docs, r.avg_score)
+    for lang, buckets in by_lang.items():
+        sizes = [buckets[b][0] for b in ("head", "middle", "tail") if b in buckets]
+        assert sum(sizes) == per_lang[lang]
+        assert max(sizes) - min(sizes) <= 1
+        scores = [
+            buckets[b][1] for b in ("head", "middle", "tail") if b in buckets
+        ]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pmi_threshold_and_identity(spark):
+    """q_x28_pmi: every output bigram meets the relative-support
+    threshold, and a recomputation of one pair's PMI from raw counts
+    matches the reported value."""
+    import math
+
+    from neo4j_blue_green_arrow_etl_spark.operators.textops import (
+        PMI_SUPPORT_DENOM,
+    )
+
+    rows = REGISTRY["q_x28_pmi"].spark(spark, SF_SMOKE).collect()
+    assert rows, "threshold must keep the query non-trivial at sf0.001"
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = {r.w: r.n for r in words.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    nu = sum(uni.values())
+    nb = nu - docs.count()  # each doc contributes len-1 bigrams
+    for r in rows:
+        assert r.cxy * PMI_SUPPORT_DENOM >= nb
+    r = max(rows, key=lambda r: (r.cxy, r.w1, r.w2))
+    want = math.log2((r.cxy / nb) / ((uni[r.w1] / nu) * (uni[r.w2] / nu)))
+    assert abs(r.pmi - round(want, 4)) < 1e-9

@@ -438,3 +438,54 @@ def test_kmeans_update_preserves_original_ids_when_clusters_empty():
     got = {r.vec_id: r.cluster for r in kmeans_assign(e, new_cent, new_ids).collect()}
     assert set(got.values()) == {0, 2}
     assert got[0] == 0 and got[5] == 2
+
+
+def test_cms_overestimates_within_bound_and_merges(spark):
+    """Count-min guarantees: (a) every point estimate >= the true
+    count; (b) overestimates stay within the eps*N bound (eps = e/W)
+    for at least 99% of keys (the depth-4 failure probability is
+    e^-4 per key); (c) sketches built on disjoint halves merge by
+    cell-wise addition into exactly the full sketch."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+    )
+
+    cells = {
+        (r.d, r.bucket): r.cnt
+        for r in REGISTRY["q_a17_cms"].spark(spark, SF_SMOKE).collect()
+    }
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    true = {
+        str(r.user_id): r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(true.values())
+    eps = math.e / CMS_WIDTH
+    over = []
+    for key, t in true.items():
+        est = cms_estimate(cells, key)
+        assert est >= t, (key, est, t)
+        over.append(est - t)
+    within = sum(1 for o in over if o <= eps * n_total)
+    assert within >= 0.99 * len(over), (within, len(over))
+    # mergeability: disjoint halves sum cell-wise to the full sketch
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for name, pred in (
+            ("lo", F.col("event_id") % 2 == 0),
+            ("hi", F.col("event_id") % 2 == 1),
+        ):
+            events.filter(pred).write.mode("overwrite").parquet(
+                f"{td}/{name}/events.parquet"
+            )
+        merged: dict[tuple[int, int], int] = {}
+        for name in ("lo", "hi"):
+            for r in REGISTRY["q_a17_cms"].spark(spark, f"{td}/{name}").collect():
+                merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.cnt
+    assert merged == cells

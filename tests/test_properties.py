@@ -439,3 +439,89 @@ def test_funnel_matches_python_reference(spark, rows):
         ).collect()
     }
     assert got == _python_funnel(rows, 2)
+
+
+# series rows: (t position, value-or-None); 2 keys, positions collide
+interp_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 1),  # key
+        st.integers(0, 4),  # t (dense: duplicate positions likely)
+        st.one_of(st.none(), st.integers(0, 9)),  # value (None = gap)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _python_interp(rows):
+    """Independent reference for interpolate_series: per key, order by
+    (t, row_id); NULLs take pv + (nv-pv)*(t-pt)/(nt-pt) from the
+    nearest non-null neighbors in that order, edge-fill otherwise,
+    previous anchor when both anchors share a position."""
+    out = {}
+    by_key = {}
+    for rid, (k, t, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((t, rid, v))
+    for k, series in by_key.items():
+        series.sort()
+        for i, (t, rid, v) in enumerate(series):
+            if v is not None:
+                out[rid] = float(v)
+                continue
+            prev = next(
+                ((pt, pv) for pt, _, pv in reversed(series[:i]) if pv is not None),
+                None,
+            )
+            nxt = next(
+                ((nt, nv) for nt, _, nv in series[i + 1 :] if nv is not None),
+                None,
+            )
+            if prev and nxt and nxt[0] != prev[0]:
+                (pt, pv), (nt, nv) = prev, nxt
+                out[rid] = pv + (nv - pv) * (t - pt) / (nt - pt)
+            elif prev:
+                out[rid] = float(prev[1])
+            elif nxt:
+                out[rid] = float(nxt[1])
+            else:
+                out[rid] = None
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(interp_strategy)
+def test_interpolate_series_matches_python_reference(spark, rows):
+    from pyspark.sql.types import IntegerType
+
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import (
+        interpolate_series,
+    )
+
+    schema = StructType(
+        [
+            StructField("row_id", LongType(), False),
+            StructField("k", LongType(), False),
+            StructField("t", LongType(), False),
+            StructField("v", DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (rid, k, t, float(v) if v is not None else None)
+            for rid, (k, t, v) in enumerate(rows)
+        ],
+        schema,
+    )
+    got = {
+        r.row_id: r.value_interp
+        for r in interpolate_series(
+            df, key="k", ts="t", tiebreak="row_id", t="t", v="v"
+        ).collect()
+    }
+    want = _python_interp(rows)
+    assert set(got) == set(want)
+    for rid in got:
+        if want[rid] is None:
+            assert got[rid] is None
+        else:
+            assert abs(got[rid] - want[rid]) < 1e-9, (rid, got[rid], want[rid])

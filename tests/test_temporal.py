@@ -175,3 +175,46 @@ def test_funnel_conversions_match_bruteforce(spark):
             )
         )
         assert got[uid] == (len(sign), conv), uid
+
+
+def test_interp_repairs_all_gaps_within_bounds(spark):
+    """q_ts3_interp: unmasked rows pass through exactly; masked rows are
+    reconstructed inside the envelope of that user's observed values
+    (linear interpolation can never overshoot its anchors), and every
+    row is non-null (each user has at least one observed value)."""
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import (
+        INTERP_MISS_MOD,
+    )
+
+    res = REGISTRY["q_ts3_interp"].spark(spark, SF_SMOKE)
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    joined = res.join(events, ["event_id", "user_id"])
+    assert joined.filter(F.col("value_interp").isNull()).isEmpty()
+    # pass-through on observed rows
+    assert joined.filter(
+        ~F.col("was_missing")
+        & (F.abs(F.col("value_interp") - F.round("value", 4)) > 1e-9)
+    ).isEmpty()
+    assert (
+        joined.filter(
+            F.col("was_missing")
+            != (F.col("event_id") % INTERP_MISS_MOD == 0)
+        ).isEmpty()
+    )
+    # masked rows stay inside the user's observed min/max envelope
+    env = (
+        events.filter(F.col("event_id") % INTERP_MISS_MOD != 0)
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    assert (
+        joined.filter(F.col("was_missing"))
+        .join(env, "user_id")
+        .filter(
+            (F.col("value_interp") < F.col("lo") - 1e-6)
+            | (F.col("value_interp") > F.col("hi") + 1e-6)
+        )
+        .isEmpty()
+    )

@@ -61,6 +61,12 @@ ONE_ROW_BROADCAST_OK = {
     "q_sq4_scalar",
     # corpus-total (ONE row) broadcast onto the token-frequency join
     "q_x20_tokfreq",
+    # the positive-balance average (ONE row) broadcast gate before the
+    # dormant-customer anti-join
+    "q_j15_q22",
+    # the (nu, nb) corpus totals (ONE row) broadcast onto the
+    # thresholded bigram table
+    "q_x28_pmi",
 }
 
 # Queries that read every column of their base table by design.
