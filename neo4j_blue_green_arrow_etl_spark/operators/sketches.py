@@ -95,6 +95,38 @@ def _cms_bucket_sql(d: int) -> str:
     )
 
 
+def cms_bucket_array(key: str) -> "F.Column":
+    """Array of the key column's CMS bucket per hash row — the shared
+    cell addressing used by the batch build (q_a17_cms), the streaming
+    maintainer (streaming.stream_queries.streaming_cms_cells), and the
+    driver-side point query (cms_estimate)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat(
+                                    F.lit(f"{d}:"),
+                                    F.col(key).cast("string"),
+                                ),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(CMS_WIDTH),
+            ).cast("int")
+            for d in range(CMS_DEPTH)
+        ]
+    )
+
+
 @register(
     "q_a17_cms",
     oracle=(
@@ -119,39 +151,17 @@ def _cms_bucket_sql(d: int) -> str:
     "partial aggs mean each map task emits at most DEPTH x WIDTH "
     "partial cells. Scale: cell tables from any partitioning merge by "
     "addition (counts are associative), the 'aggregate once, "
-    "re-aggregate forever' property shared with the HLL path above.",
+    "re-aggregate forever' property shared with the HLL path above — "
+    "and demonstrated LIVE by the streaming maintainer "
+    "(streaming_cms_cells), whose drained cells equal this batch build "
+    "on any chunking of the input.",
 )
 def q_a17_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import _t
 
     e = _t(spark, sf_dir, "events").select("user_id")
-    buckets = F.array(
-        *[
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.encode(
-                                F.concat(
-                                    F.lit(f"{d}:"),
-                                    F.col("user_id").cast("string"),
-                                ),
-                                "UTF-8",
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(CMS_WIDTH),
-            ).cast("int")
-            for d in range(CMS_DEPTH)
-        ]
-    )
     return (
-        e.select(F.posexplode(buckets).alias("d", "bucket"))
+        e.select(F.posexplode(cms_bucket_array("user_id")).alias("d", "bucket"))
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
         .orderBy("d", "bucket")

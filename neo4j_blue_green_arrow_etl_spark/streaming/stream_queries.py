@@ -270,3 +270,27 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_cms_cells(events: DataFrame) -> DataFrame:
+    """Continuously maintained count-min sketch over the event stream:
+    the same DEPTH x WIDTH cell addressing as the batch build
+    (operators.sketches.q_a17_cms), run as a streaming aggregation.
+
+    The sketch is the rare aggregate that is streaming-safe WITHOUT a
+    watermark: its state is bounded by the sketch geometry (DEPTH x
+    WIDTH rows), never by key cardinality or input size, so the
+    unbounded groupBy cannot grow. Counts are associative, so every
+    micro-batch's map-side partials fold into the running cells — the
+    streaming twin of the batch sketch's cell-wise mergeability
+    (pinned by test: draining any chunking of the input yields exactly
+    the batch cells)."""
+    from ..operators.sketches import cms_bucket_array
+
+    return (
+        events.select(
+            F.posexplode(cms_bucket_array("user_id")).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

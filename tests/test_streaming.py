@@ -381,3 +381,27 @@ def test_tws_processor_logic_with_fake_handle():
     )
     assert out3[0].iloc[0].tolist() == ["u1", 4, 999]
     proc.close()
+
+
+def test_streaming_cms_converges_to_batch_sketch(spark, chunked_events_dir):
+    """Draining the chunked stream through the streaming CMS maintainer
+    yields EXACTLY the batch sketch cells over the same rows — the
+    streaming face of count-min mergeability (counts fold across
+    micro-batches with no watermark because state is bounded by the
+    sketch geometry, not the data)."""
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+    from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+        streaming_cms_cells,
+    )
+
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, chunked_events_dir)
+    result = run_to_completion(
+        streaming_cms_cells(stream), name, output_mode="complete"
+    )
+    got = {(r.d, r.bucket): r.cnt for r in result.collect()}
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in REGISTRY["q_a17_cms"].spark(spark, SF_SMOKE).collect()
+    }
+    assert got == want
