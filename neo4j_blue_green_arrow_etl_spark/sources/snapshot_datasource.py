@@ -31,6 +31,13 @@ The plain ``spark.read.parquet`` path (sources/snapshot.py) remains the
 default engine path; this source exists for (a) true source-level
 pushdown demos and (b) pipelines that want the positional contract
 applied before Spark ever sees the data.
+
+The format is also WRITABLE (``df.write.format("graphsnapshot")``):
+tasks stage Arrow batches into ``*.staged`` fragments invisible to both
+the reader and ``discover_snapshots``'s completeness gate, and the
+driver's commit atomically renames them into ``*.parquet`` — the
+two-phase publish of the reference's import protocol, expressed as a
+Spark ``DataSourceArrowWriter`` (see SnapshotWriter).
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -51,6 +59,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -220,6 +229,133 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotReader:
         return SnapshotReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
+        return SnapshotWriter(dict(self.options), schema, overwrite)
+
+
+@dataclass
+class FragmentCommit(WriterCommitMessage):
+    """One task's staged fragment (None when the partition was empty)."""
+
+    staged: str | None
+    rows: int
+
+
+class SnapshotWriter(DataSourceArrowWriter):
+    """``df.write.format("graphsnapshot")`` — the WRITE half of the
+    positional contract, two-phase like the reference's import protocol
+    (neo4j_arrow_client.py create -> feed -> done):
+
+    - Each task streams its Arrow batches into ONE staged fragment
+      (``part-*.staged``) — invisible to the reader's ``*.parquet``
+      glob AND to ``discover_snapshots``'s completeness gate, so a
+      half-written snapshot can never be picked up.
+    - ``commit`` (driver, runs only if every task succeeded) renames
+      staged fragments to ``part-*.parquet`` — the atomic publish step;
+      ``abort`` deletes them, leaving the directory exactly as before.
+    - Column contract is the reader's, reversed: nodes reorder
+      (nodeId, labels, props...) to positions 0/1/... and join the
+      labels array back to CSV (vectorized ``binary_join``); edges put
+      (sourceNodeId, targetNodeId, relationshipType) at 0/1/2.
+
+    ``mode("append")`` adds fragments; ``mode("overwrite")`` removes
+    the previously committed fragments during commit, after all new
+    data is staged — readers see old-or-new, never a mix. Rename-based
+    publish assumes a POSIX-rename filesystem (HDFS/local); object
+    stores want a manifest commit instead, same protocol shape."""
+
+    def __init__(
+        self, options: dict, schema: StructType, overwrite: bool
+    ) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("graphsnapshot write requires a path")
+        self._kind = options.get("kind", "nodes")
+        if self._kind not in ("nodes", "edges"):
+            raise ValueError(f"kind must be nodes|edges, got {self._kind}")
+        self._overwrite = overwrite
+        lead = NODE_RENAMES if self._kind == "nodes" else EDGE_RENAMES
+        missing = [c for c in lead if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"{self._kind} write needs columns {list(lead)}; "
+                f"missing {missing}"
+            )
+
+    def _positional(self, batch: "pa.RecordBatch") -> "pa.RecordBatch":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lead = NODE_RENAMES if self._kind == "nodes" else EDGE_RENAMES
+        names = list(batch.schema.names)
+        order = list(lead) + [n for n in names if n not in lead]
+        arrays = [batch.column(names.index(n)) for n in order]
+        if self._kind == "nodes":
+            labels = arrays[1]
+            if pa.types.is_list(labels.type) or pa.types.is_large_list(
+                labels.type
+            ):
+                arrays[1] = pc.binary_join(
+                    pc.cast(labels, pa.list_(pa.string())), ","
+                )
+        return pa.RecordBatch.from_arrays(arrays, names=order)
+
+    def write(self, iterator) -> FragmentCommit:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        Path(self._path).mkdir(parents=True, exist_ok=True)
+        staged = str(Path(self._path) / f"part-{uuid.uuid4().hex}.staged")
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                out = self._positional(batch)
+                if writer is None:
+                    writer = pq.ParquetWriter(staged, out.schema)
+                writer.write_batch(out)
+                rows += out.num_rows
+        except BaseException:
+            # this task dies: remove its own partial fragment — the
+            # driver's abort() only sees commit messages of tasks that
+            # RETURNED, so self-cleanup here is what keeps a failed job
+            # residue-free
+            if writer is not None:
+                writer.close()
+            Path(staged).unlink(missing_ok=True)
+            raise
+        if writer is not None:
+            writer.close()
+        if rows == 0:
+            return FragmentCommit(staged=None, rows=0)
+        return FragmentCommit(staged=staged, rows=rows)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for old in Path(self._path).glob("*.parquet"):
+                old.unlink()
+        for m in messages:
+            if m.staged is not None:
+                dst = m.staged[: -len(".staged")] + ".parquet"
+                Path(m.staged).rename(dst)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.staged is not None:
+                Path(m.staged).unlink(missing_ok=True)
+        # Spark 4.1's PythonBatchWrite hands abort() None for EVERY
+        # task (successful commit messages are not retained across a
+        # job failure), so also sweep by convention: every *.staged
+        # file under the target dir belongs to this failed job —
+        # concurrent writers to one directory are unsupported, exactly
+        # like parquet's _temporary dirs.
+        if Path(self._path).is_dir():
+            for p in Path(self._path).glob("*.staged"):
+                p.unlink(missing_ok=True)
 
 
 def register_snapshot_source(spark) -> None:

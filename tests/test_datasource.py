@@ -230,3 +230,116 @@ def test_arrival_reader_offsets_are_replayable(tmp_path, spark):
         ("acme", 100),
         ("acme", 300),
     }
+
+
+# ---------------------------------------------------------------------------
+# Writer: two-phase staged publish
+# ---------------------------------------------------------------------------
+
+
+def test_writer_roundtrip_nodes(spark, snapshot_tree, tmp_path):
+    """Write nodes through the graphsnapshot writer, read them back
+    through the graphsnapshot reader: identical rows, and no staged
+    residue in the directory."""
+    src = spark.read.format("graphsnapshot").option(
+        "kind", "nodes"
+    ).load(_nodes_dir(snapshot_tree))
+    out = str(tmp_path / "written_nodes")
+    (
+        src.write.format("graphsnapshot")
+        .mode("append")
+        .option("kind", "nodes")
+        .save(out)
+    )
+    files = sorted(p.name for p in Path(out).iterdir())
+    assert files and all(f.endswith(".parquet") for f in files)
+    back = spark.read.format("graphsnapshot").option("kind", "nodes").load(out)
+    a = src.select("nodeId", F.array_join("labels", ",").alias("l")).collect()
+    b = back.select("nodeId", F.array_join("labels", ",").alias("l")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_writer_roundtrip_edges_and_overwrite(spark, snapshot_tree, tmp_path):
+    """Edges roundtrip; overwrite mode replaces previously committed
+    fragments instead of appending."""
+    src = spark.read.format("graphsnapshot").option(
+        "kind", "edges"
+    ).load(_edges_dir(snapshot_tree))
+    out = str(tmp_path / "written_edges")
+    for _ in range(2):  # second write is overwrite -> no duplication
+        (
+            src.write.format("graphsnapshot")
+            .mode("overwrite")
+            .option("kind", "edges")
+            .save(out)
+        )
+    back = spark.read.format("graphsnapshot").option("kind", "edges").load(out)
+    assert back.count() == src.count()
+    cols = ["sourceNodeId", "targetNodeId", "relationshipType"]
+    assert sorted(map(tuple, src.select(cols).collect())) == sorted(
+        map(tuple, back.select(cols).collect())
+    )
+
+
+def test_writer_failure_leaves_no_visible_fragments(spark, tmp_path):
+    """A task failure mid-write aborts the job: no *.parquet appears
+    and staged files are cleaned up — the atomic-publish half of the
+    two-phase contract."""
+    register_snapshot_source(spark)
+    out = str(tmp_path / "failed_write")
+    df = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("nodeId"),
+        F.array(F.lit("A")).alias("labels"),
+        F.when(F.col("id") == 77, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("prop"),
+    ).withColumn(
+        "prop",
+        F.assert_true(F.col("prop").isNotNull(), F.lit("boom")).cast("long"),
+    )
+    with pytest.raises(Exception, match="boom|ASSERT"):
+        (
+            df.write.format("graphsnapshot")
+            .mode("append")
+            .option("kind", "nodes")
+            .save(out)
+        )
+    leftover = list(Path(out).glob("*")) if Path(out).exists() else []
+    assert not [p for p in leftover if p.suffix == ".parquet"], leftover
+    assert not [p for p in leftover if p.suffix == ".staged"], leftover
+
+
+def test_writer_completeness_gate_integration(spark, tmp_path):
+    """discover_snapshots must not see a snapshot until BOTH tables
+    are committed — staged fragments don't count as content."""
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        discover_snapshots,
+    )
+
+    register_snapshot_source(spark)
+    base = tmp_path / "tree"
+    ts_dir = base / "acme" / "20260101000000"
+    nodes = spark.range(5).select(
+        F.col("id").alias("nodeId"), F.array(F.lit("N")).alias("labels")
+    )
+    edges = spark.range(4).select(
+        F.col("id").alias("sourceNodeId"),
+        (F.col("id") + 1).alias("targetNodeId"),
+        F.lit("REL").alias("relationshipType"),
+    )
+    (
+        nodes.write.format("graphsnapshot")
+        .mode("append")
+        .option("kind", "nodes")
+        .save(str(ts_dir / "nodes" / "Entity"))
+    )
+    assert discover_snapshots(str(base)) == []  # relationships missing
+    (
+        edges.write.format("graphsnapshot")
+        .mode("append")
+        .option("kind", "edges")
+        .save(str(ts_dir / "relationships" / "REL"))
+    )
+    found = discover_snapshots(str(base))
+    assert len(found) == 1 and found[0].customer_id == "acme"
