@@ -193,6 +193,65 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus curation as an operational job: canonical-dedup
+    -> quality-filter -> content-hash split (optionally benchmark
+    decontamination), written as split-partitioned parquet with a
+    machine-readable stats sidecar — the batch product the declared
+    q_x7/q_x8 queries are the oracle-gated form of."""
+    from pyspark.sql import functions as F
+
+    from .operators.pipeline import curate_corpus
+    from .session import get_spark
+
+    spark = get_spark("curate")
+    curated = curate_corpus(
+        spark,
+        args.sf_dir,
+        quality_floor=args.quality_floor,
+        decontaminate=args.decontam,
+    )
+    (
+        curated.write.partitionBy("split")
+        .mode("overwrite")
+        .parquet(args.out)
+    )
+    written = spark.read.parquet(args.out)
+    stats_rows = (
+        written.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("split")
+        .collect()
+    )
+    stats = {
+        r.split: {
+            "n_docs": r.n_docs,
+            "n_tokens": r.n_tokens,
+            "avg_quality": r.avg_quality,
+        }
+        for r in stats_rows
+    }
+    source_total = spark.read.parquet(
+        f"{args.sf_dir}/documents.parquet"
+    ).count()
+    payload = {
+        "source_docs": source_total,
+        "curated_docs": sum(s["n_docs"] for s in stats.values()),
+        "decontaminated": args.decontam,
+        "quality_floor": args.quality_floor,
+        "splits": stats,
+    }
+    Path(args.out, "_curation_stats.json").write_text(
+        json.dumps(payload, indent=2)
+    )
+    print(json.dumps(payload))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m neo4j_blue_green_arrow_etl_spark",
@@ -252,6 +311,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--cleanup", action="store_true", help="tear the demo down")
     sp.set_defaults(fn=cmd_demo)
+
+    sp = sub.add_parser(
+        "curate",
+        help="curate a training corpus: dedup + quality + split "
+        "(+ optional decontam), written as split-partitioned parquet",
+    )
+    sp.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="directory containing documents.parquet",
+    )
+    sp.add_argument("--out", required=True, help="output corpus directory")
+    sp.add_argument("--quality-floor", type=float, default=0.5)
+    sp.add_argument(
+        "--decontam",
+        action="store_true",
+        help="drop documents sharing benchmark n-grams (q_x8 semantics)",
+    )
+    sp.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     from .errors import EngineError

@@ -754,3 +754,57 @@ def q_x27_qbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document capping (web-corpus domain balancing)
+# ---------------------------------------------------------------------------
+
+DOMCAP_K = 30  # max documents kept per domain
+
+
+@register(
+    "q_x29_domcap",
+    oracle=(
+        "WITH ranked AS ("
+        " SELECT source || '.example.com' AS host, n_chars,"
+        " row_number() OVER (PARTITION BY source"
+        "   ORDER BY n_chars DESC, doc_id) AS rk"
+        " FROM documents"
+        ") SELECT host, COUNT(*) AS n_total, "
+        f"COUNT(*) FILTER (WHERE rk <= {DOMCAP_K}) AS n_kept, "
+        f"COUNT(*) FILTER (WHERE rk > {DOMCAP_K}) AS n_dropped, "
+        f"ROUND(COUNT(*) FILTER (WHERE rk <= {DOMCAP_K})"
+        " / CAST(COUNT(*) AS DOUBLE), 4) AS keep_frac "
+        "FROM ranked GROUP BY host ORDER BY host"
+    ),
+    doc=f"Per-domain capping with accounting: keep at most {DOMCAP_K} "
+    "documents per host (priority = longest first, doc_id tiebreak) "
+    "and report kept/dropped counts and the retention fraction per "
+    "domain — the Common-Crawl-style balancing step that stops a "
+    "single boilerplate-heavy domain from dominating a pretraining "
+    "mix, with the accounting a pipeline dashboard needs. One window "
+    "shuffle on the domain key + an alphabet-sized groupBy. Scale: "
+    "identical to q_x13's rank shape; hot domains are the skew risk — "
+    "AQE skew-split applies, and the cap itself is what keeps any "
+    "domain's OUTPUT bounded no matter its input share.",
+)
+def q_x29_domcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    kept = F.col("rk") <= DOMCAP_K
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .groupBy(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+        )
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count(F.when(~kept, 1)).alias("n_dropped"),
+            F.round(
+                F.count(F.when(kept, 1)) / F.count("*").cast("double"), 4
+            ).alias("keep_frac"),
+        )
+        .orderBy("host")
+    )

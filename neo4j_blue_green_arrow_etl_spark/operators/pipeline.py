@@ -224,3 +224,70 @@ def q_x7_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_floor: float = QUALITY_FLOOR,
+    decontaminate: bool = False,
+) -> DataFrame:
+    """The operational form of q_x7_corpus: same canonical-dedup →
+    quality-filter → content-hash-split composition, but carrying the
+    full document payload (text/lang/source) so the result can be
+    WRITTEN as a training corpus (CLI ``curate`` partitions it by
+    split). ``decontaminate=True`` additionally drops documents sharing
+    any benchmark n-gram (q_x8's broadcast semi→anti shape). Still one
+    text-partitioned shuffle + map-only expressions; the optional
+    decontam adds only broadcast joins."""
+    from pyspark.sql import Window
+
+    from .curation import BENCH_MOD, DECONTAM_N, word_ngrams
+    from .textops import PUNCT_CLASS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    punct_ratio = F.length(
+        F.regexp_replace("text", PUNCT_CLASS, "")
+    ) / F.nullif(F.length("text"), F.lit(0))
+    score = (F.lit(1.0) - punct_ratio) * F.least(
+        F.lit(1.0), n_tokens / F.lit(100.0)
+    )
+    digit = F.substring(F.md5(F.encode("text", "UTF-8")), 1, 1)
+    w = Window.partitionBy("text")
+    out = (
+        d.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(F.col("_keep") & (score >= quality_floor))
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.when(digit <= _TRAIN_MAX, "train")
+            .when(digit <= _VAL_MAX, "val")
+            .otherwise("test")
+            .alias("split"),
+            n_tokens.alias("n_tokens"),
+            F.round(score, 6).alias("quality_score"),
+        )
+    )
+    if decontaminate:
+        grams = d.select(
+            "doc_id",
+            (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))
+            ).alias("gram"),
+        ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
+        bench_grams = grams.filter("is_bench").select("gram").distinct()
+        contaminated = (
+            grams.filter(~F.col("is_bench"))
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        out = out.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+            F.broadcast(contaminated), "doc_id", "left_anti"
+        )
+    return out

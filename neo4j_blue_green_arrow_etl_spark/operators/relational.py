@@ -1652,3 +1652,49 @@ def q_f12_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Semi-structured Variant decode (Spark 4 VariantType)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_f13_variant",
+    oracle=(
+        "SELECT event_type, "
+        "COUNT(*) AS n, "
+        "SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, "
+        "COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') "
+        "IS NOT NULL) AS n_missing_key "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    doc="Semi-structured decode via Spark 4 VariantType: parse the JSON "
+    "props payload ONCE into a variant (binary-encoded, typed access "
+    "without re-parsing), then extract typed fields with "
+    "try_variant_get — including a missing-path probe that must yield "
+    "NULL, not an error. The oracle is classic per-access JSON string "
+    "extraction; identical results prove the variant path's typed "
+    "semantics. Scale: variant parse + field access are JVM codegen "
+    "expressions; for repeated multi-field access variant beats "
+    "get_json_object's per-call re-parse, the reason warehouses adopted "
+    "it for telemetry columns exactly like this one. Map-side partial "
+    "aggs; shuffle is alphabet-sized.",
+)
+def q_f13_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "props")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("miss").alias("n_missing_key"),
+        )
+        .orderBy("event_type")
+    )

@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -233,6 +234,11 @@ class SnapshotDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
         return SnapshotWriter(dict(self.options), schema, overwrite)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "SnapshotStreamWriter":
+        return SnapshotStreamWriter(dict(self.options), schema, overwrite)
+
 
 @dataclass
 class FragmentCommit(WriterCommitMessage):
@@ -356,6 +362,36 @@ class SnapshotWriter(DataSourceArrowWriter):
         if Path(self._path).is_dir():
             for p in Path(self._path).glob("*.staged"):
                 p.unlink(missing_ok=True)
+
+
+class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
+    """``writeStream.format("graphsnapshot")`` — continuous fragment
+    publication with EXACTLY-ONCE epochs on top of the same staged
+    protocol as the batch writer (which this subclass reuses for
+    write/abort):
+
+    - tasks stage ``part-*.staged`` exactly as in batch;
+    - ``commit(messages, batchId)`` first deletes any
+      ``part-b{batchId}-*.parquet`` left by a PREVIOUS attempt of the
+      same epoch (a micro-batch replayed after a crash between publish
+      and checkpoint-commit), then renames this attempt's staged
+      fragments to ``part-b{batchId}-*.parquet`` — replay REPLACES its
+      own epoch instead of duplicating it, so downstream readers see
+      each micro-batch's rows once;
+    - the epoch tag in the filename doubles as lineage: which
+      micro-batch produced which fragment is inspectable with ls."""
+
+    def commit(self, messages, batchId: int) -> None:
+        for old in Path(self._path).glob(f"part-b{batchId}-*.parquet"):
+            old.unlink()
+        for m in messages:
+            if m is not None and m.staged is not None:
+                src = Path(m.staged)
+                frag_id = src.stem.removeprefix("part-")
+                src.rename(src.with_name(f"part-b{batchId}-{frag_id}.parquet"))
+
+    def abort(self, messages, batchId: int) -> None:
+        SnapshotWriter.abort(self, messages)
 
 
 def register_snapshot_source(spark) -> None:

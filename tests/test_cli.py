@@ -83,3 +83,42 @@ def test_orchestrate_streaming_drains_and_reports(base, capsys):
     out = capsys.readouterr().out
     stats = _json.loads(out[out.index("{") :])
     assert stats["discovered"] == 0 and stats["completed"] == 0
+
+
+def test_curate_writes_split_partitioned_corpus(spark, tmp_path, capsys):
+    """`curate` writes the dedup+quality+split corpus partitioned by
+    split with a stats sidecar; row count matches the oracle-gated
+    q_x7_corpus form, and --decontam additionally drops benchmark and
+    contaminated docs (q_x8 semantics)."""
+    import json
+    from pathlib import Path
+
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    out = str(tmp_path / "corpus")
+    assert (
+        main(["curate", "--sf-dir", SF_SMOKE, "--out", out]) == 0
+    )
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sidecar = json.loads(Path(out, "_curation_stats.json").read_text())
+    assert payload == sidecar
+    want = REGISTRY["q_x7_corpus"].spark(spark, SF_SMOKE).count()
+    assert payload["curated_docs"] == want
+    splits = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert splits == {f"split={s}" for s in payload["splits"]}
+    back = spark.read.parquet(out)
+    assert back.count() == want
+    assert {"doc_id", "text", "lang", "source", "n_tokens", "quality_score", "split"} <= set(back.columns)
+
+    out2 = str(tmp_path / "corpus_decontam")
+    assert (
+        main(["curate", "--sf-dir", SF_SMOKE, "--out", out2, "--decontam"]) == 0
+    )
+    payload2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload2["curated_docs"] < payload["curated_docs"]
+    # decontam-survivors must be a subset of q_x8's survivor list
+    survivors = {
+        r.doc_id for r in REGISTRY["q_x8_decontam"].spark(spark, SF_SMOKE).collect()
+    }
+    kept = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert kept <= survivors
