@@ -22,10 +22,46 @@ from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
 from neo4j_blue_green_arrow_etl_spark.session import get_spark
 
 
+_METRIC_KEYS = (
+    "shuffleWriteBytes",
+    "shuffleReadBytes",
+    "inputBytes",
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+)
+
+
+def _stage_totals(port: int, app_id: str) -> dict[str, int]:
+    """Cumulative per-app stage metrics from the UI REST API — the
+    measured counterpart of PLANSTATS' compile-time shuffle counts."""
+    import urllib.request
+
+    url = f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+    stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    return {
+        k: sum(s.get(k, 0) for s in stages) for k in _METRIC_KEYS
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
-    spark = get_spark("bench")
+    # SPARK_GRAFT_BENCH_METRICS=1 additionally records per-query shuffle
+    # read/write, input, and spill bytes (UI REST deltas) — evidence for
+    # the per-operator scale claims; off by default so the driver's
+    # bench contract (one JSON line, {"queries": {name: sec}}) is
+    # byte-identical to previous rounds.
+    with_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS") == "1"
+    ui_port = 4049
+    spark = get_spark(
+        "bench",
+        extra_conf=(
+            {"spark.ui.enabled": "true", "spark.ui.port": str(ui_port)}
+            if with_metrics
+            else None
+        ),
+    )
+    app_id = spark.sparkContext.applicationId
 
     # Warm the JVM/codegen once so per-query numbers measure steady state.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
@@ -37,6 +73,8 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
+    base = _stage_totals(ui_port, app_id) if with_metrics else {}
     for name in sorted(REGISTRY):
         t0 = time.time()
         try:
@@ -46,6 +84,10 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        if with_metrics:
+            now = _stage_totals(ui_port, app_id)
+            metrics[name] = {k: now[k] - base[k] for k in _METRIC_KEYS}
+            base = now
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "total_sec_all_queries",
@@ -54,6 +96,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if with_metrics:
+        payload["stage_metrics"] = metrics
     print(json.dumps(payload))
     # The driver artifact truncates long tails; keep a durable full copy
     # in the repo (overwritten per run, committed per round).

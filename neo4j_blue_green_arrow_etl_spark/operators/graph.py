@@ -348,10 +348,11 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     lazy localCheckpoint whose materializing action doubles as the
     convergence check (labels only ever DECREASE, so an unchanged label
     sum proves fixpoint — one Spark job per round). Rounds needed =
-    component diameter; at 100 TB the same loop shape runs with the
-    alternating large-star/small-star contraction to collapse deep
-    chains in O(log n) rounds. The driver executes control flow only —
-    no data rows ever cross to it."""
+    component diameter; the O(log n)-round 100 TB shape is
+    :func:`connected_components_star` below (alternating large-star/
+    small-star contraction), proven result-equivalent in
+    tests/test_pipeline_ops.py and against q_x5's oracle. The driver
+    executes control flow only — no data rows ever cross to it."""
     sym = (
         edges.toDF("a", "b")
         .union(edges.toDF("b", "a").select("a", "b"))
@@ -386,6 +387,91 @@ def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
         "node",
         F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
+    """Same contract as :func:`connected_components` — (node, comp)
+    with comp = component min — via the alternating LARGE-STAR /
+    SMALL-STAR contraction (the MapReduce-CC algorithm of Kiveris et
+    al.), the 100 TB shape the plain propagation loop's docstring
+    promises:
+
+    - large-star: every node links its LARGER neighbors to the minimum
+      of its neighborhood (incl. itself) — flattens deep branches;
+    - small-star: every node and its smaller neighbors link to the
+      neighborhood minimum — contracts toward the root.
+
+    Each half-round is ONE groupBy-min + ONE join (both on node id),
+    and the edge set converges to per-component stars in O(log n)
+    rounds — a 2^k-deep path collapses in ~k alternations where plain
+    min-label propagation needs 2^k rounds (pinned by test). Driver
+    work is one scalar fingerprint per round; lineage truncated per
+    round with localCheckpoint exactly like the other iterative ops."""
+    all_nodes = (
+        edges.toDF("a", "b")
+        .select(F.explode(F.array("a", "b")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.toDF("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_rounds):
+        e = _star_round(e).localCheckpoint(eager=False)
+        # convergence: the distinct edge set is a fixpoint — compare a
+        # count + order-insensitive hash fingerprint (one scalar row)
+        fp = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: long-sum of 64-bit hashes overflows ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur = (fp["n"], fp["h"])
+        if cur == prev:
+            parents = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+            return all_nodes.join(parents, "node", "left").select(
+                "node", F.coalesce("comp", F.col("node")).alias("comp")
+            )
+        prev = cur
+    raise RuntimeError(
+        f"star connected components did not converge in {max_rounds} rounds"
+    )
+
+
+def _star_round(e: DataFrame) -> DataFrame:
+    """ONE large-star + small-star alternation, uncheckpointed (exposed
+    so the plan auditor can check the per-round plan that actually runs
+    N times — same pattern as :func:`_cc_round`)."""
+    # ---- large-star: link each node's LARGER neighbors to the
+    # neighborhood minimum (incl. the node itself) ----
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    large = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # ---- small-star: canonicalize edges larger->smaller, link each
+    # node and its smaller neighbors to the minimum ----
+    es = large.select(
+        F.greatest("u", "v").alias("cu"), F.least("u", "v").alias("cv")
+    ).distinct()
+    mins_s = es.groupBy("cu").agg(F.min("cv").alias("m"))
+    child_links = (
+        es.join(mins_s, "cu")
+        .filter(F.col("cv") != F.col("m"))
+        .select(F.col("cv").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins_s.filter(F.col("cu") != F.col("m")).select(
+        F.col("cu").alias("u"), F.col("m").alias("v")
+    )
+    return child_links.union(self_links).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -678,11 +764,22 @@ def iterative_round_probes() -> dict:
         )
         return _cc_round(sym, labels)
 
+    def star_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = (
+            FX.edges(spark, sf_dir)
+            .select("sourceNodeId", "targetNodeId")
+            .toDF("u", "v")
+            .filter(F.col("u") != F.col("v"))
+            .localCheckpoint(eager=True)
+        )
+        return _star_round(e)
+
     return {
         "q_g5_pagerank": (pagerank_probe, f"x {PAGERANK_ITERATIONS} rounds"),
         "q_g6_bfs": (bfs_probe, f"x <= {BFS_MAX_HOPS} hops"),
         "q_g7_lpa": (lpa_probe, f"x {LPA_ROUNDS} rounds"),
         "q_x5_dupclusters": (cc_probe, f"x <= {CC_MAX_ROUNDS} rounds (diameter)"),
+        "q_x5b_clusters_star": (star_probe, "x O(log n) alternations"),
     }
 
 

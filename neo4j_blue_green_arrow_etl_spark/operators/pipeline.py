@@ -291,3 +291,28 @@ def curate_corpus(
             F.broadcast(contaminated), "doc_id", "left_anti"
         )
     return out
+
+
+@register(
+    "q_x5b_clusters_star",
+    oracle=_CLUSTER_ORACLE,
+    doc="q_x5_dupclusters computed by the ALTERNATING LARGE-STAR/"
+    "SMALL-STAR contraction instead of plain min-label propagation — "
+    "the O(log n)-round MapReduce-CC algorithm the plain loop's "
+    "docstring names as the 100 TB shape, now implemented "
+    "(graph.connected_components_star) and proven equivalent by "
+    "sharing q_x5's recursive-CTE oracle verbatim. Each half-round is "
+    "one groupBy-min + one join on node id; a 2^k-deep path collapses "
+    "in ~k alternations where plain propagation needs 2^k rounds "
+    "(pinned by tests/test_pipeline_ops.py on a 64-node path).",
+)
+def q_x5b_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components_star
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")

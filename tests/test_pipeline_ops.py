@@ -141,3 +141,44 @@ def test_range_join_band_boundaries(spark, tmp_path):
     assert [(r.error_id, r.click_id, r.gap_us) for r in out] == [
         (1, 2, 30 * 60 * 1_000_000)
     ]
+
+
+def test_star_cc_collapses_deep_chain_in_log_rounds(spark):
+    """A 64-node path graph: plain min-label propagation needs ~63
+    rounds (and must raise at the default 20-round budget), while the
+    large-star/small-star contraction converges inside it — the
+    O(diameter) vs O(log n) separation that motivates the star
+    algorithm at 100 TB."""
+    import pytest
+
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=20)
+    labels = connected_components_star(chain, max_rounds=20)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert all(r.comp == 0 for r in rows)
+
+
+def test_star_cc_matches_plain_cc_on_pair_graph(spark):
+    """Both CC implementations agree label-for-label on the real
+    near-dup pair graph (two components of different shapes plus
+    whatever sf0.001 contains)."""
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    plain = {
+        (r.doc_id, r.cluster, r.is_canonical)
+        for r in REGISTRY["q_x5_dupclusters"].spark(spark, SF_SMOKE).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster, r.is_canonical)
+        for r in REGISTRY["q_x5b_clusters_star"].spark(spark, SF_SMOKE).collect()
+    }
+    assert plain == star

@@ -1,0 +1,130 @@
+"""Measured scale-up probe: run representative operators at 1x/2x/4x/8x
+of sf0.1 and record how wall time grows.
+
+Usage: python tools/scale_probe.py [--factors 1,2,4,8] [--out SCALE_PROBE.json]
+
+The scaled inputs are built in /tmp by replicating the sf0.1 tables with
+SHIFTED keys (and per-replica text suffixes), so key cardinality, join
+multiplicity, and duplicate structure grow with the data instead of
+degenerating (a naive self-union would make every document an exact
+duplicate and every join key 8x hot — measuring skew, not scale).
+
+Probed queries (one per cost family):
+- q_a1        scan + aggregate          (lineitem)
+- q_j5        large-large sort-merge    (orders join lineitem, same shift)
+- q_x1        exact dedup groupBy       (documents, distinct texts)
+- q_x13_sample window rank per group    (documents)
+
+Output: one JSON with secs per (query, factor) and the log2-slope
+("scaling exponent": 1.0 = perfectly linear). At local[32] with fixed
+resources, time ~ factor^e with e <= ~1 is the pass signal; e >> 1
+flags a super-linear operator. This is the measured companion to
+SCALING.md's per-family arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/spark_graft_scale"
+
+# table -> (int key columns to shift, text columns to suffix)
+TABLES = {
+    "lineitem": (["l_orderkey"], []),
+    "orders": (["o_orderkey"], []),
+    "documents": (["doc_id"], ["text"]),
+}
+PROBES = ["q_a1", "q_j5", "q_x1", "q_x13_sample"]
+KEY_STRIDE = 100_000_000
+
+
+def build_scaled(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/x{factor}"
+    marker = Path(out, "_READY")
+    if marker.exists():
+        return out
+    for table, (keys, texts) in TABLES.items():
+        src = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+        parts = []
+        for i in range(factor):
+            rep = src
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+            for t in texts:
+                # distinct content per replica: keeps dedup/minhash
+                # structure proportional instead of all-duplicates
+                rep = rep.withColumn(
+                    t, F.concat(F.col(t), F.lit(f" r{i}"))
+                )
+            parts.append(rep)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.write_text("ok")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,2,4,8")
+    ap.add_argument("--out", default="SCALE_PROBE.json")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+    from neo4j_blue_green_arrow_etl_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    # warm codegen/scheduler so x1 isn't billed the startup cost
+    spark.read.parquet(f"{BASE_SF}/nation.parquet").count()
+
+    results: dict[str, dict[str, float]] = {q: {} for q in PROBES}
+    for factor in factors:
+        sf_dir = build_scaled(spark, factor)
+        for q in PROBES:
+            t0 = time.time()
+            REGISTRY[q].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[q][str(factor)] = round(time.time() - t0, 3)
+            print(f"x{factor} {q}: {results[q][str(factor)]}s", file=sys.stderr)
+
+    slopes = {}
+    for q, times in results.items():
+        fs = sorted(int(f) for f in times)
+        if len(fs) >= 2:
+            # least-squares slope of log2(time) vs log2(factor)
+            xs = [math.log2(f) for f in fs]
+            ys = [math.log2(times[str(f)]) for f in fs]
+            n = len(xs)
+            mx, my = sum(xs) / n, sum(ys) / n
+            denom = sum((x - mx) ** 2 for x in xs)
+            slopes[q] = round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3
+            )
+    payload = {
+        "base_sf_dir": BASE_SF,
+        "factors": factors,
+        "secs": results,
+        "scaling_exponent": slopes,
+        "note": "exponent ~1.0 = linear growth on fixed local[32] "
+        "resources; sub-1 reflects fixed per-job overhead amortizing",
+    }
+    print(json.dumps(payload))
+    Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
+
+
+if __name__ == "__main__":
+    main()
