@@ -42,7 +42,7 @@ TABLES = {
     "orders": (["o_orderkey"], []),
     "documents": (["doc_id"], ["text"]),
 }
-PROBES = ["q_a1", "q_j5", "q_x1", "q_x13_sample"]
+PROBES = ["q_a1", "q_j5", "q_x1", "q_x13_sample", "q_dedup_minhash"]
 KEY_STRIDE = 100_000_000
 
 
@@ -79,6 +79,7 @@ def build_scaled(spark, factor: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,2,4,8")
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", default="SCALE_PROBE.json")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -94,16 +95,26 @@ def main() -> None:
     for factor in factors:
         sf_dir = build_scaled(spark, factor)
         for q in PROBES:
-            t0 = time.time()
-            REGISTRY[q].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            results[q][str(factor)] = round(time.time() - t0, 3)
+            # min over repeats: the first run pays cold page-cache and
+            # codegen cost that would otherwise masquerade as compute
+            best = None
+            for _ in range(max(args.repeats, 1)):
+                t0 = time.time()
+                REGISTRY[q].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results[q][str(factor)] = round(best, 3)
             print(f"x{factor} {q}: {results[q][str(factor)]}s", file=sys.stderr)
 
     slopes = {}
     for q, times in results.items():
         fs = sorted(int(f) for f in times)
+        # the smallest factor runs first and still carries residual
+        # cold-start (page cache, codegen) — fit on the warm factors
+        if len(fs) >= 3:
+            fs = fs[1:]
         if len(fs) >= 2:
             # least-squares slope of log2(time) vs log2(factor)
             xs = [math.log2(f) for f in fs]
@@ -118,9 +129,11 @@ def main() -> None:
         "base_sf_dir": BASE_SF,
         "factors": factors,
         "secs": results,
-        "scaling_exponent": slopes,
-        "note": "exponent ~1.0 = linear growth on fixed local[32] "
-        "resources; sub-1 reflects fixed per-job overhead amortizing",
+        "scaling_exponent_warm": slopes,
+        "note": "exponent ~1.0 = linear time growth on fixed local[32] "
+        "resources (fit over the warm factors, smallest dropped); "
+        "~0 means the operator is still fixed-overhead-bound at the "
+        "largest factor — compute headroom, not a scaling property",
     }
     print(json.dumps(payload))
     Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
