@@ -52,16 +52,22 @@ def main() -> None:
     # bench contract (one JSON line, {"queries": {name: sec}}) is
     # byte-identical to previous rounds.
     with_metrics = os.environ.get("SPARK_GRAFT_BENCH_METRICS") == "1"
-    ui_port = 4049
     spark = get_spark(
         "bench",
         extra_conf=(
-            {"spark.ui.enabled": "true", "spark.ui.port": str(ui_port)}
+            {"spark.ui.enabled": "true", "spark.ui.port": "4049"}
             if with_metrics
             else None
         ),
     )
     app_id = spark.sparkContext.applicationId
+    # the ACTUAL bound port: Spark walks forward from the requested one
+    # when it's taken (spark.port.maxRetries), so trusting 4049 would
+    # poll a stranger's UI — or nothing — whenever another session runs
+    ui_port = 0
+    if with_metrics:
+        url = spark.sparkContext.uiWebUrl or ""
+        ui_port = int(url.rsplit(":", 1)[1]) if ":" in url else 4049
 
     # Warm the JVM/codegen once so per-query numbers measure steady state.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()

@@ -216,7 +216,10 @@ def cmd_curate(args) -> int:
         .mode("overwrite")
         .parquet(args.out)
     )
-    written = spark.read.parquet(args.out)
+    # explicit schema: a floor/decontam combination that filters every
+    # document writes zero part files, and a schemaless re-read of an
+    # empty partitioned dir cannot infer one
+    written = spark.read.schema(curated.schema).parquet(args.out)
     stats_rows = (
         written.groupBy("split")
         .agg(

@@ -56,13 +56,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams of ``text`` (pure column
-    expressions; one slice per position, O(len*n) per row)."""
+    expressions; one slice per position, O(len*n) per row). Documents
+    shorter than ``n`` words yield an EMPTY array — the guard matters:
+    ``sequence(1, 0)`` is a descending [1, 0] in Spark, whose
+    ``slice(words, 0, n)`` throws INVALID_PARAMETER_VALUE.START."""
     words = F.split(text, " ")
     sz = F.size(words)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(sz - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +102,34 @@ ORDER BY doc_id
 """
 
 
+def benchmark_gram_sets(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(corpus_grams, bench_grams): per-doc distinct word n-grams with
+    an ``is_bench`` flag, and the distinct benchmark gram set — the
+    shared front half of every decontamination shape (binary q_x8,
+    graded q_x26, operational curate_corpus)."""
+    grams = d.select(
+        "doc_id",
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))).alias(
+            "gram"
+        ),
+    ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
+    bench_grams = grams.filter("is_bench").select("gram").distinct()
+    return grams, bench_grams
+
+
+def contaminated_doc_ids(d: DataFrame) -> DataFrame:
+    """Distinct non-benchmark doc_ids sharing >= 1 benchmark n-gram —
+    the broadcast LEFT SEMI step of the decontamination pipeline."""
+    grams, bench_grams = benchmark_gram_sets(d)
+    return (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 @register(
     "q_x8_decontam",
     oracle=_DECONTAM_ORACLE,
@@ -107,24 +141,9 @@ ORDER BY doc_id
 )
 def q_x8_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    is_bench = F.col("doc_id") % BENCH_MOD == 0
-    grams = d.select(
-        "doc_id",
-        is_bench.alias("is_bench"),
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))).alias(
-            "gram"
-        ),
-    ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
-    bench_grams = grams.filter("is_bench").select("gram").distinct()
-    contaminated = (
-        grams.filter(~F.col("is_bench"))
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
     return (
-        d.filter(~is_bench)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        d.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(contaminated_doc_ids(d)), "doc_id", "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -661,21 +680,14 @@ ORDER BY g.doc_id
 )
 def q_x26_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    is_bench = F.col("doc_id") % BENCH_MOD == 0
-    grams = d.select(
-        "doc_id",
-        is_bench.alias("is_bench"),
-        F.explode(
-            F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))
-        ).alias("gram"),
-    ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
-    bench_grams = (
-        grams.filter("is_bench").select("gram").distinct()
-        .withColumn("matched", F.lit(1))
-    )
+    grams, bench_grams = benchmark_gram_sets(d)
     return (
         grams.filter(~F.col("is_bench"))
-        .join(F.broadcast(bench_grams), "gram", "left")
+        .join(
+            F.broadcast(bench_grams.withColumn("matched", F.lit(1))),
+            "gram",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

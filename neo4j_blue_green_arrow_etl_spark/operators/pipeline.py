@@ -197,31 +197,12 @@ def _corpus_oracle() -> str:
     "of (text-partitioned) rows however many stages compose.",
 )
 def q_x7_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from .textops import PUNCT_CLASS
-
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    punct_ratio = F.length(F.regexp_replace("text", PUNCT_CLASS, "")) / F.nullif(
-        F.length("text"), F.lit(0)
-    )
-    score = (F.lit(1.0) - punct_ratio) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-    digit = F.substring(F.md5(F.encode("text", "UTF-8")), 1, 1)
-    w = Window.partitionBy("text")
+    # ONE implementation of the curation composition: the oracle-gated
+    # query is a projection of the operational curate_corpus, so the
+    # CLI product and the differential-tested form cannot drift
     return (
-        d.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
-        .filter(F.col("_keep") & (score >= QUALITY_FLOOR))
-        .select(
-            "doc_id",
-            F.when(digit <= _TRAIN_MAX, "train")
-            .when(digit <= _VAL_MAX, "val")
-            .otherwise("test")
-            .alias("split"),
-            n_tokens.alias("n_tokens"),
-            score.alias("quality_score"),
-        )
+        curate_corpus(spark, sf_dir)
+        .select("doc_id", "split", "n_tokens", "quality_score")
         .orderBy("doc_id")
     )
 
@@ -242,7 +223,7 @@ def curate_corpus(
     decontam adds only broadcast joins."""
     from pyspark.sql import Window
 
-    from .curation import BENCH_MOD, DECONTAM_N, word_ngrams
+    from .curation import BENCH_MOD, contaminated_doc_ids
     from .textops import PUNCT_CLASS
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -269,26 +250,12 @@ def curate_corpus(
             .otherwise("test")
             .alias("split"),
             n_tokens.alias("n_tokens"),
-            F.round(score, 6).alias("quality_score"),
+            score.alias("quality_score"),
         )
     )
     if decontaminate:
-        grams = d.select(
-            "doc_id",
-            (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
-            F.explode(
-                F.array_distinct(word_ngrams(F.col("text"), DECONTAM_N))
-            ).alias("gram"),
-        ).filter(F.size(F.split(F.col("gram"), " ")) == DECONTAM_N)
-        bench_grams = grams.filter("is_bench").select("gram").distinct()
-        contaminated = (
-            grams.filter(~F.col("is_bench"))
-            .join(F.broadcast(bench_grams), "gram", "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
         out = out.filter(F.col("doc_id") % BENCH_MOD != 0).join(
-            F.broadcast(contaminated), "doc_id", "left_anti"
+            F.broadcast(contaminated_doc_ids(d)), "doc_id", "left_anti"
         )
     return out
 

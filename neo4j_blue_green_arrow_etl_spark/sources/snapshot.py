@@ -141,8 +141,20 @@ class SnapshotRef:
         return f"{self.customer_id}-{self.timestamp}"
 
 
+DATA_SUFFIXES = (".parquet", ".csv", ".ndjson", ".json")
+
+
 def _non_empty_dir(p: Path) -> bool:
-    return p.is_dir() and any(p.iterdir())
+    """True when the tree under ``p`` contains at least one COMMITTED
+    data file. Counting any entry would race the graphsnapshot writer:
+    its tasks stage ``*.staged`` fragments (and mkdir the table dirs)
+    before the driver's atomic rename publishes them — a directory
+    holding only staged fragments must stay invisible to the
+    completeness gate, or discovery promotes a half-written snapshot."""
+    return p.is_dir() and any(
+        f.is_file() and f.suffix in DATA_SUFFIXES and f.stat().st_size > 0
+        for f in p.rglob("*")
+    )
 
 
 def discover_snapshots(base_path: str | Path) -> list[SnapshotRef]:

@@ -348,6 +348,16 @@ class SnapshotWriter(DataSourceArrowWriter):
             if m.staged is not None:
                 dst = m.staged[: -len(".staged")] + ".parquet"
                 Path(m.staged).rename(dst)
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        """Remove staged fragments NOT published by this commit — the
+        leftovers of killed/retried task attempts whose replacements
+        did commit. Anything still *.staged after publish is garbage
+        by protocol (single-writer-per-directory, like parquet's
+        _temporary)."""
+        for p in Path(self._path).glob("*.staged"):
+            p.unlink(missing_ok=True)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -389,6 +399,7 @@ class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
                 src = Path(m.staged)
                 frag_id = src.stem.removeprefix("part-")
                 src.rename(src.with_name(f"part-b{batchId}-{frag_id}.parquet"))
+        self._sweep_orphans()
 
     def abort(self, messages, batchId: int) -> None:
         SnapshotWriter.abort(self, messages)

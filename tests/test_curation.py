@@ -331,3 +331,19 @@ def test_pmi_threshold_and_identity(spark):
     r = max(rows, key=lambda r: (r.cxy, r.w1, r.w2))
     want = math.log2((r.cxy / nb) / ((uni[r.w1] / nu) * (uni[r.w2] / nu)))
     assert abs(r.pmi - round(want, 4)) < 1e-9
+
+
+def test_word_ngrams_short_documents_yield_empty(spark):
+    """Documents shorter than n words must produce an empty gram array,
+    not a Spark slice() crash (sequence(1, 0) is DESCENDING [1, 0])."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.curation import (
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [("hello",), ("a b",), ("a b c d e f",), ("",)], "text string"
+    )
+    got = [r.g for r in df.select(word_ngrams(F.col("text"), 5).alias("g")).collect()]
+    assert got == [[], [], ["a b c d e", "b c d e f"], []]

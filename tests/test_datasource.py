@@ -335,11 +335,35 @@ def test_writer_completeness_gate_integration(spark, tmp_path):
         .save(str(ts_dir / "nodes" / "Entity"))
     )
     assert discover_snapshots(str(base)) == []  # relationships missing
+    # the staging window itself: a relationships dir holding ONLY
+    # *.staged fragments (tasks done, driver commit not yet run) must
+    # stay invisible too — the gate counts committed data files only
+    import pyarrow as pa
+
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot_datasource import (
+        SnapshotWriter,
+    )
+
+    edges_dir = str(ts_dir / "relationships" / "REL")
+    w = SnapshotWriter(
+        {"path": edges_dir, "kind": "edges"}, edges.schema, False
+    )
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "sourceNodeId": [0],
+            "targetNodeId": [1],
+            "relationshipType": ["REL"],
+        }
+    )
+    staged_msg = w.write(iter([batch]))
+    assert Path(edges_dir).exists() and list(Path(edges_dir).glob("*.staged"))
+    assert discover_snapshots(str(base)) == []  # staged-only: invisible
+    w.abort([staged_msg])
     (
         edges.write.format("graphsnapshot")
         .mode("append")
         .option("kind", "edges")
-        .save(str(ts_dir / "relationships" / "REL"))
+        .save(edges_dir)
     )
     found = discover_snapshots(str(base))
     assert len(found) == 1 and found[0].customer_id == "acme"

@@ -525,3 +525,47 @@ def test_interpolate_series_matches_python_reference(spark, rows):
             assert got[rid] is None
         else:
             assert abs(got[rid] - want[rid]) < 1e-9, (rid, got[rid], want[rid])
+
+
+# dense small graphs: collisions, self-loops, duplicate edges, multiple
+# components, chains and cliques all show up within 12 nodes
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _python_components(pairs):
+    """Union-find reference: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_star_cc_matches_union_find(spark, pairs):
+    from neo4j_blue_green_arrow_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a long, b long"
+    )
+    got = {
+        r.node: r.comp for r in connected_components_star(df, max_rounds=25).collect()
+    }
+    assert got == _python_components(pairs)
