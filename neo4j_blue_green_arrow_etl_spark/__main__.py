@@ -193,6 +193,30 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the engine's surface — the cypher-shell analogue
+    for reference users: the deployment catalog's alias views
+    ({customer}_nodes/{customer}_edges) are restored from the manifest,
+    and with --sf-dir the warehouse tables (lineitem, documents, ...)
+    are registered as temp views too. Results print as JSON lines
+    (bounded by --limit so a SELECT * can't flood the terminal)."""
+    spark, cat = _catalog(args)  # restores alias views from the manifest
+    if args.sf_dir:
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            p = Path(args.sf_dir) / f"{t}.parquet"
+            if p.exists():
+                spark.read.parquet(str(p)).createOrReplaceTempView(t)
+    df = spark.sql(args.query)
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(f"-- {len(rows)} row(s){' (limit reached)' if len(rows) == args.limit else ''}", file=sys.stderr)
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation as an operational job: canonical-dedup
     -> quality-filter -> content-hash split (optionally benchmark
@@ -314,6 +338,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--cleanup", action="store_true", help="tear the demo down")
     sp.set_defaults(fn=cmd_demo)
+
+    sp = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL over catalog alias views (+ --sf-dir "
+        "warehouse tables); rows print as JSON lines",
+    )
+    sp.add_argument("query")
+    sp.add_argument(
+        "--sf-dir",
+        default=None,
+        help="also register the testdata tables as temp views",
+    )
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser(
         "curate",

@@ -122,3 +122,39 @@ def test_curate_writes_split_partitioned_corpus(spark, tmp_path, capsys):
     }
     kept = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert kept <= survivors
+
+
+def test_sql_over_catalog_views_and_warehouse(base, capsys):
+    """`sql` runs ad-hoc SQL: catalog alias views after a load, the
+    warehouse tables via --sf-dir, JSON-line rows, and the limit cap."""
+    import json
+
+    assert main(["--base", base, "load", "--customer", "acme", "--timestamp", "1000"]) == 0
+    capsys.readouterr()
+    assert (
+        main(["--base", base, "sql", "SELECT COUNT(*) AS n FROM acme_nodes"]) == 0
+    )
+    out = capsys.readouterr().out.strip()
+    assert json.loads(out)["n"] > 0
+    assert (
+        main(
+            [
+                "--base", base, "sql",
+                "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                "GROUP BY 1 ORDER BY 1",
+                "--sf-dir", SF_SMOKE,
+            ]
+        )
+        == 0
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3 and all("l_returnflag" in l for l in lines)
+    # limit cap
+    assert (
+        main(
+            ["--base", base, "sql", "SELECT * FROM lineitem",
+             "--sf-dir", SF_SMOKE, "--limit", "5"]
+        )
+        == 0
+    )
+    assert len(capsys.readouterr().out.strip().splitlines()) == 5
