@@ -294,3 +294,28 @@ def streaming_cms_cells(events: DataFrame) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Incremental q_st3: per-user SESSION windows (merge while events
+    arrive within ``gap``) maintained under Structured Streaming. The
+    hard part session windows add over tumbling ones is MERGING — two
+    open sessions fuse when a late event lands between them — which the
+    engine handles in the state store; the watermark closes sessions
+    whose gap has definitely expired, bounding state by (users x open
+    sessions). Output modes: append (emit once closed) or complete —
+    Spark rejects update for merging session aggregations. Same logical
+    expression as the batch q_st3_session, so any chunking of the input
+    drains to the batch answer (pinned by test)."""
+    return (
+        events.withWatermark("ts_t", watermark)
+        .groupBy("user_id", F.session_window("ts_t", gap).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "cnt",
+        )
+    )

@@ -405,3 +405,35 @@ def test_streaming_cms_converges_to_batch_sketch(spark, chunked_events_dir):
         for r in REGISTRY["q_a17_cms"].spark(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_session_windows_converge_to_batch(spark, chunked_events_dir):
+    """Session windows under streaming — including sessions MERGED by
+    out-of-order arrivals across micro-batches — drain to exactly the
+    batch session_window answer over the same rows."""
+    from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+        sessionized_event_counts,
+    )
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, chunked_events_dir)
+    # session windows support append (sessions closed by the watermark)
+    # or complete — NOT update; complete shows the final merged state
+    final = run_to_completion(
+        sessionized_event_counts(stream, watermark="3650 days"),
+        name,
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(chunked_events_dir)
+        .withColumn("ts_t", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts_t", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_s"),
+            "cnt",
+        )
+    )
+    # exact set equality: every batch session with its final count
+    assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
