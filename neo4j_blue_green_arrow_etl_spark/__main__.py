@@ -235,15 +235,18 @@ def cmd_curate(args) -> int:
         quality_floor=args.quality_floor,
         decontaminate=args.decontam,
     )
-    (
-        curated.write.partitionBy("split")
-        .mode("overwrite")
-        .parquet(args.out)
-    )
+    writer = curated.write.partitionBy("split").mode("overwrite")
+    if args.format == "jsonl":
+        writer.json(args.out)  # newline-delimited JSON, the shard
+        # format most training loaders consume directly
+        reader = spark.read.schema(curated.schema).json
+    else:
+        writer.parquet(args.out)
+        reader = spark.read.schema(curated.schema).parquet
     # explicit schema: a floor/decontam combination that filters every
     # document writes zero part files, and a schemaless re-read of an
     # empty partitioned dir cannot infer one
-    written = spark.read.schema(curated.schema).parquet(args.out)
+    written = reader(args.out)
     stats_rows = (
         written.groupBy("split")
         .agg(
@@ -270,6 +273,7 @@ def cmd_curate(args) -> int:
         "curated_docs": sum(s["n_docs"] for s in stats.values()),
         "decontaminated": args.decontam,
         "quality_floor": args.quality_floor,
+        "format": args.format,
         "splits": stats,
     }
     Path(args.out, "_curation_stats.json").write_text(
@@ -365,6 +369,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--out", required=True, help="output corpus directory")
     sp.add_argument("--quality-floor", type=float, default=0.5)
+    sp.add_argument(
+        "--format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="output shard format (jsonl = newline-delimited JSON)",
+    )
     sp.add_argument(
         "--decontam",
         action="store_true",

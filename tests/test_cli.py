@@ -158,3 +158,20 @@ def test_sql_over_catalog_views_and_warehouse(base, capsys):
         == 0
     )
     assert len(capsys.readouterr().out.strip().splitlines()) == 5
+
+
+def test_curate_jsonl_format(spark, tmp_path, capsys):
+    """--format jsonl writes newline-delimited JSON shards a training
+    loader can read directly; counts match the parquet path."""
+    import json
+    from pathlib import Path
+
+    out = str(tmp_path / "corpus_jsonl")
+    assert (
+        main(["curate", "--sf-dir", SF_SMOKE, "--out", out, "--format", "jsonl"]) == 0
+    )
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["format"] == "jsonl" and payload["curated_docs"] > 0
+    part = next(Path(out).glob("split=*/part-*.json"))
+    first = json.loads(part.read_text().splitlines()[0])
+    assert {"doc_id", "text", "lang", "n_tokens"} <= set(first)
