@@ -338,3 +338,75 @@ def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(frames, out_schema)
         .orderBy("media_id", "win")
     )
+
+
+# Image-style patch tiling: treat the payload as a row-major grayscale
+# raster (ROW_BYTES bytes per scanline) and cut it into non-overlapping
+# PATCH x PATCH tiles — the ViT patchify step. A patch's bytes are NOT
+# contiguous (P row-segments at stride ROW_BYTES), so the assembly is a
+# compile-time concat of P strided substrings, all JVM-side.
+ROW_BYTES = 32  # scanline width
+PATCH = 8  # patch edge -> ROW_BYTES/PATCH patches per row band
+
+_PATCH_SEGS_SQL = " || ".join(
+    f"substring(text, (prow * {PATCH} + {k}) * {ROW_BYTES} + pcol * {PATCH} + 1, {PATCH})"
+    for k in range(PATCH)
+)
+
+
+@register(
+    "q_mm_patches",
+    oracle=(
+        "WITH dims AS (SELECT doc_id AS media_id, text, "
+        f"length(text) // {ROW_BYTES} AS h FROM documents), "
+        "rows_ AS (SELECT media_id, text, "
+        f"unnest(range(0, h // {PATCH})) AS prow FROM dims), "
+        "grid AS (SELECT media_id, text, prow, "
+        f"unnest(range(0, {ROW_BYTES // PATCH})) AS pcol FROM rows_) "
+        "SELECT media_id, CAST(prow AS INT) AS prow, "
+        "CAST(pcol AS INT) AS pcol, "
+        f"md5({_PATCH_SEGS_SQL}) AS patch_md5 "
+        "FROM grid ORDER BY media_id, prow, pcol"
+    ),
+    doc=f"ViT-style patch tiling over opaque payloads: the payload is a "
+    f"row-major raster ({ROW_BYTES} bytes/scanline) cut into "
+    f"non-overlapping {PATCH}x{PATCH} patches; each patch is assembled "
+    f"from {PATCH} STRIDED row segments (compile-time concat of "
+    "substrings — patches are not contiguous bytes, unlike q_mm_frames' "
+    "1-D frames) and emitted as its digest. All JVM: sequence-explode "
+    "the patch grid, strided substring concat, md5. A real pipeline "
+    "swaps the digest for the patch tensor feeding the vision encoder; "
+    "the tiling/shuffle shape — explode to (media, prow, pcol), "
+    "map-side only, zero shuffle beyond presentation sort — is "
+    "identical. The oracle slices the ASCII twin of the payload "
+    "(byte==char offsets, q_mm_frames' trick).",
+)
+def q_mm_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    n_band = (
+        F.floor(F.octet_length("payload") / ROW_BYTES / PATCH)
+    ).cast("int")
+    prow = F.when(
+        n_band > 0, F.sequence(F.lit(0), n_band - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pcols = F.sequence(F.lit(0), F.lit(ROW_BYTES // PATCH - 1))
+    segs = F.concat(
+        *[
+            F.expr(
+                f"substring(payload, (prow * {PATCH} + {k}) * {ROW_BYTES}"
+                f" + pcol * {PATCH} + 1, {PATCH})"
+            )
+            for k in range(PATCH)
+        ]
+    )
+    return (
+        m.select("media_id", "payload", F.explode(prow).alias("prow"))
+        .select("media_id", "payload", "prow", F.explode(pcols).alias("pcol"))
+        .select(
+            "media_id",
+            "prow",
+            "pcol",
+            F.md5(segs).alias("patch_md5"),
+        )
+        .orderBy("media_id", "prow", "pcol")
+    )

@@ -954,3 +954,61 @@ def q_ts4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", F.asc_nulls_last("y"), F.asc_nulls_last("m"), F.asc_nulls_last("d"))
     )
+
+
+# --------------------------------------------------------------------------
+# User-journey path analysis (top opening event sequences)
+# --------------------------------------------------------------------------
+
+JOURNEY_LEN = 3  # opening events per user forming the path
+
+
+@register(
+    "q_ev5_paths",
+    oracle=(
+        "WITH ranked AS ("
+        " SELECT user_id, event_type,"
+        " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "   AS rk"
+        " FROM events"
+        "), paths AS ("
+        " SELECT user_id,"
+        " string_agg(event_type, '>' ORDER BY rk) AS path"
+        f" FROM ranked WHERE rk <= {JOURNEY_LEN} GROUP BY user_id"
+        ") SELECT path, COUNT(*) AS n_users "
+        "FROM paths GROUP BY path ORDER BY n_users DESC, path"
+    ),
+    doc=f"Journey-path analysis: each user's first {JOURNEY_LEN} events "
+    "(event-time order, event_id tiebreak) joined into a path string, "
+    "counted across users — the onboarding-funnel 'what do people do "
+    "first' query, and the aggregation the Markov transition matrix "
+    "(q_ev3) marginalizes. Plan: one window shuffle on user_id ranks "
+    "the events; the kept rows collapse to one path row per user via "
+    "an in-shuffle sort_array of (rank, type) structs — order-correct "
+    "without a second sort — then an alphabet^k-bounded groupBy. "
+    "Scale: per-user state is k events; path cardinality (the final "
+    "shuffle) is bounded by |event types|^k, independent of user "
+    "count.",
+)
+def q_ev5_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= JOURNEY_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rk", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+    )
