@@ -1698,3 +1698,86 @@ def q_f13_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (blue vs green version comparison)
+# --------------------------------------------------------------------------
+
+DIFF_OLD_MOD = 10  # old version drops keys % 10 == 0
+DIFF_NEW_MOD = 7  # new version drops keys % 7 == 0
+DIFF_CHG_MOD = 3  # new version bumps price on keys % 3 == 0
+
+
+@register(
+    "q_x30_snapdiff",
+    oracle=(
+        "WITH cents AS (SELECT o_orderkey AS k, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders), "
+        f"old_v AS (SELECT k, c FROM cents WHERE k % {DIFF_OLD_MOD} <> 0), "
+        "new_v AS (SELECT k, "
+        f"CASE WHEN k % {DIFF_CHG_MOD} = 0 "
+        "THEN (c * 11 + 5) // 10 ELSE c END AS c "
+        f"FROM cents WHERE k % {DIFF_NEW_MOD} <> 0) "
+        "SELECT CASE WHEN o.k IS NULL THEN 'added' "
+        "WHEN n.k IS NULL THEN 'removed' "
+        "WHEN o.c <> n.c THEN 'changed' ELSE 'unchanged' END AS change_type, "
+        "COUNT(*) AS n_rows, "
+        "SUM(COALESCE(n.c, 0) - COALESCE(o.c, 0)) AS delta_cents "
+        "FROM old_v o FULL OUTER JOIN new_v n ON o.k = n.k "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc="Snapshot diff — the blue/green question 'what changed between "
+    "versions' as a FULL OUTER JOIN with row classification "
+    "(added/removed/changed/unchanged) and a value-delta aggregate in "
+    "exact integer cents: prices convert to cents ONCE and the 10% "
+    "bump is pure integer arithmetic ((c*11+5) DIV 10) — double sums "
+    "at 1e8 magnitude drift across engines' summation orders, and "
+    "even per-row ROUND(p*1.1, 2) splits on representation boundaries. "
+    "The two versions derive deterministically from orders (drop-mod "
+    "key sets, price bump on a third mod) so both engines diff "
+    "identical inputs. Plan: full outer sort-merge on the key — both "
+    "sides shuffle ONCE; the classifier and delta are post-join "
+    "expressions, the final groupBy is 4 rows. Scale: exactly a "
+    "large-large join; at 100 TB diff cost ∝ the two snapshots' scan + "
+    "one co-partitioned shuffle, and bucketed-at-rest versions "
+    "(test_bucketing's layout) drop even that exchange. The row-level "
+    "form (drop the groupBy) feeds the orchestrator's promote/audit "
+    "report.",
+)
+def q_x30_snapdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    old_v = o.filter(F.col("k") % DIFF_OLD_MOD != 0).select(
+        F.col("k").alias("k_old"), F.col("c").alias("c_old")
+    )
+    new_v = o.filter(F.col("k") % DIFF_NEW_MOD != 0).select(
+        F.col("k").alias("k_new"),
+        F.when(
+            F.col("k") % DIFF_CHG_MOD == 0,
+            F.expr("CAST((c * 11 + 5) DIV 10 AS BIGINT)"),
+        )
+        .otherwise(F.col("c"))
+        .alias("c_new"),
+    )
+    joined = old_v.join(
+        new_v, F.col("k_old") == F.col("k_new"), "full_outer"
+    )
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("c_old") != F.col("c_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.groupBy(change.alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.coalesce("c_new", F.lit(0)) - F.coalesce("c_old", F.lit(0))
+            ).alias("delta_cents"),
+        )
+        .orderBy("change_type")
+    )
