@@ -67,7 +67,14 @@ def main() -> None:
     ui_port = 0
     if with_metrics:
         url = spark.sparkContext.uiWebUrl or ""
-        ui_port = int(url.rsplit(":", 1)[1]) if ":" in url else 4049
+        if ":" not in url:
+            # metrics are meaningless without the real UI endpoint —
+            # fail loudly rather than silently polling a guessed port
+            raise RuntimeError(
+                "SPARK_GRAFT_BENCH_METRICS=1 but the Spark UI did not "
+                f"come up (uiWebUrl={url!r})"
+            )
+        ui_port = int(url.rsplit(":", 1)[1])
 
     # Warm the JVM/codegen once so per-query numbers measure steady state.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()

@@ -22,7 +22,23 @@ Layout:
 
 __version__ = "0.1.0"
 
+# The driver-generated warehouse tables (TESTDATA.md) — the ONE
+# canonical list shared by the sql CLI, the oracle gate, and the tests.
+WAREHOUSE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
 __all__ = [
+    "WAREHOUSE_TABLES",
     "DeploymentCatalog",
     "Orchestrator",
     "ParquetGraphSink",

@@ -200,20 +200,26 @@ def cmd_sql(args) -> int:
     and with --sf-dir the warehouse tables (lineitem, documents, ...)
     are registered as temp views too. Results print as JSON lines
     (bounded by --limit so a SELECT * can't flood the terminal)."""
+    from . import WAREHOUSE_TABLES
+
     spark, cat = _catalog(args)  # restores alias views from the manifest
     if args.sf_dir:
-        for t in (
-            "region nation customer supplier part orders lineitem "
-            "events documents embeddings"
-        ).split():
+        for t in WAREHOUSE_TABLES:
             p = Path(args.sf_dir) / f"{t}.parquet"
             if p.exists():
                 spark.read.parquet(str(p)).createOrReplaceTempView(t)
     df = spark.sql(args.query)
-    rows = df.limit(args.limit).collect()
+    # fetch limit+1 so 'limit reached' means TRUNCATED, not merely
+    # result-cardinality == limit
+    rows = df.limit(args.limit + 1).collect()
+    truncated = len(rows) > args.limit
+    rows = rows[: args.limit]
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
-    print(f"-- {len(rows)} row(s){' (limit reached)' if len(rows) == args.limit else ''}", file=sys.stderr)
+    print(
+        f"-- {len(rows)} row(s){' (limit reached)' if truncated else ''}",
+        file=sys.stderr,
+    )
     return 0
 
 

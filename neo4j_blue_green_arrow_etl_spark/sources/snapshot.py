@@ -150,11 +150,29 @@ def _non_empty_dir(p: Path) -> bool:
     its tasks stage ``*.staged`` fragments (and mkdir the table dirs)
     before the driver's atomic rename publishes them — a directory
     holding only staged fragments must stay invisible to the
-    completeness gate, or discovery promotes a half-written snapshot."""
-    return p.is_dir() and any(
-        f.is_file() and f.suffix in DATA_SUFFIXES and f.stat().st_size > 0
-        for f in p.rglob("*")
-    )
+    completeness gate, or discovery promotes a half-written snapshot.
+
+    Discovery polls while writers commit/abort/cleanup concurrently, so
+    every stat tolerates files vanishing mid-walk (OSError -> skip).
+    Cost: the walk short-circuits on the first committed file; the
+    no-committed-file case touches every entry of ONE table dir —
+    bounded by that snapshot's fragment count, control-plane-sized."""
+    if not p.is_dir():
+        return False
+    try:
+        for f in p.rglob("*"):
+            try:
+                if (
+                    f.suffix in DATA_SUFFIXES
+                    and f.is_file()
+                    and f.stat().st_size > 0
+                ):
+                    return True
+            except OSError:
+                continue  # deleted mid-walk by a concurrent writer
+    except OSError:
+        return False  # the dir itself vanished (cleanup/abort race)
+    return False
 
 
 def discover_snapshots(base_path: str | Path) -> list[SnapshotRef]:

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 import __spark_entry__ as entrymod
+from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
 
 ROWS_ONLY = {"q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf", "q_sim_pq"}
 
@@ -41,10 +42,7 @@ def test_oracles_are_runnable_duckdb_sql():
 
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
+    for t in WAREHOUSE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )

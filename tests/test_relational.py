@@ -5,6 +5,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
 from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
 
 from conftest import SF_ORACLE, SF_SMOKE
@@ -17,7 +18,7 @@ SPOT = ["q_a1", "q_j1", "q_p1", "q_w1", "q_st1", "q_u2", "q_x2"]
 @pytest.fixture(scope="module")
 def oracle():
     con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    for t in WAREHOUSE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')")
     return con
 

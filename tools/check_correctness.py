@@ -24,9 +24,9 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
+
+TABLES = list(WAREHOUSE_TABLES)
 
 
 def canon(rows, columns) -> str:

@@ -56,7 +56,11 @@ def main() -> None:
     ann = {}
     for q in ("q_sim_lsh", "q_sim_ivf", "q_sim_pq"):
         ids = [r.vec_id for r in REGISTRY[q].spark(spark, args.sf_dir).collect()]
-        ann[q] = round(len(set(brute) & set(ids)) / len(brute), 3)
+        ann[q] = (
+            round(len(set(brute) & set(ids)) / len(brute), 3)
+            if brute
+            else None
+        )
 
     payload = {
         "sf_dir": args.sf_dir,
