@@ -409,14 +409,17 @@ def connected_components_star(
     min-label propagation needs 2^k rounds (pinned by test). Driver
     work is one scalar fingerprint per round; lineage truncated per
     round with localCheckpoint exactly like the other iterative ops."""
+    # checkpoint the RAW pair lineage once — all_nodes and the working
+    # edge set both derive from it, so an expensive upstream pair
+    # generator (fuzzy join, shingle Jaccard) runs exactly one time
+    raw = edges.toDF("a", "b").localCheckpoint(eager=True)
     all_nodes = (
-        edges.toDF("a", "b")
-        .select(F.explode(F.array("a", "b")).alias("node"))
+        raw.select(F.explode(F.array("a", "b")).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     e = (
-        edges.toDF("u", "v")
+        raw.toDF("u", "v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)

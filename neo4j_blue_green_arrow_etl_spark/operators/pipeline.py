@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _NGRAM_ORACLE, q_dedup_ngram
+from .dedup import (
+    _NGRAM_ORACLE,
+    FUZZY_HEAD_CHARS,
+    FUZZY_MAX_DIST,
+    q_dedup_ngram,
+)
 from .relational import register
 
 # md5 hex digit boundaries: 0..b train (75%), c..d val (12.5%), e..f test
@@ -277,6 +282,57 @@ def q_x5b_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components_star
 
     pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+_ER_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(text, ' ')[1] AS tok1,
+         substr(text, 1, {FUZZY_HEAD_CHARS}) AS head FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT node AS doc_id,
+       LEAST(node, MIN(r)) AS cluster,
+       node = LEAST(node, MIN(r)) AS is_canonical
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@register(
+    "q_x31_erclusters",
+    oracle=_ER_ORACLE,
+    doc="Entity resolution end-to-end: the classic three-stage pipeline "
+    "composed — BLOCK (first-token key bounds the pair space), MATCH "
+    "(threshold-banded Levenshtein within blocks, q_x24's join), "
+    "CLUSTER (large-star/small-star connected components over the "
+    "match graph, canonical = min id — the O(log n) contraction, not "
+    "plain propagation). Oracle: recursive-CTE transitive closure over "
+    "the same match pairs. Scale: each stage is the proven shape of "
+    "its standalone query — blocking equi-join, per-block verify, "
+    "log-round contraction; nothing quadratic outside a block, "
+    "nothing on the driver but per-round fingerprints.",
+)
+def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q_x24_fuzzy
+    from .graph import connected_components_star
+
+    pairs = q_x24_fuzzy(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components_star(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
