@@ -182,3 +182,27 @@ def test_star_cc_matches_plain_cc_on_pair_graph(spark):
         for r in REGISTRY["q_x5b_clusters_star"].spark(spark, SF_SMOKE).collect()
     }
     assert plain == star
+
+
+def test_erclusters_consistent_with_fuzzy_pairs(spark):
+    """Cross-operator invariant: q_x31's clusters must exactly cover
+    the fuzzy match graph — every doc in a cluster appears in >= 1
+    match pair, both ends of every pair share a cluster, and the
+    canonical is the component minimum."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_x24_fuzzy"].spark(spark, SF_SMOKE).collect()
+    ]
+    rows = REGISTRY["q_x31_erclusters"].spark(spark, SF_SMOKE).collect()
+    cluster = {r.doc_id: r.cluster for r in rows}
+    in_pairs = {d for p in pairs for d in p}
+    assert set(cluster) == in_pairs
+    for a, b in pairs:
+        assert cluster[a] == cluster[b], (a, b)
+    by_comp: dict[int, list[int]] = {}
+    for d, c in cluster.items():
+        by_comp.setdefault(c, []).append(d)
+    for c, members in by_comp.items():
+        assert c == min(members)
+    canon = {r.doc_id for r in rows if r.is_canonical}
+    assert canon == set(by_comp)

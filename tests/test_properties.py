@@ -569,3 +569,55 @@ def test_star_cc_matches_union_find(spark, pairs):
         r.node: r.comp for r in connected_components_star(df, max_rounds=25).collect()
     }
     assert got == _python_components(pairs)
+
+
+def _python_pack(tokens_by_doc, shards, capacity, stride):
+    """Greedy per-shard packing reference: within each shard (doc_id %
+    shards), docs in id order fill capacity-token bins; a straddling
+    doc starts the next bin."""
+    out = {}
+    cum = {}
+    for doc_id in sorted(tokens_by_doc):
+        sh = doc_id % shards
+        prev = cum.get(sh, 0)
+        out[doc_id] = sh * stride + prev // capacity
+        cum[sh] = prev + tokens_by_doc[doc_id]
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=20),
+    st.integers(2, 4),  # shards
+    st.integers(8, 40),  # capacity
+)
+def test_packing_matches_python_reference(spark, token_counts, shards, capacity):
+    """The sharded greedy packing (q_x11's operator shape) must agree
+    with a pure-Python per-shard running-sum reference on arbitrary
+    token-length sequences and knob settings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stride = 1_000_000
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)],
+        "doc_id long, n_tokens long",
+    )
+    shard = F.col("doc_id") % shards
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    got = {
+        r.doc_id: r.bin_id
+        for r in df.select(
+            "doc_id",
+            (shard * stride + F.floor(prev_cum / capacity).cast("long")).alias(
+                "bin_id"
+            ),
+        ).collect()
+    }
+    want = _python_pack(dict(enumerate(token_counts)), shards, capacity, stride)
+    assert got == want
