@@ -180,3 +180,66 @@ def cms_estimate(cells: dict[tuple[int, int], int], key: str) -> int:
         cell = cells.get((d, int(h, 16) % CMS_WIDTH), 0)
         est = cell if est is None else min(est, cell)
     return est or 0
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra (intersection via inclusion-exclusion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_a18_hll_setops",
+    oracle=(
+        "SELECT "
+        "(SELECT COUNT(DISTINCT user_id) FROM events "
+        " WHERE event_type = 'click') AS clickers, "
+        "(SELECT COUNT(DISTINCT user_id) FROM events "
+        " WHERE event_type = 'purchase') AS purchasers, "
+        "(SELECT COUNT(DISTINCT user_id) FROM events "
+        " WHERE event_type IN ('click', 'purchase')) AS either_n, "
+        "(SELECT COUNT(DISTINCT e1.user_id) FROM events e1 "
+        " WHERE e1.event_type = 'click' AND EXISTS ("
+        "  SELECT 1 FROM events e2 WHERE e2.user_id = e1.user_id "
+        "  AND e2.event_type = 'purchase')) AS both_n"
+    ),
+    doc="Sketch SET ALGEBRA: how many users both clicked AND "
+    "purchased, computed from per-segment HLL sketches without "
+    "touching raw ids twice — union comes from hll_union_agg, and the "
+    "intersection by inclusion-exclusion (|A∩B| = |A| + |B| - |A∪B|). "
+    "This is the audience-overlap query every marketing warehouse "
+    "runs; sketches make it mergeable across days/segments where "
+    "COUNT(DISTINCT) would re-shuffle raw ids per combination. The "
+    "oracle computes all four cardinalities exactly; sparse-mode HLL "
+    "(lgK=14 vs ~600 distinct users per segment) is exact, so the "
+    "estimates match exactly at test SFs — at real scale "
+    "inclusion-exclusion inherits ~1.6%-rse error bars from each term "
+    "(theta sketches would bound intersection error directly; HLL is "
+    "what ships in Spark). Plan: ONE scan, two filtered sketch "
+    "aggregates + their union, one result row.",
+)
+def q_a18_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _t
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    sk = e.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")),
+            F.lit(HLL_LGK),
+        ).alias("sk_click"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")),
+            F.lit(HLL_LGK),
+        ).alias("sk_buy"),
+    )
+    return sk.select(
+        F.hll_sketch_estimate("sk_click").alias("clickers"),
+        F.hll_sketch_estimate("sk_buy").alias("purchasers"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_click", "sk_buy")
+        ).alias("either_n"),
+        (
+            F.hll_sketch_estimate("sk_click")
+            + F.hll_sketch_estimate("sk_buy")
+            - F.hll_sketch_estimate(F.hll_union("sk_click", "sk_buy"))
+        ).alias("both_n"),
+    )

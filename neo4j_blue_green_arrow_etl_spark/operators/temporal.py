@@ -1012,3 +1012,48 @@ def q_ev5_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy(F.desc("n_users"), "path")
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands (contiguous-run detection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_w9_islands",
+    oracle=(
+        "WITH numbered AS ("
+        " SELECT user_id, event_id,"
+        " event_id - row_number() OVER ("
+        "   PARTITION BY user_id ORDER BY event_id) AS grp"
+        " FROM events"
+        ") SELECT user_id, MIN(event_id) AS island_start, "
+        "MAX(event_id) AS island_end, COUNT(*) AS island_len "
+        "FROM numbered GROUP BY user_id, grp "
+        "ORDER BY user_id, island_start"
+    ),
+    doc="Gaps-and-islands: contiguous runs of event_ids per user via "
+    "the classic id-minus-row_number grouping key (consecutive ids "
+    "share a constant difference to their rank). The shape behind "
+    "'consecutive active days', sequence-gap detection in CDC id "
+    "columns, and segment compaction. ONE window shuffle on user_id + "
+    "a groupBy whose key count equals the number of islands — both "
+    "bounded by the data actually scanned; no self-join, no "
+    "per-island iteration. Scale: identical cost profile to any "
+    "single-window query; AQE skew-split covers hot users.",
+)
+def q_w9_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    grp = F.col("event_id") - F.row_number().over(w)
+    return (
+        e.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count("*").alias("island_len"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "island_start")
+    )
