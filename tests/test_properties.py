@@ -621,3 +621,53 @@ def test_packing_matches_python_reference(spark, token_counts, shards, capacity)
     }
     want = _python_pack(dict(enumerate(token_counts)), shards, capacity, stride)
     assert got == want
+
+
+def _python_islands(rows):
+    """Reference: contiguous id runs per key -> (start, end, len)."""
+    by_key = {}
+    for k, i in rows:
+        by_key.setdefault(k, set()).add(i)
+    out = set()
+    for k, ids in by_key.items():
+        for i in sorted(ids):
+            if i - 1 not in ids:  # island start
+                j = i
+                while j + 1 in ids:
+                    j += 1
+                out.add((k, i, j, j - i + 1))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_islands_match_python_reference(spark, rows):
+    """The id-minus-row_number islands shape (q_w9's operator) must
+    find exactly the contiguous runs a direct scan finds, on dense
+    random id sets with gaps, duplicates-across-keys, and singletons."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    got = {
+        (r.user_id, r.island_start, r.island_end, r.island_len)
+        for r in (
+            df.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+            .groupBy("user_id", "grp")
+            .agg(
+                F.min("event_id").alias("island_start"),
+                F.max("event_id").alias("island_end"),
+                F.count("*").alias("island_len"),
+            )
+            .collect()
+        )
+    }
+    assert got == _python_islands(rows)
