@@ -671,3 +671,57 @@ def test_islands_match_python_reference(spark, rows):
         )
     }
     assert got == _python_islands(rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(st.integers(0, 9), st.integers(0, 99), max_size=8),
+    st.dictionaries(st.integers(0, 9), st.integers(0, 99), max_size=8),
+)
+def test_snapdiff_classification_matches_reference(spark, old_v, new_v):
+    """The full-outer diff classifier (q_x30's shape) on arbitrary
+    key->value maps: per-class counts and exact value deltas must match
+    a dict-based reference."""
+    from pyspark.sql import functions as F
+
+    old_df = spark.createDataFrame(
+        list(old_v.items()) or [(None, None)], "k_old long, c_old long"
+    ).filter(F.col("k_old").isNotNull())
+    new_df = spark.createDataFrame(
+        list(new_v.items()) or [(None, None)], "k_new long, c_new long"
+    ).filter(F.col("k_new").isNotNull())
+    joined = old_df.join(new_df, F.col("k_old") == F.col("k_new"), "full_outer")
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("c_old") != F.col("c_new"), "changed")
+        .otherwise("unchanged")
+    )
+    got = {
+        r.change_type: (r.n, r.delta)
+        for r in joined.groupBy(change.alias("change_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.coalesce("c_new", F.lit(0)) - F.coalesce("c_old", F.lit(0))
+            ).alias("delta"),
+        )
+        .collect()
+    }
+    want: dict[str, list[int]] = {}
+
+    def add(cls, delta):
+        want.setdefault(cls, [0, 0])
+        want[cls][0] += 1
+        want[cls][1] += delta
+
+    for k in set(old_v) | set(new_v):
+        if k not in old_v:
+            add("added", new_v[k])
+        elif k not in new_v:
+            add("removed", -old_v[k])
+        elif old_v[k] != new_v[k]:
+            add("changed", new_v[k] - old_v[k])
+        else:
+            add("unchanged", 0)
+    assert got == {k: tuple(v) for k, v in want.items()}
