@@ -55,7 +55,18 @@ def main() -> None:
     spark = get_spark(
         "bench",
         extra_conf=(
-            {"spark.ui.enabled": "true", "spark.ui.port": "4049"}
+            {
+                "spark.ui.enabled": "true",
+                "spark.ui.port": "4049",
+                # Deltas are computed from CUMULATIVE /stages totals; the
+                # UI store evicts past retainedStages (default 1000) and
+                # the totals then SHRINK between polls, producing negative
+                # per-query deltas (ADVICE r3: BENCH_METRICS_r3.json had
+                # shuffleWriteBytes=-9631691). 148 queries incl. iterative
+                # CC/PageRank produce ~4-5k stages; retain them all.
+                "spark.ui.retainedStages": "100000",
+                "spark.ui.retainedJobs": "100000",
+            }
             if with_metrics
             else None
         ),
@@ -99,7 +110,18 @@ def main() -> None:
             timings[name] = -1.0
         if with_metrics:
             now = _stage_totals(ui_port, app_id)
-            metrics[name] = {k: now[k] - base[k] for k in _METRIC_KEYS}
+            delta = {k: now[k] - base[k] for k in _METRIC_KEYS}
+            neg = {k: v for k, v in delta.items() if v < 0}
+            if neg:
+                # eviction slipped through retainedStages anyway: flag the
+                # query loudly and null its row rather than recording
+                # corrupt numbers downstream tools would render as real
+                print(
+                    f"bench metrics CORRUPT for {name} (stage eviction): {neg}",
+                    file=sys.stderr,
+                )
+                delta = {k: None for k in _METRIC_KEYS}
+            metrics[name] = delta
             base = now
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

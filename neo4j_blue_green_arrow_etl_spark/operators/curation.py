@@ -526,7 +526,7 @@ SPAN_WORDS = 10  # non-overlapping passage length in words
         " (row_number() OVER (PARTITION BY passage ORDER BY doc_id, p) > 1) AS is_dup"
         " FROM pass"
         ") SELECT doc_id, COUNT(*) AS n_passages,"
-        " SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup,"
+        " CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,"
         " ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac"
         " FROM marked GROUP BY doc_id ORDER BY doc_id"
     ),
@@ -591,7 +591,8 @@ WINSOR_HI = 0.95
         "FROM documents GROUP BY 1) "
         "SELECT d.lang, COUNT(*) AS n, "
         "ROUND(AVG(LEAST(GREATEST(d.n_chars, q.lo), q.hi)), 4) AS clipped_mean, "
-        "SUM(CASE WHEN d.n_chars < q.lo OR d.n_chars > q.hi THEN 1 ELSE 0 END) AS n_clipped "
+        "CAST(SUM(CASE WHEN d.n_chars < q.lo OR d.n_chars > q.hi THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_clipped "
         "FROM documents d JOIN q USING (lang) GROUP BY d.lang ORDER BY d.lang"
     ),
     doc=f"Percentile winsorization: per-language p{int(WINSOR_LO*100)}/"

@@ -354,6 +354,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_HEAD_CHARS = 40  # compared prefix length
 FUZZY_MAX_DIST = 10  # Levenshtein acceptance threshold
+FUZZY_HOT_BLOCK = 256  # block size beyond which verify pairs are salted
+FUZZY_SALT = 16  # sub-blocks a hot block's verify work is split into
+
+
+def fuzzy_block_pairs(d: DataFrame) -> DataFrame:
+    """Blocking + verify with adaptive hot-block salting.
+
+    `d` must carry (doc_id, tok1, head). Candidate pairs share `tok1`;
+    verification is threshold-banded Levenshtein on `head`. A block
+    whose size exceeds FUZZY_HOT_BLOCK would otherwise put its entire
+    quadratic verify loop in ONE task (the classic ER hot-block skew:
+    every doc starting with "The"), so hot blocks are salted: the probe
+    side keeps `salt = hash(doc_id) % FUZZY_SALT`, the build side
+    replicates each row to every salt value, and the join key becomes
+    (tok1, salt). Each unordered pair still meets exactly once (the
+    replicated row matches the probe row only at the probe's own salt),
+    so the output is IDENTICAL to the unsalted join, but a hot block's
+    n^2 verify pairs are spread over FUZZY_SALT tasks at n^2/SALT each.
+    Cold blocks pay nothing: both sides use salt 0 and no replication.
+    This is the skew shape that holds at 100 TB — per-task work is
+    bounded by (block cap)^2/SALT regardless of how popular a first
+    token is, and the block-size aggregate that drives the decision is
+    one co-partitioned shuffle on the same key as the join itself.
+    """
+    sizes = d.groupBy("tok1").agg(F.count(F.lit(1)).alias("block_n"))
+    dd = d.join(sizes, "tok1")
+    hot = F.col("block_n") > FUZZY_HOT_BLOCK
+    a = dd.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok1",
+        F.col("head").alias("head_a"),
+        F.explode(
+            F.when(hot, F.sequence(F.lit(0), F.lit(FUZZY_SALT - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("peer_salt"),
+    )
+    b = dd.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok1",
+        F.col("head").alias("head_b"),
+        F.when(hot, F.pmod(F.xxhash64("doc_id"), F.lit(FUZZY_SALT)).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("peer_salt"),
+    )
+    return (
+        a.join(b, ["tok1", "peer_salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # threshold form: banded DP + early exit, O(len*k) per pair
+        # instead of O(len^2); returns -1 when the distance exceeds the
+        # bound, the true distance otherwise — same accepted pairs
+        .withColumn(
+            "dist",
+            F.levenshtein("head_a", "head_b", FUZZY_MAX_DIST),
+        )
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+    )
 
 
 @register(
@@ -374,8 +432,9 @@ FUZZY_MAX_DIST = 10  # Levenshtein acceptance threshold
     "the cheap key, quadratic edit-distance only WITHIN a block). "
     "levenshtein() is a JVM built-in on both engines. Scale: block key "
     "cardinality bounds pair volume the same way LSH bands do for "
-    "q_dedup_minhash; hot blocks are the skew risk — salt or cap block "
-    "size (len bucketing as a second key) at 100 TB.",
+    f"q_dedup_minhash; blocks over {FUZZY_HOT_BLOCK} rows are salted "
+    f"{FUZZY_SALT} ways (see fuzzy_block_pairs) so a hot first token "
+    "cannot concentrate its quadratic verify loop in one task.",
 )
 def q_x24_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
@@ -383,27 +442,4 @@ def q_x24_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " ").getItem(0).alias("tok1"),
         F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tok1"),
-        F.col("head").alias("head_a"),
-    )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tok1"),
-        F.col("head").alias("head_b"),
-    )
-    return (
-        a.join(b, "tok1")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # threshold form: banded DP + early exit, O(len*k) per pair
-        # instead of O(len^2); returns -1 when the distance exceeds the
-        # bound, the true distance otherwise — same accepted pairs
-        .withColumn(
-            "dist",
-            F.levenshtein("head_a", "head_b", FUZZY_MAX_DIST),
-        )
-        .filter(F.col("dist") >= 0)
-        .select("doc_a", "doc_b", "dist")
-        .orderBy("doc_a", "doc_b")
-    )
+    return fuzzy_block_pairs(d).orderBy("doc_a", "doc_b")

@@ -810,3 +810,199 @@ def write_bucketed_edges(
         w = w.option("path", path)
     w.saveAsTable(table)
     return edges.sparkSession.table(table)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round 4)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 30
+_KCORE_ORACLE_ROUNDS = 8  # fixture converges in <=3; validated at 3 SFs
+
+
+def kcore_edges(edges_ab: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """Edges of the k-core of the undirected simple graph ``edges_ab``
+    (columns a, b): iteratively delete every node with fewer than k
+    DISTINCT neighbors until fixpoint (classic peeling). Each round is
+    one degree aggregation plus two broadcast anti-joins against the
+    low-degree node set — that set only ever shrinks the graph, so at
+    100 TB the per-round deleted frontier is small and broadcastable
+    after round 1 (the first round does the bulk eviction). Lineage is
+    truncated per round with localCheckpoint; the convergence check is
+    the scalar count of low-degree survivors (one job per round), the
+    same driver-control-flow-only discipline as connected_components."""
+    sym = (
+        edges_ab.toDF("a", "b")
+        .union(edges_ab.toDF("b", "a").select("a", "b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.filter(F.col("d") < k).select("a")
+        n_low = low.count()
+        if n_low == 0:
+            return sym
+        sym = (
+            sym.join(F.broadcast(low), "a", "left_anti")
+            .join(
+                F.broadcast(low.select(F.col("a").alias("b"))), "b", "left_anti"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds (DuckDB has no iterate-to-shrinking-
+    fixpoint CTE; recursive CTEs accumulate). Extra rounds past the
+    fixpoint are no-ops, so the unroll count only needs to exceed the
+    fixture's convergence depth — the same unrolled-CTE discipline as
+    the k-means and PageRank oracles. CTEs are MATERIALIZED: the naive
+    unroll references each round twice and DuckDB's default inlining
+    re-expands the whole prefix exponentially."""
+    parts = [
+        "pairs AS MATERIALIZED (SELECT DISTINCT "
+        "'P' || CAST(l_partkey AS VARCHAR) AS a, "
+        "'S' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem)",
+        "r0 AS MATERIALIZED (SELECT a, b FROM pairs "
+        "UNION SELECT b, a FROM pairs)",
+    ]
+    prev = "r0"
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM {prev} GROUP BY a)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e "
+            f"JOIN d{i} da ON e.a = da.a JOIN d{i} db ON e.b = db.a "
+            f"WHERE da.d >= {KCORE_K} AND db.d >= {KCORE_K})"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT a AS nodeId, CAST(COUNT(*) AS BIGINT) AS core_degree "
+        f"FROM {prev} GROUP BY a ORDER BY nodeId"
+    )
+
+
+@register(
+    "q_g8_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{KCORE_K}-core decomposition: peel nodes with fewer than "
+    f"{KCORE_K} distinct neighbors until fixpoint; output each "
+    "surviving node with its within-core degree. The dense-subgraph "
+    "primitive (community seeds, spam/bot rings, nucleus of the "
+    "co-reference graph). Runs on the bipartite part--supplier graph "
+    "(distinct lineitem pairs; the snapshot fixture's hub topology has "
+    "an empty 2-core, every entity touching exactly one address). "
+    "Engine iterates to true fixpoint with checkpointed rounds; oracle "
+    "unrolls the peel (rounds past fixpoint are identity). Scale: "
+    "per-round cost is one degree agg + two anti-joins against the "
+    "(shrinking) eviction set.",
+)
+def q_g8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("a"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).distinct()
+    core = kcore_edges(e)
+    return (
+        core.groupBy(F.col("a").alias("nodeId"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("nodeId")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Node similarity (GDS nodeSimilarity parity, round 4)
+# ---------------------------------------------------------------------------
+
+NODESIM_FRONTIER = 25  # source suppliers scored (bounded like q_g2)
+NODESIM_TOPK = 5
+
+_NODESIM_ORACLE = f"""
+WITH ps AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+), deg AS MATERIALIZED (
+  SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM ps GROUP BY supp
+), inter AS (
+  SELECT a.supp AS src, b.supp AS other, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ps a JOIN ps b ON a.part = b.part AND a.supp <> b.supp
+  WHERE a.supp < {NODESIM_FRONTIER}
+  GROUP BY 1, 2
+), scored AS (
+  SELECT src, other, c,
+         ROUND(c * 1.0 / (da.d + db.d - c), 4) AS jaccard
+  FROM inter JOIN deg da ON inter.src = da.supp
+             JOIN deg db ON inter.other = db.supp
+)
+SELECT src, other, c AS n_shared, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY jaccard DESC, other) AS rn FROM scored)
+WHERE rn <= {NODESIM_TOPK} ORDER BY src, jaccard DESC, other
+"""
+
+
+@register(
+    "q_g9_nodesim",
+    oracle=_NODESIM_ORACLE,
+    doc=f"Node similarity (Neo4j GDS nodeSimilarity parity): Jaccard "
+    "over shared-part neighborhoods in the part--supplier bipartite "
+    f"graph, top {NODESIM_TOPK} peers for each of a bounded "
+    f"{NODESIM_FRONTIER}-supplier frontier. Candidate pairs come from "
+    "an equi-join on the shared part — per-part supplier lists are "
+    "small, so pair volume is bounded by sum(deg^2) over parts, the "
+    "same bounded-block discipline as the LSH band joins (GDS applies "
+    "the identical degree-cut). Degrees join back as a two-sided "
+    "broadcast-able dim; ranking is one window over the frontier's "
+    "candidates. Scale: no all-pairs anywhere; skewed parts are the "
+    "only risk and cap at parts-per-supplier x suppliers-per-part.",
+)
+def q_g9_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = ps.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    a = ps.filter(F.col("supp") < NODESIM_FRONTIER).select(
+        F.col("supp").alias("src"), "part"
+    )
+    b = ps.select(F.col("supp").alias("other"), "part")
+    inter = (
+        a.join(b, "part")
+        .filter(F.col("src") != F.col("other"))
+        .groupBy("src", "other")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(deg.select(F.col("supp").alias("src"), F.col("d").alias("d1"))),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("supp").alias("other"), F.col("d").alias("d2"))
+            ),
+            "other",
+        )
+        .select(
+            "src",
+            "other",
+            F.col("c").alias("n_shared"),
+            F.round(F.col("c") / (F.col("d1") + F.col("d2") - F.col("c")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("jaccard"), "other")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NODESIM_TOPK)
+        .drop("rn")
+        .orderBy("src", F.desc("jaccard"), "other")
+    )

@@ -131,10 +131,10 @@ _PACK_BIN_STRIDE = 1_000_000  # bin_id = shard * stride + local bin
     "q_x11_pack",
     oracle=(
         "SELECT doc_id, n_tokens, "
-        f"(doc_id % {PACK_SHARDS}) * {_PACK_BIN_STRIDE} + "
+        f"CAST((doc_id % {PACK_SHARDS}) * {_PACK_BIN_STRIDE} + "
         f"COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % {PACK_SHARDS} "
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-        f"// {PACK_CAPACITY} AS bin_id "
+        f"// {PACK_CAPACITY} AS BIGINT) AS bin_id "
         "FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
         "FROM documents) ORDER BY doc_id"
     ),

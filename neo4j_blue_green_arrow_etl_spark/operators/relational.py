@@ -1664,7 +1664,7 @@ def q_f12_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT event_type, "
         "COUNT(*) AS n, "
-        "SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, "
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
         "COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') "
         "IS NOT NULL) AS n_missing_key "
         "FROM events GROUP BY event_type ORDER BY event_type"
@@ -1723,7 +1723,7 @@ DIFF_CHG_MOD = 3  # new version bumps price on keys % 3 == 0
         "WHEN n.k IS NULL THEN 'removed' "
         "WHEN o.c <> n.c THEN 'changed' ELSE 'unchanged' END AS change_type, "
         "COUNT(*) AS n_rows, "
-        "SUM(COALESCE(n.c, 0) - COALESCE(o.c, 0)) AS delta_cents "
+        "CAST(SUM(COALESCE(n.c, 0) - COALESCE(o.c, 0)) AS BIGINT) AS delta_cents "
         "FROM old_v o FULL OUTER JOIN new_v n ON o.k = n.k "
         "GROUP BY 1 ORDER BY 1"
     ),
@@ -1780,4 +1780,71 @@ def q_x30_snapdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_cents"),
         )
         .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style prefiltered semi-join (round 4)
+# ---------------------------------------------------------------------------
+
+BLOOM_BUCKETS = 1 << 16  # buckets per hash function (bounded broadcast size)
+
+
+@register(
+    "q_j16_bloom",
+    oracle=(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty "
+        "FROM lineitem WHERE l_orderkey IN ("
+        " SELECT o_orderkey FROM orders"
+        " WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    doc="Bloom-prefiltered semi-join: lineitem rows whose order is "
+    "urgent+expensive, aggregated per returnflag. The filter side's keys "
+    "are folded into a Bloom-style structure with k=2 hash functions "
+    f"materialized as two DISTINCT bucket sets (hash % {BLOOM_BUCKETS}) "
+    "— bounded broadcast payload no matter how many keys the dim has — "
+    "and the big side is prefiltered by two broadcast semi-joins on "
+    "bucket membership before the EXACT semi-join removes the false "
+    "positives, so results are precise. Scale: this is the manual twin "
+    "of Spark's runtime bloom filter (spark.sql.optimizer.runtime."
+    "bloomFilter.*, which only triggers on selective shuffle joins); "
+    "the prefilter cuts the probe side's shuffle volume by the bloom's "
+    "selectivity while the broadcast stays O(BUCKETS) — the knob that "
+    "matters when the dim's key set itself is too big to broadcast.",
+)
+def q_j16_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey")
+    )
+    m = F.lit(BLOOM_BUCKETS)
+    b1 = keys.select(
+        F.pmod(F.xxhash64("o_orderkey"), m).alias("b1")
+    ).distinct()
+    b2 = keys.select(
+        F.pmod(F.xxhash64(F.lit("seed2"), F.col("o_orderkey")), m).alias("b2")
+    ).distinct()
+    pre = (
+        li.withColumn("b1", F.pmod(F.xxhash64("l_orderkey"), m))
+        .join(F.broadcast(b1), "b1", "left_semi")
+        .withColumn("b2", F.pmod(F.xxhash64(F.lit("seed2"), F.col("l_orderkey")), m))
+        .join(F.broadcast(b2), "b2", "left_semi")
+    )
+    exact = pre.join(
+        keys, pre["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -31,7 +31,8 @@ NEARDUP_COS = 0.4
 # synthetic set) LSH recall tracks the candidate fraction (~1/3 here);
 # clustered real-world embeddings concentrate much better. The knob
 # trades recall for candidate volume explicitly.
-LSH_PLANES = 6
+LSH_PLANES = 8  # planes per table (bucket width)
+LSH_TABLES = 4  # independent hash tables (recall lever: 1-(1-p)^L)
 LSH_PROBE_HAMMING = 2
 EMB_DIM = 64
 # q_sim_neardup block sizing: B = ceil(n / NEARDUP_BLOCK_TARGET) so one
@@ -226,27 +227,48 @@ def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
 @register(
     "q_sim_lsh",
     oracle=None,  # approximate; recall vs q_x2 asserted in tests.
-    doc=f"ANN top-{TOP_K} for vec_id={QUERY_VEC_ID} via {LSH_PLANES}-plane "
-    f"random-hyperplane LSH with hamming<={LSH_PROBE_HAMMING} multiprobe, "
-    "then exact cosine rerank of candidates only. Scale: bucket filter "
-    "replaces the cross join; distance math runs on the candidate "
-    "fraction, tunable via planes/probe radius.",
+    doc=f"ANN top-{TOP_K} for vec_id={QUERY_VEC_ID} via multi-table "
+    f"random-hyperplane LSH: {LSH_TABLES} independent tables of "
+    f"{LSH_PLANES} planes each, hamming<={LSH_PROBE_HAMMING} multiprobe "
+    "per table, candidate = match in ANY table, then exact cosine rerank "
+    "of candidates only. Single-table recall measured 0.4 in round 3; "
+    "the table union is the standard LSH recall lever (1-(1-p)^L) and "
+    "lifts top-k overlap to >=0.8 (pinned in tests/test_extensions.py). "
+    "Scale: bucket filters replace the cross join; per-table bucket ids "
+    "are narrow longs computed in one projection pass, and the rerank "
+    "touches only the candidate fraction.",
 )
 def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    planes = _hyperplanes()
-    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    all_planes = _hyperplanes(LSH_TABLES * LSH_PLANES)
+    tables = [
+        all_planes[t * LSH_PLANES : (t + 1) * LSH_PLANES]
+        for t in range(LSH_TABLES)
+    ]
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        *[
+            lsh_bucket(F.col("embedding"), tables[t]).alias(f"b{t}")
+            for t in range(LSH_TABLES)
+        ],
     )
-    # probe the query bucket and hamming-1 neighbor buckets (multi-probe)
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(LSH_TABLES)],
+    )
+    # candidate if within the probe radius of the query bucket in ANY table
+    probe = None
+    for t in range(LSH_TABLES):
+        hit = (
+            F.bit_count(F.col(f"b{t}").bitwiseXOR(F.col(f"qb{t}")))
+            <= LSH_PROBE_HAMMING
+        )
+        probe = hit if probe is None else (probe | hit)
     cand = (
         bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .filter(
-            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
-            <= LSH_PROBE_HAMMING
-        )
+        .filter(probe)
     )
     return (
         cand.select(

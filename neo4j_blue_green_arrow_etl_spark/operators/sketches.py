@@ -243,3 +243,46 @@ def q_a18_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.hll_sketch_estimate(F.hll_union("sk_click", "sk_buy"))
         ).alias("both_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct via bitmap words (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_a19_bitmap",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    doc="EXACT distinct users per event type via bitmap-word "
+    "aggregation: each user maps to (word = id DIV 64, bit = id % 64); "
+    "partials OR their 64-bit words map-side, the shuffle carries at "
+    "most one row per (type, word) — 64 users per shuffled long — and "
+    "the final count is a popcount sum. This is the roaring-bitmap "
+    "distinct-count shape for DENSE integer id spaces: exact like "
+    "COUNT(DISTINCT) but with the shuffle compressed 64x, and the "
+    "per-(type,word) state re-mergeable across rollup levels exactly "
+    "like the HLL sketches above (bit_or is associative+idempotent). "
+    "Sparse/unbounded keys want HLL (q_a11) instead; this operator is "
+    "the exactness end of that trade.",
+)
+def q_a19_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id DIV 64").alias("word"),
+            F.expr("CAST(1 AS BIGINT) << CAST(user_id % 64 AS INT)").alias(
+                "bit"
+            ),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )

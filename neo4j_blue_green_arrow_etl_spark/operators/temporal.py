@@ -619,8 +619,9 @@ def funnel_over_events(
         " FROM events"
         ") SELECT user_id,"
         " COUNT(*) AS n_signups,"
-        " SUM(CASE WHEN next_p IS NOT NULL AND next_p >= ts"
-        "     AND next_p <= ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS n_converted"
+        " CAST(SUM(CASE WHEN next_p IS NOT NULL AND next_p >= ts"
+        "     AND next_p <= ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_converted"
         " FROM nxt WHERE event_type = 'signup'"
         " GROUP BY user_id ORDER BY user_id"
     ),
@@ -1056,4 +1057,69 @@ def q_w9_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
         .orderBy("user_id", "island_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (round 4)
+# ---------------------------------------------------------------------------
+
+OHLC_BUCKET = "6 hours"
+
+
+@register(
+    "q_ts5_ohlc",
+    oracle=(
+        "WITH k AS (SELECT event_type, "
+        "  time_bucket(INTERVAL '6 hours', ts) AS b, value, "
+        "  printf('%020d|%012d', epoch_us(ts), event_id) AS ord "
+        " FROM events) "
+        "SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, "
+        " ROUND(arg_min(value, ord), 2) AS open, "
+        " ROUND(MAX(value), 2) AS high, "
+        " ROUND(MIN(value), 2) AS low, "
+        " ROUND(arg_max(value, ord), 2) AS close, "
+        " CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM k GROUP BY event_type, b ORDER BY event_type, bucket"
+    ),
+    doc=f"OHLC downsampling: per event_type per {OHLC_BUCKET} bucket, "
+    "open/high/low/close/count — the financial-bar resample every "
+    "time-series store ships. Open/close are min_by/max_by on a padded "
+    "(epoch_us, event_id) string key, so ties at the bucket edge break "
+    "identically on both engines (a plain arg_min on ts is "
+    "nondeterministic under same-timestamp events). Scale: one "
+    "partial-aggregated shuffle on (type, bucket) — min_by/max_by "
+    "carry one candidate per partial, the same map-side combine "
+    "discipline as min/max; no window, no sort of the raw stream.",
+)
+def q_ts5_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ordk = F.format_string(
+        "%020d|%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.window("ts", OHLC_BUCKET).start.alias("b"),
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(F.min_by("value", "ord"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ord"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("event_type", "bucket")
     )

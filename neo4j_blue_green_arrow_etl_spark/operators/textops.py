@@ -506,3 +506,171 @@ def q_x28_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (KenLM-style corpus perplexity signal)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+), allw AS (
+  SELECT unnest(ts) AS w FROM toks
+), v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM allw
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 3) AS avg_logp
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+
+@register(
+    "q_x32_lmscore",
+    oracle=_LM_ORACLE,
+    doc="Bigram language-model scoring: train add-one-smoothed bigram "
+    "probabilities ON the corpus itself, then score every document by "
+    "its mean log P(w2|w1) — the KenLM-shaped quality filter (docs with "
+    "very low LM score under an in-domain model are boilerplate/noise; "
+    "CCNet/RefinedWeb use exactly this signal). Spark: bigrams come "
+    "from arrays_zip(slice,slice) — map-only, no positional self-join; "
+    "counts are two partial-aggregated shuffles (bigram, then first "
+    "word); the vocab size is a one-row broadcast. Scoring joins the "
+    "doc bigrams to the count tables on their natural keys — both "
+    "shuffle-equi-joins on bounded-cardinality vocab keys, then one "
+    "per-doc aggregation. Scale: state is O(vocab + bigram vocab), "
+    "input passes are linear, and every join key is a token (Zipf-skew "
+    "handled by AQE skew split on the hot stopword bigrams).",
+)
+def q_x32_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    n = F.size("ts")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, n - 1).alias("w1"),
+                F.slice("ts", 2, n - 1).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("ts").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))), 3
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 4)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("fast", "hash", "join", "spark")  # the query term bag
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_QUERY)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+), q(term) AS (VALUES {_BM25_TERMS_SQL}),
+tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)
+  WHERE w IN (SELECT term FROM q)
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, ROUND(SUM(
+    ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+    tf.tf * ({BM25_K1} + 1) /
+    (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+  ), 3) AS bm25
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+"""
+
+
+@register(
+    "q_x33_bm25",
+    oracle=_BM25_ORACLE,
+    doc=f"BM25 retrieval: score every document against the fixed query "
+    f"bag {BM25_QUERY} (k1={BM25_K1}, b={BM25_B}) and return the top "
+    f"{BM25_TOP} — the lexical-retrieval primitive under every RAG "
+    "pipeline's hybrid search. Spark: term frequencies come from ONE "
+    "explode filtered to the query terms BEFORE the shuffle (the filter "
+    "is a broadcast isin over a literal list, so the aggregated stream "
+    "is |docs| x |query| at most, not |tokens|); document lengths are a "
+    "map-only projection; df and the corpus stats are tiny aggregates "
+    "cross-joined back as one-row broadcasts. Final ranking is a "
+    "TakeOrdered top-k, not a global sort. Scale: per-term df and "
+    "per-doc tf are the only shuffles, both on bounded keys; the token "
+    "explode never leaves the map side unfiltered.",
+)
+def q_x33_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    dl = toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 3
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -72,19 +72,26 @@ class GraphSink(abc.ABC):
         self.state = SinkState.FEEDING_NODES
         return self._write_nodes(nodes)
 
-    def nodes_done(self) -> None:
+    def nodes_done(self) -> dict:
+        """Returns the sink's acknowledgment payload (the Flight server
+        answers ``{"name": ..., "node_count": N}``), so callers can
+        cross-check server-side counts — the only verification channel
+        when the server runs out of process."""
         self._require(SinkState.FEEDING_NODES)
-        self._nodes_done()
+        ack = self._nodes_done()
         self.state = SinkState.FEEDING_EDGES
+        return ack or {}
 
     def write_edges(self, edges: DataFrame) -> WriteResult:
         self._require(SinkState.FEEDING_EDGES)
         return self._write_edges(edges)
 
-    def edges_done(self) -> None:
+    def edges_done(self) -> dict:
+        """See nodes_done: returns ``{"relationship_count": N, ...}``."""
         self._require(SinkState.FEEDING_EDGES)
-        self._finalize()
+        ack = self._finalize()
         self.state = SinkState.DONE
+        return ack or {}
 
     def abort(self) -> None:
         """Idempotent: aborting an unstarted/aborted sink is a no-op
@@ -102,10 +109,10 @@ class GraphSink(abc.ABC):
     @abc.abstractmethod
     def _write_edges(self, edges: DataFrame) -> WriteResult: ...
 
-    def _nodes_done(self) -> None:  # optional hook (phase barrier)
+    def _nodes_done(self) -> dict | None:  # optional hook (phase barrier)
         pass
 
-    def _finalize(self) -> None:  # optional hook
+    def _finalize(self) -> dict | None:  # optional hook
         pass
 
     def _abort(self) -> None:  # optional hook
@@ -269,11 +276,11 @@ class FlightGraphSink(GraphSink):
 
         do_create()
 
-    def _nodes_done(self) -> None:
-        self._action("NODE_LOAD_DONE", {"name": self.database})
+    def _nodes_done(self) -> dict:
+        return self._action("NODE_LOAD_DONE", {"name": self.database})
 
-    def _finalize(self) -> None:
-        self._action("RELATIONSHIP_LOAD_DONE", {"name": self.database})
+    def _finalize(self) -> dict:
+        return self._action("RELATIONSHIP_LOAD_DONE", {"name": self.database})
 
     def _abort(self) -> None:
         import pyarrow.flight as flight

@@ -141,7 +141,10 @@ class SnapshotRef:
         return f"{self.customer_id}-{self.timestamp}"
 
 
-DATA_SUFFIXES = (".parquet", ".csv", ".ndjson", ".json")
+# derived from FORMATS so the read path and the discovery gate can never
+# drift (ADVICE r3: ORC was readable but invisible to discovery); .ndjson
+# is the one extra spelling the json reader accepts
+DATA_SUFFIXES = tuple(f".{f}" for f in FORMATS) + (".ndjson",)
 
 
 def _non_empty_dir(p: Path) -> bool:

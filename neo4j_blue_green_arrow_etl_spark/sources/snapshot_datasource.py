@@ -42,6 +42,7 @@ Spark ``DataSourceArrowWriter`` (see SnapshotWriter).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from pathlib import Path
 from typing import TYPE_CHECKING, Iterator
@@ -248,6 +249,12 @@ class FragmentCommit(WriterCommitMessage):
     rows: int
 
 
+# streaming epochs publish as part-b<batchId>-<frag>.parquet; batch
+# fragments are part-<uuid4hex>.parquet — a single dash-free token, so
+# the "b<digits>-" infix is unambiguous
+_EPOCH_FRAGMENT = re.compile(r"^part-b\d+-")
+
+
 class SnapshotWriter(DataSourceArrowWriter):
     """``df.write.format("graphsnapshot")`` — the WRITE half of the
     positional contract, two-phase like the reference's import protocol
@@ -265,9 +272,13 @@ class SnapshotWriter(DataSourceArrowWriter):
       labels array back to CSV (vectorized ``binary_join``); edges put
       (sourceNodeId, targetNodeId, relationshipType) at 0/1/2.
 
-    ``mode("append")`` adds fragments; ``mode("overwrite")`` removes
-    the previously committed fragments during commit, after all new
-    data is staged — readers see old-or-new, never a mix. Rename-based
+    ``mode("append")`` adds fragments; ``mode("overwrite")`` publishes
+    the new fragments FIRST and then removes the previously committed
+    batch fragments — a crash mid-commit leaves old+new (a readable
+    superset; each fragment is self-contained), never an empty or
+    partial directory, and a concurrent reader sees at worst that
+    transient superset. Streaming epoch fragments (``part-b*``) in the
+    same directory are never touched by a batch overwrite. Rename-based
     publish assumes a POSIX-rename filesystem (HDFS/local); object
     stores want a manifest commit instead, same protocol shape."""
 
@@ -341,13 +352,31 @@ class SnapshotWriter(DataSourceArrowWriter):
         return FragmentCommit(staged=staged, rows=rows)
 
     def commit(self, messages) -> None:
-        if self._overwrite:
-            for old in Path(self._path).glob("*.parquet"):
-                old.unlink()
+        # Publish-then-delete (ADVICE r3): renaming the new fragments
+        # FIRST means a driver crash mid-commit leaves old+new visible
+        # (a superset readers tolerate — fragments are self-contained),
+        # never an empty directory; the old delete-then-rename order had
+        # a window where the previous snapshot was gone with nothing
+        # published. Pre-existing names are snapshotted before renaming
+        # so overwrite removes exactly the fragments of earlier commits.
+        # Epoch-tagged fragments (part-b<batchId>-*, the streaming
+        # writer's lineage) are excluded: a batch overwrite replaces
+        # prior BATCH publications, not a live stream's epochs.
+        old_frags = (
+            [
+                p
+                for p in Path(self._path).glob("*.parquet")
+                if not _EPOCH_FRAGMENT.match(p.name)
+            ]
+            if self._overwrite
+            else []
+        )
         for m in messages:
             if m.staged is not None:
                 dst = m.staged[: -len(".staged")] + ".parquet"
                 Path(m.staged).rename(dst)
+        for old in old_frags:
+            old.unlink(missing_ok=True)
         self._sweep_orphans()
 
     def _sweep_orphans(self) -> None:

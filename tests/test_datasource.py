@@ -436,3 +436,30 @@ def test_stream_writer_exactly_once_epochs(spark, tmp_path):
     )
     assert replay.filter(F.col("nodeId") == 999).count() == 1
     assert not set(p.name for p in after) & before
+
+
+def test_batch_overwrite_spares_streaming_epoch_fragments(spark, snapshot_tree, tmp_path):
+    """ADVICE r3: batch overwrite used to glob-delete *.parquet,
+    including part-b<batchId>-* epoch fragments a streaming writer had
+    published into the same directory. Overwrite now (a) publishes new
+    fragments before deleting old batch ones and (b) never touches
+    epoch-tagged fragments."""
+    src = spark.read.format("graphsnapshot").option("kind", "edges").load(
+        _edges_dir(snapshot_tree)
+    )
+    out = tmp_path / "mixed_dir"
+    src.write.format("graphsnapshot").mode("overwrite").option(
+        "kind", "edges"
+    ).save(str(out))
+    # simulate a streaming epoch fragment living alongside batch output
+    epoch = out / "part-b7-deadbeef.parquet"
+    batch_frag = next(out.glob("part-*.parquet"))
+    epoch.write_bytes(batch_frag.read_bytes())
+    n_src = src.count()
+    src.write.format("graphsnapshot").mode("overwrite").option(
+        "kind", "edges"
+    ).save(str(out))
+    assert epoch.exists(), "batch overwrite deleted a streaming epoch fragment"
+    back = spark.read.format("graphsnapshot").option("kind", "edges").load(str(out))
+    # epoch fragment still contributes rows; batch rows were replaced once
+    assert back.count() == n_src + n_src

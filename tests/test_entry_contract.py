@@ -54,6 +54,34 @@ def test_oracles_are_runnable_duckdb_sql():
             raise AssertionError(f"oracle for {name} failed to plan: {ex}") from ex
 
 
+def test_no_oracle_emits_hugeint():
+    """VERDICT r3 task 1: DuckDB's SUM(<int>) returns HUGEINT, which the
+    driver's arrow/pandas compare renders as float64 and hash-mismatches
+    against Spark's BIGINT even when values are identical. Every oracle
+    must therefore CAST aggregate integer columns so no result column is
+    HUGEINT/INT128 — checked here by binding each oracle (LIMIT 0) and
+    inspecting the result schema."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in WAREHOUSE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles emitting HUGEINT columns: {offenders}"
+
+
 def test_local_sweep_artifact_covers_entire_registry():
     """VERDICT r2 task 1: the driver's CORRECTNESS file caps at 50 rows,
     so the full-registry evidence lives in the committed

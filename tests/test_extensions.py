@@ -46,10 +46,13 @@ def test_simhash_pairs_are_plausible(spark):
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):
+    """VERDICT r3 task 3: the multi-table LSH must hold the same >=0.8
+    floor as IVF/PQ (measured 1.0 at sf0.001/sf0.1 and 0.8 at sf0.01
+    with 4 tables x 8 planes, hamming<=2 multiprobe)."""
     brute = [r.vec_id for r in REGISTRY["q_x2"].spark(spark, SF_SMOKE).collect()]
     ann = [r.vec_id for r in REGISTRY["q_sim_lsh"].spark(spark, SF_SMOKE).collect()]
     overlap = len(set(brute) & set(ann)) / len(brute)
-    assert overlap >= 0.4, f"ANN recall@5 {overlap:.2f} too low"
+    assert overlap >= 0.8, f"ANN recall@5 {overlap:.2f} too low"
 
 
 def test_decode_stub_raises_without_fake():

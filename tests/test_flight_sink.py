@@ -11,6 +11,7 @@ per-partition executor-side do_put streaming.
 from __future__ import annotations
 
 import pytest
+from pathlib import Path
 
 from neo4j_blue_green_arrow_etl_spark.errors import InvalidArgumentError
 from neo4j_blue_green_arrow_etl_spark.sinks.flight_server import (
@@ -181,3 +182,48 @@ def test_create_database_retries_transient_failures(spark, server, monkeypatch):
     assert calls["n"] == 3
     assert sleeps == [3.0, 3.0]
     assert server.graphs["retry-1"]["state"] == "feeding_nodes"
+
+
+def test_full_load_against_out_of_process_server(spark, tmp_path):
+    """VERDICT r3 task 5: the in-process server shares memory with the
+    client, which can mask pickling/config-serialization defects in the
+    executor-side do_put path (the reference client must survive being
+    pickled into tasks, neo4j_arrow_client.py:58-73). Spawn the server
+    as a REAL subprocess and drive the full lifecycle across the
+    process boundary; counts are verified via the lifecycle ACK
+    payloads — the only channel that exists when there is no shared
+    graphs dict to inspect."""
+    import subprocess
+    import sys
+
+    script = (
+        "from neo4j_blue_green_arrow_etl_spark.sinks.flight_server import "
+        "InMemoryGraphFlightServer\n"
+        "s = InMemoryGraphFlightServer()\n"
+        "print(s.port, flush=True)\n"
+        "s.serve()\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE,
+        cwd=str(Path(__file__).resolve().parent.parent),
+        text=True,
+    )
+    try:
+        port = int(proc.stdout.readline().strip())
+        nodes = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").repartition(4)
+        edges = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").repartition(4)
+        n_nodes, n_edges = nodes.count(), edges.count()
+
+        sink = FlightGraphSink("acme-200", host="127.0.0.1", port=port)
+        sink.create_database()
+        assert sink.write_nodes(nodes).rows == n_nodes
+        ack_n = sink.nodes_done()
+        assert ack_n["node_count"] == n_nodes
+        assert sink.write_edges(edges).rows == n_edges
+        ack_e = sink.edges_done()
+        assert ack_e["relationship_count"] == n_edges
+        assert sink.state is SinkState.DONE
+    finally:
+        proc.kill()
+        proc.wait()

@@ -86,3 +86,105 @@ def test_salted_join_left_anti_works(spark, skewed):
     plain = left.join(right_small, "k", "left_anti")
     salted = salted_join(left, right_small, "k", "row_id", n_salts=4, how="left_anti")
     assert salted.count() == plain.count()
+
+
+# --------------------------------------------------------------------------
+# q_x24_fuzzy hot-block salting (VERDICT r3 task 2)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_block_docs(spark):
+    """2 000 docs sharing one first token (the quadratic hot block) plus
+    500 docs spread over cold blocks — with a seeded sprinkle of true
+    near-dup pairs so the equality check exercises non-empty output."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import FUZZY_HEAD_CHARS
+
+    hot = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("The quick brown fox number "),
+            # id % 40 ensures ~50 docs share each exact head -> real pairs
+            (F.col("id") % 40).cast("string"),
+            F.lit(" jumps over"),
+        ).alias("text"),
+    )
+    cold = spark.range(2_000, 2_500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"),
+            (F.col("id") % 25).cast("string"),
+            F.lit(" unique body "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    d = hot.unionByName(cold).select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).alias("tok1"),
+        F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
+    )
+    return d.cache()
+
+
+def test_fuzzy_salted_equals_unsalted(spark, hot_block_docs):
+    """Salting must not change the accepted pair set: compare against
+    the plain (unsalted) blocking join on the same frame."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        FUZZY_MAX_DIST,
+        fuzzy_block_pairs,
+    )
+
+    d = hot_block_docs
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "tok1", F.col("head").alias("head_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "tok1", F.col("head").alias("head_b")
+    )
+    plain = (
+        a.join(b, "tok1")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("head_a", "head_b", FUZZY_MAX_DIST))
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+    )
+    salted = fuzzy_block_pairs(d)
+    assert salted.count() == plain.count() > 0
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_fuzzy_hot_block_pairs_are_bounded_per_join_key(spark, hot_block_docs):
+    """The point of the salt: no single join key (tok1, peer_salt) may
+    carry the hot block's full n^2 verify loop. Per-key pair volume is
+    build-side rows x probe-side rows for that key; with FUZZY_SALT-way
+    salting the probe side of the hot block shrinks to ~n/SALT, so the
+    worst key's pair product must be ~n^2/SALT, far below n^2."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        FUZZY_HOT_BLOCK,
+        FUZZY_SALT,
+        fuzzy_block_pairs,  # noqa: F401  (shape under test)
+    )
+
+    d = hot_block_docs
+    sizes = d.groupBy("tok1").agg(F.count(F.lit(1)).alias("block_n"))
+    hot_n = (
+        sizes.filter(F.col("block_n") > FUZZY_HOT_BLOCK).agg(
+            F.max("block_n")
+        ).collect()[0][0]
+    )
+    assert hot_n == 2_000  # fixture sanity: the hot block IS hot
+    # probe-side bucket sizes for the hot block, exactly as the operator salts
+    probe = (
+        d.join(sizes, "tok1")
+        .filter(F.col("block_n") > FUZZY_HOT_BLOCK)
+        .select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(FUZZY_SALT)).cast("int").alias("s")
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(probe) == FUZZY_SALT  # all sub-blocks populated
+    worst_bucket = max(r["count"] for r in probe)
+    # per-key pairs = hot_n * bucket  <<  hot_n^2 ; allow 2x hash slop
+    assert hot_n * worst_bucket <= 2 * hot_n * hot_n // FUZZY_SALT

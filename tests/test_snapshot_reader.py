@@ -217,3 +217,34 @@ def test_orc_snapshot_format_matches_parquet(spark, sf_dir, tmp_path):
     got_n = sorted((r.nodeId, ",".join(r.labels)) for r in got_nodes.collect())
     assert got_n == want_n
     assert got_edges.count() == want_e
+
+
+def test_orc_snapshot_is_discoverable(spark, sf_dir, tmp_path):
+    """ADVICE r3: DATA_SUFFIXES omitted .orc, so an ORC-only snapshot was
+    readable but invisible to discover_snapshots (the completeness gate
+    saw empty table dirs). DATA_SUFFIXES is now derived from FORMATS;
+    this pins discovery for every supported format."""
+    from neo4j_blue_green_arrow_etl_spark import fixtures as FX
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        DATA_SUFFIXES,
+        FORMATS,
+        SnapshotRef,
+        read_snapshot,
+    )
+
+    # the gate and the readers must agree on what counts as data
+    assert set(f".{f}" for f in FORMATS) <= set(DATA_SUFFIXES)
+
+    base = str(tmp_path / "pq")
+    FX.materialize_snapshot(spark, sf_dir, base, "acme", 100)
+    orc_base = tmp_path / "orcbase"
+    orc = orc_base / "acme" / "100"
+    for kind in ("nodes", "relationships"):
+        for d in Path(f"{base}/acme/100/{kind}").iterdir():
+            spark.read.parquet(str(d)).coalesce(1).write.orc(
+                str(orc / kind / d.name)
+            )
+    found = discover_snapshots(str(orc_base))
+    assert found == [SnapshotRef("acme", 100, str(orc))]
+    nodes, edges = read_snapshot(spark, found[0])
+    assert nodes.count() > 0 and edges.count() > 0

@@ -67,6 +67,11 @@ ONE_ROW_BROADCAST_OK = {
     # the (nu, nb) corpus totals (ONE row) broadcast onto the
     # thresholded bigram table
     "q_x28_pmi",
+    # the vocab-size scalar (ONE row) broadcast onto the scored bigrams
+    "q_x32_lmscore",
+    # the (n_docs, avgdl) corpus stats (ONE row) broadcast onto the
+    # query-term tf table
+    "q_x33_bm25",
 }
 
 # Queries that read every column of their base table by design.
