@@ -821,3 +821,113 @@ def q_x29_domcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-signal quality gate with funnel accounting (round 4)
+# ---------------------------------------------------------------------------
+
+GATE_MIN_TOKENS = 15
+GATE_MIN_ENTROPY = 2.6
+GATE_MIN_QUALITY = 0.55
+
+_GATE_ORACLE = f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), ent AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         -SUM((c * 1.0 / t) * ln(c * 1.0 / t)) AS h
+  FROM (SELECT doc_id, w, c, SUM(c) OVER (PARTITION BY doc_id) AS t FROM tf)
+  GROUP BY doc_id
+), q AS MATERIALIZED (
+  SELECT doc_id, 1.0 / (1.0 + exp(-(
+    -1.2 + 0.004 * len(string_split(text, ' '))
+    + 0.35 * (length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')))
+    + 1.8 * (len(list_filter(string_split(text, ' '),
+        w -> list_contains(['the', 'a', 'an', 'of', 'to', 'and', 'in', 'is', 'it', 'for'], w))) * 1.0
+        / len(string_split(text, ' ')))
+    - 2.5 * (len(list_filter(string_split(text, ''),
+        c -> c >= 'A' AND c <= 'Z')) * 1.0 / length(text))
+  ))) AS quality
+  FROM documents
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE
+    WHEN ent.n_tokens < {GATE_MIN_TOKENS} THEN 'too_short'
+    WHEN ent.h < {GATE_MIN_ENTROPY} THEN 'low_entropy'
+    WHEN q.quality < {GATE_MIN_QUALITY} THEN 'low_quality'
+    ELSE 'kept' END AS verdict
+  FROM ent JOIN q USING (doc_id)
+) GROUP BY verdict ORDER BY verdict
+"""
+
+
+@register(
+    "q_x36_qualitygate",
+    oracle=_GATE_ORACLE,
+    doc="Multi-signal quality gate with funnel accounting: each doc is "
+    "attributed to the FIRST rule it fails — too_short (tokens < "
+    f"{GATE_MIN_TOKENS}), low_entropy (Shannon entropy < "
+    f"{GATE_MIN_ENTROPY}, q_x35's signal), low_quality (linear "
+    f"classifier score < {GATE_MIN_QUALITY}, q_x17's model) — or "
+    "'kept'. The FineWeb/RefinedWeb-style filter funnel: what a "
+    "curation run reports so you can see which rule eats the corpus. "
+    "Scale: entropy is the only shuffling signal (per-doc vocab agg); "
+    "the classifier is map-only; one equi-join on doc_id composes "
+    "them; the verdict table is O(#rules).",
+)
+def q_x36_qualitygate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import QC_STOPWORDS, QC_W
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("t")
+    ent = (
+        tf.withColumn("t", t)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (-F.sum(p * F.log(p))).alias("h"),
+        )
+    )
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_wlen = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*QC_STOPWORDS))) / n_words
+    )
+    upper_ratio = F.size(
+        F.filter(F.split(F.col("text"), ""), lambda c: (c >= "A") & (c <= "Z"))
+    ) / F.length("text")
+    score = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.lit(QC_W[0])
+                + QC_W[1] * n_words
+                + QC_W[2] * mean_wlen
+                + QC_W[3] * stop_ratio
+                + QC_W[4] * upper_ratio
+            )
+        )
+    )
+    q = d.select("doc_id", score.alias("quality"))
+    verdict = (
+        F.when(F.col("n_tokens") < GATE_MIN_TOKENS, "too_short")
+        .when(F.col("h") < GATE_MIN_ENTROPY, "low_entropy")
+        .when(F.col("quality") < GATE_MIN_QUALITY, "low_quality")
+        .otherwise("kept")
+    )
+    return (
+        ent.join(q, "doc_id")
+        .groupBy(verdict.alias("verdict"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("verdict")
+    )

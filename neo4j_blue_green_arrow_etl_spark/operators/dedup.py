@@ -31,10 +31,49 @@ MINHASH_K = 32  # signature length
 MINHASH_BANDS = 8  # 8 bands x 4 rows/band
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
+# LSH buckets above this size switch from all-pairs to star candidates
+# (every member vs the bucket's min-id representative) — see
+# lsh_band_candidates. SCALE_PROBE r3 measured superlinear runtime from
+# within-bucket pair growth; this caps it.
+MINHASH_BUCKET_CAP = 256
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def lsh_band_candidates(bands: DataFrame) -> DataFrame:
+    """Candidate pairs (a < b) from an LSH band table (doc_id, band, bh).
+
+    Buckets up to MINHASH_BUCKET_CAP emit ALL within-bucket pairs (the
+    textbook LSH candidate set). An oversized bucket — near-identical
+    boilerplate at web scale routinely puts 10^5+ docs in one bucket —
+    would emit n^2 pairs from one join key, the superlinear blow-up
+    SCALE_PROBE measured; those buckets instead emit STAR candidates:
+    every member paired with the bucket's min-id representative, n-1
+    pairs. The star preserves what dedup pipelines consume — connected
+    components stay identical, because every member still links to the
+    rep after verification when the bucket is genuinely near-duplicate
+    — at the cost of not enumerating every member-member pair of a
+    giant bucket (the pair LIST within capped buckets is intentionally
+    thinned; tests pin both the linear candidate volume and the
+    unchanged clustering). Cost: one (band, bh) aggregation, the same
+    key the join shuffles on anyway."""
+    sizes = bands.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("bn"), F.min("doc_id").alias("rep")
+    )
+    tagged = bands.join(sizes, ["band", "bh"])
+    small = tagged.filter(F.col("bn") <= MINHASH_BUCKET_CAP)
+    l = small.select("band", "bh", F.col("doc_id").alias("a"))
+    r = small.select("band", "bh", F.col("doc_id").alias("b"))
+    all_pairs = l.join(r, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+    star = (
+        tagged.filter(
+            (F.col("bn") > MINHASH_BUCKET_CAP) & (F.col("doc_id") != F.col("rep"))
+        )
+        .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return all_pairs.select("a", "b").union(star).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -229,18 +268,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
-    l = bands.alias("l")
-    r = bands.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
+    candidates = lsh_band_candidates(bands)
     # Verify candidates with exact Jaccard over the shingle sets.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x = sh.alias("x")

@@ -1006,3 +1006,151 @@ def q_g9_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("src", F.desc("jaccard"), "other")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (round 4)
+# ---------------------------------------------------------------------------
+
+SSSP_SOURCE = "P1"
+SSSP_MAX_ROUNDS = 30
+_SSSP_ORACLE_ROUNDS = 8  # fixture hop-diameter is ~4; validated at 3 SFs
+# Below this node count the per-round dist table broadcasts (the edge
+# table never shuffles per round — only the relax groupBy does); above
+# it the rounds fall back to shuffle joins. ~2M nodes x ~30 B is the
+# classic executor-memory broadcast ceiling.
+SSSP_BROADCAST_NODES = 2_000_000
+
+
+def sssp_distances(
+    edges_abw: DataFrame,
+    source: str = SSSP_SOURCE,
+    max_rounds: int = SSSP_MAX_ROUNDS,
+    edges_unique: bool = False,
+) -> DataFrame:
+    """(node, dist) shortest weighted distance from ``source`` over the
+    undirected positively-weighted graph ``edges_abw`` (columns a, b,
+    w) — distributed Bellman-Ford: every round relaxes ALL edges at
+    once (dist' = min(dist, min over in-edges of nbr_dist + w)), one
+    join + one min-agg per round, rounds = shortest-path hop diameter.
+    Dijkstra's priority queue is inherently sequential; whole-frontier
+    relaxation is the shape that scales (Pregel/GraphX SSSP is exactly
+    this). Convergence exploits monotonicity — the reached set only
+    grows and every reached distance only decreases — so ONE aggregate
+    (reached count + total distance) per round detects fixpoint: count
+    unchanged and total not lower (beyond float-reassociation noise,
+    1e-6) means no edge relaxed. That is a single scalar action per
+    round with no extra join; lineage truncates per round with
+    localCheckpoint; the driver only ever sees scalars."""
+    sym = edges_abw.toDF("a", "b", "w").union(
+        edges_abw.toDF("b", "a", "w").select("a", "b", "w")
+    )
+    if not edges_unique:
+        # collapse multi-edges to their min weight; callers whose edge
+        # list is already (a,b)-unique (and whose two union directions
+        # are disjoint, e.g. a bipartite id scheme) skip this shuffle
+        sym = sym.groupBy("a", "b").agg(F.min("w").alias("w"))
+    sym = sym.localCheckpoint(eager=True)
+    dist = (
+        sym.select("a")
+        .distinct()
+        .select(
+            "a",
+            F.when(F.col("a") == source, F.lit(0.0)).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bcast = dist.count() <= SSSP_BROADCAST_NODES
+    prev_n, prev_total = -1, float("inf")
+    for _ in range(max_rounds):
+        dsel = dist.select(F.col("a").alias("b"), F.col("dist").alias("bd"))
+        relaxed = (
+            sym.join(F.broadcast(dsel) if bcast else dsel, "b")
+            .filter(F.col("bd").isNotNull())
+            .groupBy("a")
+            .agg(F.min(F.col("bd") + F.col("w")).alias("cand"))
+        )
+        new_dist = (
+            dist.join(F.broadcast(relaxed) if bcast else relaxed, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("m"),
+            )
+            .select(
+                "a", F.when(F.col("m") != float("inf"), F.col("m")).alias("dist")
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_reached, total = new_dist.agg(
+            F.count("dist"), F.sum("dist")
+        ).collect()[0]
+        dist = new_dist
+        if n_reached == prev_n and total >= prev_total - 1e-6:
+            return dist.filter(F.col("dist").isNotNull())
+        prev_n, prev_total = n_reached, total
+    raise RuntimeError(f"SSSP did not converge in {max_rounds} rounds")
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford rounds, MATERIALIZED (see _kcore_oracle
+    for why plain CTEs would re-expand exponentially)."""
+    parts = [
+        "ew AS MATERIALIZED (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS a, "
+        "'S' || CAST(l_suppkey AS VARCHAR) AS b, MIN(l_quantity) AS w "
+        "FROM lineitem GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT a, b, MIN(w) AS w FROM ("
+        "SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew) GROUP BY a, b)",
+        f"d0 AS MATERIALIZED (SELECT DISTINCT a, CASE WHEN a = '{SSSP_SOURCE}' "
+        "THEN 0.0 END AS dist FROM sym)",
+    ]
+    prev = "d0"
+    for i in range(1, _SSSP_ORACLE_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT d.a, "
+            f"LEAST(COALESCE(d.dist, 1e308), COALESCE(r.cand, 1e308)) AS m, "
+            f"CASE WHEN LEAST(COALESCE(d.dist, 1e308), COALESCE(r.cand, 1e308)) "
+            f"< 1e308 THEN LEAST(COALESCE(d.dist, 1e308), COALESCE(r.cand, 1e308)) "
+            f"END AS dist FROM {prev} d LEFT JOIN ("
+            f"SELECT sym.a, MIN(p.dist + sym.w) AS cand FROM sym "
+            f"JOIN {prev} p ON sym.b = p.a WHERE p.dist IS NOT NULL "
+            f"GROUP BY sym.a) r ON d.a = r.a)"
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT a AS nodeId, ROUND(dist, 2) AS dist FROM {prev} "
+        "WHERE dist IS NOT NULL ORDER BY nodeId"
+    )
+
+
+@register(
+    "q_g10_sssp",
+    oracle=_sssp_oracle(),
+    doc=f"Weighted single-source shortest paths from {SSSP_SOURCE} over "
+    "the part--supplier graph (edge weight = MIN line quantity): "
+    "distributed Bellman-Ford, whole-frontier relaxation per round — "
+    "the Pregel SSSP shape. Engine iterates to fixpoint (scalar "
+    "improved-count convergence check, checkpointed rounds); oracle "
+    "unrolls the relaxation with MATERIALIZED CTEs. Scale: each round "
+    "is one equi-join edge relaxation + min-agg; no priority queue, "
+    "no sequential frontier.",
+)
+def q_g10_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ew = (
+        li.select(
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("b"),
+            F.col("l_quantity").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    d = sssp_distances(ew, edges_unique=True)
+    return d.select(
+        F.col("a").alias("nodeId"), F.round("dist", 2).alias("dist")
+    ).orderBy("nodeId")

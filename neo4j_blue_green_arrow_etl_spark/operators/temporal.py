@@ -1123,3 +1123,68 @@ def q_ts5_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (round 4)
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 20  # trailing rows in the rolling baseline
+ANOM_Z = 3.0
+
+
+@register(
+    "q_ts6_anomaly",
+    oracle=(
+        "WITH st AS ("
+        " SELECT event_id, event_type, ts, value,"
+        "  AVG(value) OVER w AS mu, STDDEV_SAMP(value) OVER w AS sd,"
+        "  COUNT(*) OVER w AS n"
+        " FROM events"
+        f" WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id"
+        f"  ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)"
+        ") SELECT event_id, event_type, ROUND(value, 2) AS value,"
+        " ROUND((value - mu) / sd, 2) AS z"
+        f" FROM st WHERE n >= {ANOM_WINDOW} AND sd > 0"
+        f"  AND abs(value - mu) > {ANOM_Z} * sd"
+        " ORDER BY event_id"
+    ),
+    doc=f"Rolling z-score anomaly detection: per event_type, each "
+    f"value is scored against the mean/stddev of the {ANOM_WINDOW} "
+    f"PRECEDING events (exclusive of itself — a spike must not inflate "
+    f"its own baseline) and flagged when it deviates more than "
+    f"{ANOM_Z} sigma. The monitoring primitive behind every metrics "
+    "alert. Scale: one window shuffle on event_type with a bounded "
+    "ROWS frame — state per partition is the frame, not the stream; "
+    "under Structured Streaming the same baseline runs as a windowed "
+    "aggregate join.",
+)
+def q_ts6_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    st = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        st.filter(
+            (F.col("n") >= ANOM_WINDOW)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > ANOM_Z * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2).alias("z"),
+        )
+        .orderBy("event_id")
+    )

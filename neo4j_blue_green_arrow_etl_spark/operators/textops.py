@@ -674,3 +674,128 @@ def q_x33_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse pair similarity + token entropy (round 4)
+# ---------------------------------------------------------------------------
+
+TFIDF_DF_CAP = 200  # tokens in more docs than this are pruned (stop-tokens)
+TFIDF_MIN_COS = 0.35
+
+_TFIDF_ORACLE = f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, w AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), df AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+wt AS MATERIALIZED (
+  SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n * 1.0 / df.df) AS w
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+  WHERE df.df <= {TFIDF_DF_CAP}
+), nrm AS MATERIALIZED (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM wt GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(SUM(a.w * b.w) / (na.nrm * nb.nrm), 3) AS cos_sim
+FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+JOIN nrm na ON a.doc_id = na.doc_id
+JOIN nrm nb ON b.doc_id = nb.doc_id
+GROUP BY a.doc_id, b.doc_id, na.nrm, nb.nrm
+HAVING SUM(a.w * b.w) / (na.nrm * nb.nrm) >= {TFIDF_MIN_COS}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_x34_tfidfpairs",
+    oracle=_TFIDF_ORACLE,
+    doc="TF-IDF cosine document-pair similarity over the SPARSE token "
+    "space: weight each (doc, token) by tf x ln(N/df), prune tokens "
+    f"with df > {TFIDF_DF_CAP} (stop-tokens carry ~no IDF mass but "
+    "create quadratic join blocks — the pruning both sharpens the "
+    "metric and bounds per-token pair volume, the same blocking "
+    f"discipline as LSH bands), pair docs sharing a surviving token, "
+    f"keep cosine >= {TFIDF_MIN_COS}. The embedding-free near-dup / "
+    "related-doc primitive. Scale: the join key is a RARE token by "
+    "construction (df-capped), so block sizes are bounded by the cap; "
+    "norms and weights are two aggregations; nothing is dense.",
+)
+def q_x34_tfidfpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+    wt = (
+        tf.join(df.filter(F.col("df") <= TFIDF_DF_CAP), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = wt.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= TFIDF_MIN_COS)
+        .select("doc_a", "doc_b", F.round("cos", 3).alias("cos_sim"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_x35_entropy",
+    oracle=(
+        "WITH tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) GROUP BY doc_id, w) "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+        "ROUND(-SUM((c * 1.0 / t) * ln(c * 1.0 / t)), 3) AS entropy "
+        "FROM (SELECT doc_id, w, c, SUM(c) OVER (PARTITION BY doc_id) AS t "
+        "FROM tf) GROUP BY doc_id ORDER BY doc_id"
+    ),
+    doc="Token-distribution Shannon entropy per document: low entropy "
+    "means a few tokens dominate (boilerplate, keyword stuffing, "
+    "degenerate repetition) — the information-theoretic twin of the "
+    "Gopher repetition signals in q_text_repetition, used as a "
+    "training-data quality gate. Scale: one explode + per-(doc,token) "
+    "count, per-doc total via window on the already-aggregated counts "
+    "(rows = per-doc vocab, not tokens), one final per-doc aggregate.",
+)
+def q_x35_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("t")
+    return (
+        tf.withColumn("t", t)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 3).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

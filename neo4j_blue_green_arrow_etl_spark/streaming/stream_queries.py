@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -318,4 +319,81 @@ def sessionized_event_counts(
             F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
             "cnt",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling-anomaly detection (round 4): the stateful twin of the
+# batch q_ts6_anomaly (operators/temporal.py) — same trailing-N baseline,
+# same exclusive frame, state = one bounded ring buffer per key.
+# ---------------------------------------------------------------------------
+
+_ANOM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+_ANOM_STATE_SCHEMA = StructType([StructField("window", ArrayType(DoubleType()))])
+
+
+def rolling_anomaly_stream(
+    events: DataFrame, window: int = 20, z_thresh: float = 3.0
+) -> DataFrame:
+    """Per-event-type rolling z-score anomaly flags under Structured
+    Streaming: each value is scored against the mean/stddev of the
+    ``window`` PRECEDING values of its key (exclusive of itself) and
+    emitted when |z| > ``z_thresh``.
+
+    State is ONE float array of at most ``window`` values per key —
+    bounded forever, no watermark needed (the baseline is count-based,
+    not time-based). Rows inside a batch are processed in (ts,
+    event_id) order; convergence to the batch operator holds when
+    arrival order respects event order per key (the chunked-replay
+    test), which is the semantics a count-based trailing baseline can
+    guarantee under streaming — out-of-order arrival shifts WHICH
+    events form a late row's baseline, exactly as it would for any
+    online detector."""
+
+    def anomaly_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (buf,) = state.get if state.exists else ([],)
+        buf = list(buf)
+        out_id, out_val, out_z = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                if len(buf) >= window:
+                    mu = sum(buf) / len(buf)
+                    var = sum((x - mu) ** 2 for x in buf) / (len(buf) - 1)
+                    sd = math.sqrt(var)
+                    if sd > 0 and abs(val - mu) > z_thresh * sd:
+                        out_id.append(int(eid))
+                        out_val.append(round(float(val), 2))
+                        out_z.append(round((float(val) - mu) / sd, 2))
+                buf.append(float(val))
+                if len(buf) > window:
+                    buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_id,
+                "event_type": [key[0]] * len(out_id),
+                "value": out_val,
+                "z": out_z,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        anomaly_fn,
+        outputStructType=_ANOM_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

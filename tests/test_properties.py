@@ -725,3 +725,45 @@ def test_snapdiff_classification_matches_reference(spark, old_v, new_v):
         else:
             add("unchanged", 0)
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate generation vs a dict reference (round 4 bucket cap)
+# ---------------------------------------------------------------------------
+
+bands_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # doc_id
+        st.integers(0, 2),  # band
+        st.integers(0, 3),  # bucket hash (small domain -> real collisions)
+    ),
+    min_size=0,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(bands_strategy)
+def test_lsh_candidates_match_reference_when_uncapped(spark, rows):
+    """With every bucket under MINHASH_BUCKET_CAP (guaranteed here:
+    <= 60 rows, cap is 256) the candidate set must be exactly the
+    brute-force within-bucket pair set."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        lsh_band_candidates,
+    )
+
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "doc_id long, band int, bh long")
+    if not rows:
+        df = df.limit(0)
+    got = {(r.a, r.b) for r in lsh_band_candidates(df).collect()}
+    buckets: dict[tuple, list[int]] = {}
+    for doc, band, bh in rows:
+        buckets.setdefault((band, bh), []).append(doc)
+    want = set()
+    for docs in buckets.values():
+        ds = sorted(set(docs))
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                want.add((a, b))
+    assert got == want

@@ -437,3 +437,34 @@ def test_streaming_session_windows_converge_to_batch(spark, chunked_events_dir):
     )
     # exact set equality: every batch session with its final count
     assert final.exceptAll(batch).isEmpty() and batch.exceptAll(final).isEmpty()
+
+
+def test_rolling_anomaly_stream_matches_batch_on_ordered_arrival(spark, tmp_path):
+    """Streaming rolling z-score (bounded ring-buffer state) must equal
+    the batch q_ts6_anomaly when arrival order respects event order —
+    chunks are contiguous TIME SLICES here, one micro-batch each, so
+    the per-key ring buffer sees events exactly as the batch window
+    frame does."""
+    from pyspark.sql import Window
+
+    from neo4j_blue_green_arrow_etl_spark.operators.temporal import q_ts6_anomaly
+    from neo4j_blue_green_arrow_etl_spark.streaming.stream_queries import (
+        rolling_anomaly_stream,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    w = Window.orderBy("ts", "event_id")
+    ranked = e.withColumn("q", F.ntile(4).over(w))
+    out = tmp_path / "anomaly_in"
+    for b in range(1, 5):  # written in time order -> in-order arrival
+        ranked.filter(F.col("q") == b).drop("q").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(out))
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, str(out))
+    result = run_to_completion(
+        rolling_anomaly_stream(stream), name, output_mode="append"
+    )
+    got = {(r.event_id, r.z) for r in result.collect()}
+    want = {(r.event_id, r.z) for r in q_ts6_anomaly(spark, SF_SMOKE).collect()}
+    assert got == want and want

@@ -72,6 +72,8 @@ ONE_ROW_BROADCAST_OK = {
     # the (n_docs, avgdl) corpus stats (ONE row) broadcast onto the
     # query-term tf table
     "q_x33_bm25",
+    # the corpus doc count (ONE row) broadcast onto the tf-idf weights
+    "q_x34_tfidfpairs",
 }
 
 # Queries that read every column of their base table by design.
