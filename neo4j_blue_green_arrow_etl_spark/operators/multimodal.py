@@ -410,3 +410,67 @@ def q_mm_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "prow", "pcol")
     )
+
+
+# ---------------------------------------------------------------------------
+# RMS-threshold activity segmentation (round 4): q_mm_audio_rms frames
+# composed with the q_w9 gaps-and-islands key — VAD-shaped segmentation.
+# ---------------------------------------------------------------------------
+
+ACTIVE_RMS = 99.1  # frames at/above this RMS are "active" (fixture median)
+
+
+@register(
+    "q_mm_segments",
+    oracle=(
+        "WITH idx AS (SELECT doc_id AS media_id, text, "
+        "unnest(range(1, length(text) + 1)) AS i FROM documents), "
+        f"s AS (SELECT media_id, CAST((i - 1) // {AUDIO_WINDOW} AS INT) AS win, "
+        "unicode(text[i]) AS v FROM idx), "
+        "r AS (SELECT media_id, win, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+        "SUM(v * v) AS esum, sqrt(SUM(v * v) * 1.0 / COUNT(*)) AS rms "
+        "FROM s GROUP BY 1, 2), "
+        f"act AS (SELECT *, win - ROW_NUMBER() OVER ("
+        "  PARTITION BY media_id ORDER BY win) AS grp "
+        f" FROM r WHERE rms >= {ACTIVE_RMS}) "
+        "SELECT media_id, CAST(MIN(win) AS BIGINT) AS seg_start, "
+        "CAST(MAX(win) AS BIGINT) AS seg_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_frames, "
+        "sqrt(SUM(esum) * 1.0 / SUM(n_samples)) AS seg_rms "
+        "FROM act GROUP BY media_id, grp ORDER BY media_id, seg_start"
+    ),
+    doc="Activity segmentation over the audio-shaped frames: contiguous "
+    f"runs of windows with RMS >= {ACTIVE_RMS} become segments (VAD's "
+    "shape: silence-gap splitting), each reported with its span and an "
+    "EXACT segment-level RMS recomputed from the integer energy sums — "
+    "not a mean of per-frame floats, so the output is bit-stable on "
+    "both engines (integer-valued doubles sum exactly; one division + "
+    "one IEEE sqrt at the end). Composition: q_mm_audio_rms's "
+    "mapInPandas framing feeds the q_w9 islands key (win minus "
+    "row_number). Scale: framing is map-only; the islands window is "
+    "one shuffle on media_id; segments are output-bounded.",
+)
+def q_mm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    frames = q_mm_audio_rms(spark, sf_dir).withColumn(
+        "esum", F.col("energy") * F.col("n_samples")
+    )
+    act = frames.filter(F.col("rms") >= ACTIVE_RMS).withColumn(
+        "grp",
+        F.col("win")
+        - F.row_number().over(
+            Window.partitionBy("media_id").orderBy("win")
+        ),
+    )
+    return (
+        act.groupBy("media_id", "grp")
+        .agg(
+            F.min("win").cast("long").alias("seg_start"),
+            F.max("win").cast("long").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sqrt(F.sum("esum") / F.sum("n_samples")).alias("seg_rms"),
+        )
+        .drop("grp")
+        .orderBy("media_id", "seg_start")
+    )

@@ -1848,3 +1848,65 @@ def q_j16_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence (round 4, wave 2)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3  # orders a pair must co-occur in
+BASKET_TOP = 50
+
+
+@register(
+    "q_a20_basket",
+    oracle=(
+        "WITH items AS ("
+        " SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem"
+        "), pairs AS ("
+        " SELECT a.part AS part_a, b.part AS part_b,"
+        " CAST(COUNT(*) AS BIGINT) AS support"
+        " FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part"
+        " GROUP BY 1, 2"
+        f") SELECT part_a, part_b, support FROM ("
+        " SELECT *, ROW_NUMBER() OVER ("
+        "   ORDER BY support DESC, part_a, part_b) AS rn"
+        f" FROM pairs WHERE support >= {BASKET_MIN_SUPPORT})"
+        f" WHERE rn <= {BASKET_TOP}"
+        " ORDER BY support DESC, part_a, part_b"
+    ),
+    doc=f"Market-basket pair mining: part pairs co-occurring in >= "
+    f"{BASKET_MIN_SUPPORT} orders, top {BASKET_TOP} by support — the "
+    "co-occurrence primitive behind recommendations and FP-growth's "
+    "first pass. Pair generation self-joins the DISTINCT (order, item) "
+    "table on the order key, so pair volume is bounded by "
+    "sum(basket_size^2) — baskets are small by nature (TPC-H ~7 "
+    "lines), which is what makes basket mining tractable where "
+    "document-pair mining needs LSH. The support filter then cuts the "
+    "pair table before ranking; ranking is a top-k window, not a "
+    "global sort. Scale: one distinct shuffle, one self equi-join on "
+    "the basket key, one agg; a pathological mega-basket is the q_x24 "
+    "hot-block shape and would get the same salt treatment.",
+)
+def q_a20_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = items.select("ok", F.col("part").alias("part_a"))
+    b = items.select("ok", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    w = Window.orderBy(F.desc("support"), "part_a", "part_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BASKET_TOP)
+        .drop("rn")
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )

@@ -1188,3 +1188,142 @@ def q_ts6_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (round 4, wave 2)
+# ---------------------------------------------------------------------------
+
+ROLLMED_FRAME = 20  # trailing rows (plus current) in the median window
+
+
+@register(
+    "q_w10_rollmedian",
+    oracle=(
+        "SELECT event_id, event_type, "
+        " ROUND(median(value) OVER ("
+        "   PARTITION BY event_type ORDER BY ts, event_id"
+        f"   ROWS BETWEEN {ROLLMED_FRAME} PRECEDING AND CURRENT ROW), 3)"
+        " AS roll_median"
+        " FROM events"
+        " ORDER BY event_id"
+    ),
+    doc=f"Rolling EXACT median per event_type over a trailing "
+    f"{ROLLMED_FRAME + 1}-row frame — the robust-baseline smoother "
+    "(median absolute deviation's running twin; unlike the rolling "
+    "mean in q_ts6_anomaly it shrugs off the very outliers you're "
+    "hunting). Spark's percentile(0.5) aggregate runs as a WINDOW "
+    "function over the bounded ROWS frame, linearly interpolated for "
+    "even counts exactly like DuckDB's median. Scale: one window "
+    "shuffle on event_type; per-row cost is the frame sort, bounded "
+    "by the constant frame length — no global sort, no state beyond "
+    "the frame.",
+)
+def q_w10_rollmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLLMED_FRAME, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 3).alias(
+            "roll_median"
+        ),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Three-step ordered funnel (round 4, wave 2)
+# ---------------------------------------------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH p1 AS (
+  SELECT user_id, event_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS next_p
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p2 AS (
+  SELECT user_id, event_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'click' AND next_p IS NOT NULL
+         AND next_p >= ts AND next_p <= ts + INTERVAL 1 HOUR
+         THEN ts END) OVER w AS next_qc
+  FROM p1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_signups,
+  CAST(SUM(CASE WHEN next_qc IS NOT NULL AND next_qc >= ts
+       AND next_qc <= ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_conv3
+FROM p2 WHERE event_type = 'signup'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "q_ev6_funnel3",
+    oracle=_FUNNEL3_ORACLE,
+    doc="Three-step ordered funnel: signup -> click (within 1 h) -> "
+    "purchase (within 1 h of the click), counted per user. Extends "
+    "q_ev1_funnel's single-pass discipline to chained steps: sort the "
+    "user's stream ONCE descending, run TWO stacked running-MIN "
+    "windows over the same sort — pass 1 gives every click its next "
+    "purchase (qualifying the click), pass 2 gives every signup its "
+    "next QUALIFYING click. No per-step self-join, no quadratic "
+    "blow-up on power users; the second window reuses the first's "
+    "shuffle and sort (same partitioning, same order). Oracle mirrors "
+    "the identical two-pass window construction so equal-timestamp "
+    "visibility ties break the same way on both engines. Scale: ONE "
+    "shuffle however many funnel steps you stack — each extra step is "
+    "another window over the already-sorted partition.",
+)
+def q_ev6_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    p1 = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("next_p"),
+    )
+    qc = F.when(
+        (F.col("event_type") == "click")
+        & F.col("next_p").isNotNull()
+        & (F.col("next_p") >= F.col("ts"))
+        & (F.col("next_p") <= F.col("ts") + hour),
+        F.col("ts"),
+    )
+    p2 = p1.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(qc).over(w).alias("next_qc"),
+    )
+    conv = (
+        F.col("next_qc").isNotNull()
+        & (F.col("next_qc") >= F.col("ts"))
+        & (F.col("next_qc") <= F.col("ts") + hour)
+    )
+    return (
+        p2.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(conv.cast("int")).cast("long").alias("n_conv3"),
+        )
+        .orderBy("user_id")
+    )

@@ -799,3 +799,61 @@ def q_x35_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram language profiles (round 4, wave 2)
+# ---------------------------------------------------------------------------
+
+CHARGRAM_N = 3
+CHARGRAM_TOP = 20
+
+
+@register(
+    "q_x37_charprofile",
+    oracle=(
+        "WITH grams AS ("
+        " SELECT lang, substr(text, i, 3) AS gram"
+        f" FROM documents, UNNEST(range(1, length(text) - {CHARGRAM_N - 2})) AS t(i)"
+        "), counts AS ("
+        " SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM grams GROUP BY lang, gram"
+        ") SELECT lang, gram, n FROM ("
+        " SELECT lang, gram, n, ROW_NUMBER() OVER ("
+        "   PARTITION BY lang ORDER BY n DESC, gram) AS rn FROM counts)"
+        f" WHERE rn <= {CHARGRAM_TOP} ORDER BY lang, n DESC, gram"
+    ),
+    doc=f"Character {CHARGRAM_N}-gram language profiles: the top "
+    f"{CHARGRAM_TOP} grams per language tag — the training table a "
+    "char-ngram language identifier (textcat / CLD-style) is built "
+    "from; q_text_langid consumes exactly this kind of profile. "
+    "Spark: grams come from one transform-over-positions explode "
+    "(map-only, like the word n-grams in decontamination), counts are "
+    "one partial-agg shuffle on (lang, gram), ranking is a window "
+    "over per-lang gram counts (rows = vocab, not corpus). Scale: "
+    "nothing holds more than (langs x gram vocab) rows after the "
+    "first aggregation.",
+)
+def q_x37_charprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    # substr by dynamic position needs the expr form (F.substring takes
+    # literal positions only)
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {CHARGRAM_N - 1}), "
+                f"i -> substr(text, i, {CHARGRAM_N}))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "gram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CHARGRAM_TOP)
+        .drop("rn")
+        .orderBy("lang", F.desc("n"), "gram")
+    )

@@ -251,3 +251,21 @@ def test_lsh_bucket_cap_thins_giant_buckets_but_keeps_clusters(spark):
     assert len({find(i) for i in range(n_big)}) == 1
     # small bucket: full pair set (4 choose 2)
     assert len(small) == 6
+
+
+def test_bench_report_refuses_negative_deltas_and_renders_corrupt():
+    """ADVICE r3: SHUFFLE.md once rendered negative stage deltas as
+    real numbers. fmt() must hard-fail on negatives (regenerate with
+    the fixed bench.py) and render bench.py's nulled rows as
+    'corrupt', never as data."""
+    import tools_path  # noqa: F401
+
+    import bench_report
+
+    assert bench_report.fmt(None) == "corrupt"
+    assert bench_report.fmt(0) == "0"
+    assert bench_report.fmt(25_000_000) == "25 MB"
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="negative stage delta"):
+        bench_report.fmt(-1)

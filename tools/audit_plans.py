@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 ARROW_PYTHON_OK = {
     "q_mm_features",
     "q_mm_audio_rms",
+    "q_mm_segments",  # composes q_mm_audio_rms's mapInPandas framing
     "q_sim_ivf",
     "q_sim_pq",  # Arrow-batched encode pass (codes assignment)
     "q_x21_kmeans",  # Arrow-batched nearest-centroid assignment pass
