@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     subqueries,
     temporal,
     textops,
+    tpch,
 )
 from .relational import REGISTRY, QuerySpec
 

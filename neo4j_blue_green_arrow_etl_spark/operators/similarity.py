@@ -1045,3 +1045,69 @@ def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (round 4): for each anchor, the most-similar
+# vectors with a DIFFERENT label — the batch that contrastive /
+# embedding-model training actually wants (near-misses, not random
+# negatives). Same candidate-generation economics as ANN: brute-force
+# exact here (the verifiable baseline); at 100 TB the anchor batch
+# streams through the IVF/PQ candidate path first, and this query is
+# the re-rank + label-exclusion tail of that pipeline.
+# --------------------------------------------------------------------------
+
+HARDNEG_ANCHORS = 8  # anchors per mining batch in the demo
+HARDNEG_K = 5
+
+
+@register(
+    "q_x39_hardneg",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {HARDNEG_ANCHORS}) "
+        f"SELECT qid, vec_id, sim, rank FROM ("
+        f"SELECT q.qid, e.vec_id, ROUND({_COS_SQL}, 6) AS sim, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {_COS_SQL} DESC, "
+        "e.vec_id) AS rank "
+        "FROM embeddings e, q WHERE e.label <> q.qlabel) "
+        f"WHERE rank <= {HARDNEG_K} ORDER BY qid, rank"
+    ),
+    doc="Hard-negative mining for contrastive training: per anchor "
+    f"(vec_id < {HARDNEG_ANCHORS}), the top-{HARDNEG_K} most "
+    "cosine-similar vectors whose label DIFFERS (near-miss negatives). "
+    "Spark: the anchor batch broadcasts (it is a training batch, "
+    "inherently small), the label exclusion is a pre-rank filter "
+    "fused into the scored projection, and the per-anchor top-k is "
+    "one window over (anchors x corpus) scored rows — rank state is "
+    "K per anchor. Scale: corpus side never shuffles for scoring "
+    "(map-side broadcast probe); only the window's per-anchor "
+    "partition shuffle moves scored rows, and a 100 TB deployment "
+    "bounds that with the IVF/PQ candidate pre-filter "
+    "(q_sim_ivf/q_sim_pq) before this exact re-rank.",
+)
+def q_x39_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+        .orderBy("qid", "rank")
+    )

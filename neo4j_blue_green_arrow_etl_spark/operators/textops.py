@@ -857,3 +857,55 @@ def q_x37_charprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", F.desc("n"), "gram")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (round 4): the first iteration of byte-pair-
+# encoding vocabulary training — corpus-wide adjacent-symbol pair
+# frequencies — as a distributed query. Real BPE training repeats this
+# count-merge loop; each iteration is exactly this query over a
+# re-segmented corpus, so the scalable primitive IS the pair count.
+# ---------------------------------------------------------------------------
+
+BPEMERGE_TOP = 30
+
+
+@register(
+    "q_x38_bpemerge",
+    oracle=(
+        "WITH words AS (SELECT unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), pairs AS (SELECT substring(w, i, 2) AS pair "
+        "FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) "
+        "WHERE len(w) >= 2) "
+        "SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair "
+        f"ORDER BY n DESC, pair LIMIT {BPEMERGE_TOP}"
+    ),
+    doc="BPE merge induction (one training iteration): corpus-wide "
+    f"adjacent character-pair frequencies, top-{BPEMERGE_TOP} merge "
+    "candidates. Tokenizer-training primitive for an LLM data "
+    "pipeline: iterate [count pairs -> apply best merge] to grow the "
+    "vocab; every iteration is THIS query shape over the re-segmented "
+    "corpus. Spark: words explode map-side, pairs come from a "
+    "transform-over-positions lambda (no Python), and the only "
+    "shuffle carries (pair, partial count) — pair vocab is bounded "
+    "(~alphabet^2 per iteration), so the aggregate state is tiny "
+    "however large the corpus; top-k is TakeOrderedAndProject.",
+)
+def q_x38_bpemerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPEMERGE_TOP)
+    )

@@ -15,6 +15,10 @@ from conftest import SF_SMOKE
 
 
 def test_all_plans_clean(spark):
+    # full ReadSchema strings: truncation past maxMetadataStringLength
+    # (default 100) makes the pruning check skip the scan (audit_plans
+    # treats '...' schemas as unparseable), weakening the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     violations = {}
     for name, spec in sorted(REGISTRY.items()):
         df = spec.spark(spark, SF_SMOKE)

@@ -75,6 +75,12 @@ ONE_ROW_BROADCAST_OK = {
     "q_x33_bm25",
     # the corpus doc count (ONE row) broadcast onto the tf-idf weights
     "q_x34_tfidfpairs",
+    # the total-inventory-value threshold (ONE row) broadcast onto the
+    # per-part rollup (Q11's HAVING-vs-global-scalar gate)
+    "q_h11_partvalue",
+    # the anchor batch (HARDNEG_ANCHORS rows) broadcast onto the
+    # embedding scan — same shape as q_x6_batchann
+    "q_x39_hardneg",
 }
 
 # Queries that read every column of their base table by design.
@@ -88,10 +94,10 @@ TABLE_WIDTHS = {
     "documents": 5,
     "customer": 5,
     "supplier": 4,
-    "part": 4,
+    "part": 6,
     "nation": 3,
     "region": 2,
-    "embeddings": 2,
+    "embeddings": 3,
 }
 
 
@@ -114,6 +120,15 @@ def audit(name: str, plan: str) -> list[str]:
     if name not in FULL_SCAN_OK:
         for m in re.finditer(r"Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>", plan, re.S):
             table, schema = m.group(1), m.group(2)
+            if "..." in schema:
+                # Spark truncates metadata strings past
+                # spark.sql.maxMetadataStringLength (default 100): the
+                # struct loses its closing '>' and this match spans into
+                # the NEXT scan's schema, inflating the count. Callers
+                # should raise the conf (main() does); a still-truncated
+                # schema carries no usable pruning signal — skip it
+                # rather than emit a phantom violation.
+                continue
             width = TABLE_WIDTHS.get(table)
             ncols = len([c for c in schema.split(",") if ":" in c]) if schema else 0
             # width<=3 tables (nation, region, embeddings) are often fully
@@ -136,6 +151,8 @@ def main() -> int:
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
 
     spark = get_spark("audit_plans")
+    # full ReadSchema strings, so the pruning check sees every column
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     probes = iterative_round_probes()
     failures = 0
     for name in sorted(REGISTRY):

@@ -14,6 +14,8 @@ Probed queries (one per cost family):
 - q_j5        large-large sort-merge    (orders join lineitem, same shift)
 - q_x1        exact dedup groupBy       (documents, distinct texts)
 - q_x13_sample window rank per group    (documents)
+- q_dedup_minhash LSH candidate join    (documents; bucket-cap regression guard)
+- q_x24_fuzzy  salted blocking join     (documents; hot-block regression guard)
 
 Output: one JSON with secs per (query, factor) and the log2-slope
 ("scaling exponent": 1.0 = perfectly linear). At local[32] with fixed
@@ -42,7 +44,7 @@ TABLES = {
     "orders": (["o_orderkey"], []),
     "documents": (["doc_id"], ["text"]),
 }
-PROBES = ["q_a1", "q_j5", "q_x1", "q_x13_sample", "q_dedup_minhash"]
+PROBES = ["q_a1", "q_j5", "q_x1", "q_x13_sample", "q_dedup_minhash", "q_x24_fuzzy"]
 KEY_STRIDE = 100_000_000
 
 
