@@ -150,7 +150,7 @@ DATA_SUFFIXES = tuple(f".{f}" for f in FORMATS) + (".ndjson",)
 def _non_empty_dir(p: Path) -> bool:
     """True when the tree under ``p`` contains at least one COMMITTED
     data file. Counting any entry would race the graphsnapshot writer:
-    its tasks stage ``*.staged`` fragments (and mkdir the table dirs)
+    its tasks stage ``.staging/*.staged`` fragments (and mkdir the table dirs)
     before the driver's atomic rename publishes them — a directory
     holding only staged fragments must stay invisible to the
     completeness gate, or discovery promotes a half-written snapshot.

@@ -42,6 +42,7 @@ Spark ``DataSourceArrowWriter`` (see SnapshotWriter).
 
 from __future__ import annotations
 
+import contextlib
 import re
 from dataclasses import dataclass
 from pathlib import Path
@@ -261,9 +262,11 @@ class SnapshotWriter(DataSourceArrowWriter):
     (neo4j_arrow_client.py create -> feed -> done):
 
     - Each task streams its Arrow batches into ONE staged fragment
-      (``part-*.staged``) — invisible to the reader's ``*.parquet``
-      glob AND to ``discover_snapshots``'s completeness gate, so a
-      half-written snapshot can never be picked up.
+      (``.staging/part-*.staged``, a hidden subdir like Hadoop's
+      ``_temporary``) — invisible to the reader's ``*.parquet`` glob
+      AND to ``discover_snapshots``'s completeness gate, so a
+      half-written snapshot can never be picked up, even when an
+      aborted job's killed tasks race the driver's cleanup sweep.
     - ``commit`` (driver, runs only if every task succeeded) renames
       staged fragments to ``part-*.parquet`` — the atomic publish step;
       ``abort`` deletes them, leaving the directory exactly as before.
@@ -323,8 +326,17 @@ class SnapshotWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
-        Path(self._path).mkdir(parents=True, exist_ok=True)
-        staged = str(Path(self._path) / f"part-{uuid.uuid4().hex}.staged")
+        # Stage under a hidden subdir (Hadoop's _temporary convention):
+        # when a job aborts, a sibling task that Spark has killed but
+        # whose Python worker is still mid-write can create its staged
+        # file AFTER the driver's abort() sweep ran — the kill is
+        # asynchronous, so no sweep timing closes that window. Keeping
+        # every in-flight byte inside .staging/ means such racy residue
+        # is never adjacent to published *.parquet fragments; the next
+        # successful commit's _sweep_orphans clears it.
+        staging = Path(self._path) / ".staging"
+        staging.mkdir(parents=True, exist_ok=True)
+        staged = str(staging / f"part-{uuid.uuid4().hex}.staged")
         writer = None
         rows = 0
         try:
@@ -373,8 +385,9 @@ class SnapshotWriter(DataSourceArrowWriter):
         )
         for m in messages:
             if m.staged is not None:
-                dst = m.staged[: -len(".staged")] + ".parquet"
-                Path(m.staged).rename(dst)
+                src = Path(m.staged)
+                dst = Path(self._path) / (src.stem + ".parquet")
+                src.rename(dst)
         for old in old_frags:
             old.unlink(missing_ok=True)
         self._sweep_orphans()
@@ -385,8 +398,11 @@ class SnapshotWriter(DataSourceArrowWriter):
         did commit. Anything still *.staged after publish is garbage
         by protocol (single-writer-per-directory, like parquet's
         _temporary)."""
-        for p in Path(self._path).glob("*.staged"):
+        staging = Path(self._path) / ".staging"
+        for p in staging.glob("*.staged"):
             p.unlink(missing_ok=True)
+        with contextlib.suppress(OSError):
+            staging.rmdir()  # leave published dirs clean; non-empty = no-op
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -395,12 +411,18 @@ class SnapshotWriter(DataSourceArrowWriter):
         # Spark 4.1's PythonBatchWrite hands abort() None for EVERY
         # task (successful commit messages are not retained across a
         # job failure), so also sweep by convention: every *.staged
-        # file under the target dir belongs to this failed job —
-        # concurrent writers to one directory are unsupported, exactly
-        # like parquet's _temporary dirs.
-        if Path(self._path).is_dir():
-            for p in Path(self._path).glob("*.staged"):
+        # file under .staging/ belongs to this failed job — concurrent
+        # writers to one directory are unsupported, exactly like
+        # parquet's _temporary dirs. (A task killed mid-write may still
+        # re-create its file after this sweep; it lands inside
+        # .staging/, invisible to readers, and the next commit clears
+        # it.)
+        staging = Path(self._path) / ".staging"
+        if staging.is_dir():
+            for p in staging.glob("*.staged"):
                 p.unlink(missing_ok=True)
+            with contextlib.suppress(OSError):
+                staging.rmdir()
 
 
 class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
@@ -427,7 +449,9 @@ class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
             if m is not None and m.staged is not None:
                 src = Path(m.staged)
                 frag_id = src.stem.removeprefix("part-")
-                src.rename(src.with_name(f"part-b{batchId}-{frag_id}.parquet"))
+                src.rename(
+                    Path(self._path) / f"part-b{batchId}-{frag_id}.parquet"
+                )
         self._sweep_orphans()
 
     def abort(self, messages, batchId: int) -> None:

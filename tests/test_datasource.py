@@ -356,7 +356,9 @@ def test_writer_completeness_gate_integration(spark, tmp_path):
         }
     )
     staged_msg = w.write(iter([batch]))
-    assert Path(edges_dir).exists() and list(Path(edges_dir).glob("*.staged"))
+    assert Path(edges_dir).exists() and list(
+        Path(edges_dir).glob(".staging/*.staged")
+    )
     assert discover_snapshots(str(base)) == []  # staged-only: invisible
     w.abort([staged_msg])
     (
