@@ -87,7 +87,7 @@ def main() -> None:
             )
         ui_port = int(url.rsplit(":", 1)[1])
 
-    # Warm the JVM/codegen once so per-query numbers measure steady state.
+    # Warm the JVM/codegen so per-query numbers measure steady state.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     # Warm the local-relation (createDataFrame) path too: its first use
     # lazily initializes conversion machinery worth ~4-7 s, which would
@@ -95,6 +95,25 @@ def main() -> None:
     spark.createDataFrame([(1,)], "a int").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Exercise each major physical-operator class once at the SMOKE
+    # scale before the timed loop: whole-stage-codegen compilation and
+    # C2 JIT of HashAggregate / SortMergeJoin / Window / Expand /
+    # broadcast / checkpoint paths otherwise land on whichever query
+    # alphabetically hits them first — measured as multi-second
+    # first-hit penalties that make per-query numbers order-dependent
+    # (iterative graph queries varied 2x run-to-run). Warm-up work is
+    # sf0.001 (~trivial); timings below remain the steady-state cost.
+    smoke = "/root/testdata/sf0.001"
+    if Path(smoke).is_dir():
+        for wname in ("q_a1", "q_j5", "q_w2", "q_a4", "q_g6_bfs"):
+            if wname in REGISTRY:
+                try:
+                    REGISTRY[wname].spark(spark, smoke).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                except Exception:
+                    pass
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     metrics: dict[str, dict[str, int]] = {}
@@ -108,6 +127,14 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Per-query cache hygiene: some operators hold lazy caches
+        # (e.g. the dedup shingle table) that the CacheManager would
+        # otherwise keep alive for the REST of the run — 178 queries in
+        # one JVM accumulate those plus localCheckpoint blocks into GC
+        # pressure that inflates the tail queries' timings. Each query
+        # is measured self-contained, so dropping caches after its
+        # timing is recorded biases nothing.
+        spark.catalog.clearCache()
         if with_metrics:
             now = _stage_totals(ui_port, app_id)
             delta = {k: now[k] - base[k] for k in _METRIC_KEYS}
