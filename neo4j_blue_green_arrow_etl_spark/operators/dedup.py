@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import register
+from .relational import barrier_sort, register
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
@@ -191,7 +191,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
+        .transform(barrier_sort("doc_a", "doc_b"))
     )
 
 
@@ -291,7 +291,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
+        .transform(barrier_sort("doc_a", "doc_b"))
     )
 
 
@@ -372,7 +372,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
+        .transform(barrier_sort("doc_a", "doc_b"))
     )
 
 
@@ -470,4 +470,4 @@ def q_x24_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " ").getItem(0).alias("tok1"),
         F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
     )
-    return fuzzy_block_pairs(d).orderBy("doc_a", "doc_b")
+    return fuzzy_block_pairs(d).transform(barrier_sort("doc_a", "doc_b"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fixtures as FX
-from .relational import register
+from .relational import barrier_sort, register
 
 
 @register(
@@ -90,7 +90,7 @@ def q_g2_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "peer")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
-        .orderBy("src", "peer")
+        .transform(barrier_sort("src", "peer"))
     )
 
 
@@ -184,7 +184,7 @@ def q_g4_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("nodeId"))
         .groupBy("nodeId")
         .agg(F.count("*").alias("n_triangles"))
-        .orderBy("nodeId")
+        .transform(barrier_sort("nodeId"))
     )
 
 
@@ -327,7 +327,7 @@ def q_g5_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(e)
     return ranks.select(
         F.col("node").alias("nodeId"), F.round("rank", 5).alias("pagerank")
-    ).orderBy("nodeId")
+    ).transform(barrier_sort("nodeId"))
 
 
 # --------------------------------------------------------------------------
@@ -590,7 +590,7 @@ def q_g6_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     dist = bfs_distances(pairs, seeds, BFS_MAX_HOPS)
-    return dist.select(F.col("node").alias("nodeId"), "dist").orderBy("nodeId")
+    return dist.select(F.col("node").alias("nodeId"), "dist").transform(barrier_sort("nodeId"))
 
 
 # --------------------------------------------------------------------------
@@ -682,7 +682,7 @@ def q_g7_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         label_propagation(e)
         .select(F.col("node").alias("nodeId"), F.col("label").alias("community"))
-        .orderBy("nodeId")
+        .transform(barrier_sort("nodeId"))
     )
 
 
@@ -914,7 +914,7 @@ def q_g8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         core.groupBy(F.col("a").alias("nodeId"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
-        .orderBy("nodeId")
+        .transform(barrier_sort("nodeId"))
     )
 
 
@@ -1004,7 +1004,7 @@ def q_g9_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= NODESIM_TOPK)
         .drop("rn")
-        .orderBy("src", F.desc("jaccard"), "other")
+        .transform(barrier_sort("src", F.desc("jaccard"), "other"))
     )
 
 
@@ -1174,4 +1174,4 @@ def q_g10_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         node_id.alias("nodeId"), F.round("dist", 2).alias("dist")
-    ).orderBy("nodeId")
+    ).transform(barrier_sort("nodeId"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .relational import register
+from .relational import barrier_sort, register
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,7 +336,7 @@ def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.select("media_id", "payload")
         .mapInPandas(frames, out_schema)
-        .orderBy("media_id", "win")
+        .transform(barrier_sort("media_id", "win"))
     )
 
 
@@ -408,7 +408,7 @@ def q_mm_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pcol",
             F.md5(segs).alias("patch_md5"),
         )
-        .orderBy("media_id", "prow", "pcol")
+        .transform(barrier_sort("media_id", "prow", "pcol"))
     )
 
 

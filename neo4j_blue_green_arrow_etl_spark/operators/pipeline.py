@@ -33,7 +33,7 @@ from .dedup import (
     FUZZY_MAX_DIST,
     q_dedup_ngram,
 )
-from .relational import register
+from .relational import barrier_sort, register
 
 # md5 hex digit boundaries: 0..b train (75%), c..d val (12.5%), e..f test
 _TRAIN_MAX = "b"
@@ -113,7 +113,7 @@ def q_x5_dupclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    ).transform(barrier_sort("doc_id"))
 
 
 # Sequence packing: documents are packed greedily (in doc_id order) into
@@ -287,7 +287,7 @@ def q_x5b_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    ).transform(barrier_sort("doc_id"))
 
 
 _ER_ORACLE = f"""
@@ -338,4 +338,4 @@ def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    ).transform(barrier_sort("doc_id"))

@@ -50,6 +50,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def barrier_sort(*sort_cols):
+    """Global sort with a materialization barrier before the range
+    exchange — use as ``df.transform(barrier_sort("a", "b"))`` in place
+    of ``df.orderBy("a", "b")``.
+
+    A bare ``orderBy`` executes every narrow stage above the last
+    shuffle TWICE: the RangePartitioner first runs a sampling job to
+    pick split points, and while shuffle map outputs are reused across
+    jobs, post-shuffle narrow work (joins' probe side, per-pair
+    verification like ``levenshtein``, filters) is recomputed for both
+    the sample and the real pass. Pushing the finished rows through one
+    extra round-robin exchange turns that compute into a reusable
+    shuffle map stage, so the sampling pass reads shuffle files instead
+    of re-running it — measured 1.9x on q_x24_fuzzy (5.2s -> 2.7s at
+    sf0.1, the banded-Levenshtein verify was evaluated twice).
+
+    Use it when the rows feeding the sort were expensive to produce;
+    a plan whose last stage is already a cheap aggregate merge gains
+    nothing and should keep plain orderBy. At 100 TB the added exchange
+    moves only the final result's bytes — the same barrier a
+    cache()/checkpoint would add, minus the memory footprint."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(n).orderBy(*sort_cols)
+
+    return _apply
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to TimestampType across data
     generator versions: the current testdata writes timestamp[us]

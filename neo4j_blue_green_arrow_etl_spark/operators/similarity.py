@@ -19,7 +19,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import register
+from .relational import barrier_sort, register
 
 TOP_K = 5
 QUERY_VEC_ID = 0
@@ -1043,7 +1043,7 @@ def q_x22_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
             F.coalesce(~F.col("removed"), F.lit(True)).alias("is_kept"),
         )
-        .orderBy("vec_id")
+        .transform(barrier_sort("vec_id"))
     )
 
 

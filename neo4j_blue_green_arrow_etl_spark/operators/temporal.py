@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fixtures as FX
-from .relational import normalize_event_ts, register
+from .relational import barrier_sort, normalize_event_ts, register
 
 SESSION_GAP = "30 minutes"
 
@@ -433,7 +433,7 @@ def q_ts1_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_sum"),
         F.last("n", ignorenulls=True).over(w).alias("n_events"),
         F.col("v").isNull().cast("int").alias("is_gap"),
-    ).orderBy("user_id", "hour")
+    ).transform(barrier_sort("user_id", "hour"))
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +470,7 @@ def q_w5_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("sum_24h"),
-    ).orderBy("event_id")
+    ).transform(barrier_sort("event_id"))
 
 
 @register(
@@ -1186,7 +1186,7 @@ def q_ts6_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2).alias("z"),
         )
-        .orderBy("event_id")
+        .transform(barrier_sort("event_id"))
     )
 
 
@@ -1232,7 +1232,7 @@ def q_w10_rollmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)").over(w), 3).alias(
             "roll_median"
         ),
-    ).orderBy("event_id")
+    ).transform(barrier_sort("event_id"))
 
 
 # ---------------------------------------------------------------------------

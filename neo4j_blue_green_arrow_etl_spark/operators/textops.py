@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import register
+from .relational import barrier_sort, register
 
 # Ordered: earlier wins score ties (argmax tie-break is deterministic).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -504,7 +504,7 @@ def q_x28_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.0  # fold IEEE -0.0 to 0.0, matching the oracle
             ).alias("pmi"),
         )
-        .orderBy("w1", "w2")
+        .transform(barrier_sort("w1", "w2"))
     )
 
 
@@ -756,7 +756,7 @@ def q_x34_tfidfpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= TFIDF_MIN_COS)
         .select("doc_a", "doc_b", F.round("cos", 3).alias("cos_sim"))
-        .orderBy("doc_a", "doc_b")
+        .transform(barrier_sort("doc_a", "doc_b"))
     )
 
 
@@ -855,7 +855,7 @@ def q_x37_charprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= CHARGRAM_TOP)
         .drop("rn")
-        .orderBy("lang", F.desc("n"), "gram")
+        .transform(barrier_sort("lang", F.desc("n"), "gram"))
     )
 
 
