@@ -115,41 +115,53 @@ def main() -> None:
                     pass
         spark.catalog.clearCache()
 
+    # SPARK_GRAFT_BENCH_PASSES=N (default 1, the driver contract): run
+    # the whole loop N times and keep the per-query MIN. This session's
+    # hypervisor neighbors inject one-sided multi-second spikes (same
+    # code measured 181s and 218s back-to-back); min-of-passes is the
+    # standard estimator for that noise shape and still includes the
+    # ~0.3s job-launch floor. Committed BENCH_LOCAL artifacts record the
+    # pass count; the driver's single-pass run is unaffected.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
     timings: dict[str, float] = {}
     metrics: dict[str, dict[str, int]] = {}
     base = _stage_totals(ui_port, app_id) if with_metrics else {}
-    for name in sorted(REGISTRY):
-        t0 = time.time()
-        try:
-            df = REGISTRY[name].spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failing query must not hide the rest
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        # Per-query cache hygiene: some operators hold lazy caches
-        # (e.g. the dedup shingle table) that the CacheManager would
-        # otherwise keep alive for the REST of the run — 178 queries in
-        # one JVM accumulate those plus localCheckpoint blocks into GC
-        # pressure that inflates the tail queries' timings. Each query
-        # is measured self-contained, so dropping caches after its
-        # timing is recorded biases nothing.
-        spark.catalog.clearCache()
-        if with_metrics:
-            now = _stage_totals(ui_port, app_id)
-            delta = {k: now[k] - base[k] for k in _METRIC_KEYS}
-            neg = {k: v for k, v in delta.items() if v < 0}
-            if neg:
-                # eviction slipped through retainedStages anyway: flag the
-                # query loudly and null its row rather than recording
-                # corrupt numbers downstream tools would render as real
-                print(
-                    f"bench metrics CORRUPT for {name} (stage eviction): {neg}",
-                    file=sys.stderr,
-                )
-                delta = {k: None for k in _METRIC_KEYS}
-            metrics[name] = delta
-            base = now
+    for pass_i in range(passes):
+        for name in sorted(REGISTRY):
+            t0 = time.time()
+            try:
+                df = REGISTRY[name].spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                took = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, took), took)
+            except Exception as e:  # a failing query must not hide the rest
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                timings[name] = -1.0
+            # Per-query cache hygiene: some operators hold lazy caches
+            # (e.g. the dedup shingle table) that the CacheManager would
+            # otherwise keep alive for the REST of the run — 178 queries
+            # in one JVM accumulate those plus localCheckpoint blocks
+            # into GC pressure that inflates the tail queries' timings.
+            # Each query is measured self-contained, so dropping caches
+            # after its timing is recorded biases nothing.
+            spark.catalog.clearCache()
+            if with_metrics and pass_i == 0:
+                now = _stage_totals(ui_port, app_id)
+                delta = {k: now[k] - base[k] for k in _METRIC_KEYS}
+                neg = {k: v for k, v in delta.items() if v < 0}
+                if neg:
+                    # eviction slipped through retainedStages anyway:
+                    # flag the query loudly and null its row rather than
+                    # recording corrupt numbers downstream tools would
+                    # render as real
+                    print(
+                        f"bench metrics CORRUPT for {name} "
+                        f"(stage eviction): {neg}",
+                        file=sys.stderr,
+                    )
+                    delta = {k: None for k in _METRIC_KEYS}
+                metrics[name] = delta
+                base = now
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "total_sec_all_queries",
@@ -158,6 +170,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if passes > 1:
+        payload["passes"] = passes
+        payload["estimator"] = "min"
     if with_metrics:
         payload["stage_metrics"] = metrics
     print(json.dumps(payload))

