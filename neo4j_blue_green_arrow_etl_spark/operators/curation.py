@@ -202,6 +202,94 @@ def q_x9_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-based mixture resampling
+# ---------------------------------------------------------------------------
+
+# 2^24 md5-prefix buckets: enough resolution that a rate is representable
+# to ~6e-8, small enough that FLOOR(rate * 2^24) stays exact in a double
+_TEMP_BUCKETS = 16777216
+
+_TEMP_ORACLE = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT SUM(n) AS tot FROM c),
+p AS (SELECT source, n, n * 1.0 / tot AS p FROM c, t),
+m AS (SELECT MIN(p) AS pmin FROM p),
+r AS (SELECT source, n, sqrt(pmin / p) AS rate,
+        CASE WHEN sqrt(pmin / p) >= 1 THEN 'g'
+             ELSE printf('%06x',
+                CAST(FLOOR(sqrt(pmin / p) * 16777216) AS INT)) END AS thr
+      FROM p, m),
+k AS (SELECT d.source FROM documents d JOIN r USING (source)
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < thr)
+SELECT r.source AS source, CAST(r.n AS BIGINT) AS n_docs,
+       CAST(COALESCE(kk.cnt, 0) AS BIGINT) AS n_kept,
+       ROUND(rate, 6) AS keep_rate
+FROM r LEFT JOIN (SELECT source, COUNT(*) AS cnt FROM k GROUP BY 1) kk
+  USING (source)
+ORDER BY source
+"""
+
+
+@register(
+    "q_x40_tempmix",
+    oracle=_TEMP_ORACLE,
+    doc="Temperature-based mixture resampling (alpha = 0.5, the "
+    "multilingual-LM upsampling rule): source g with corpus share p_g "
+    "is kept at rate (p_min/p_g)^0.5, so the smallest source keeps "
+    "everything and head sources are squashed toward the tempered "
+    "distribution p^alpha / sum p^alpha. Acceptance is the same "
+    "deterministic md5-prefix bucket as q_x9_mix, with the rate "
+    "quantized to 2^24 buckets rendered as a 6-hex-digit threshold — "
+    "identical in both engines because alpha = 0.5 makes the rate one "
+    "IEEE-exact sqrt and divide (no libm pow drift). Scale: the rate "
+    "table is one groupBy of the source column broadcast back; the "
+    "corpus itself is filtered map-side, never shuffled — resampling "
+    "100 TB costs one scan plus a per-source summary agg.",
+)
+def q_x40_tempmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("tot"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n", (F.col("n") * 1.0 / F.col("tot")).alias("p")
+    )
+    pmin = p.agg(F.min("p").alias("pmin"))
+    rate = F.sqrt(F.col("pmin") / F.col("p"))
+    rates = p.crossJoin(F.broadcast(pmin)).select(
+        "source",
+        "n",
+        rate.alias("rate"),
+        F.when(rate >= 1, F.lit("g"))
+        .otherwise(
+            F.format_string(
+                "%06x",
+                F.floor(rate * _TEMP_BUCKETS).cast("int"),
+            )
+        )
+        .alias("thr"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+            < F.col("thr")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_kept"),
+            F.round("rate", 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition-based quality signals (Gopher-style)
 # ---------------------------------------------------------------------------
 
