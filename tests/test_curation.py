@@ -347,3 +347,26 @@ def test_word_ngrams_short_documents_yield_empty(spark):
     )
     got = [r.g for r in df.select(word_ngrams(F.col("text"), 5).alias("g")).collect()]
     assert got == [[], [], ["a b c d e", "b c d e f"], []]
+
+
+def test_tempmix_rates_and_invariants(spark):
+    """q_x40_tempmix: the alpha=0.5 temperature rule. The smallest
+    source keeps everything (rate 1); keep rates are antitone in corpus
+    share; every reported rate equals sqrt(p_min/p_g) to the rounding
+    the query promises; and kept counts never exceed source size."""
+    out = {r.source: r for r in REGISTRY["q_x40_tempmix"].spark(spark, SF_SMOKE).collect()}
+    assert out, "fixture must have at least one source"
+    n = {s: r.n_docs for s, r in out.items()}
+    nmin = min(n.values())
+    smallest = [s for s in n if n[s] == nmin]
+    for s in smallest:
+        assert out[s].keep_rate == 1.0
+        assert out[s].n_kept == out[s].n_docs
+    for s, r in out.items():
+        want = round(math.sqrt(nmin / n[s]), 6)
+        assert abs(r.keep_rate - want) < 1e-9, (s, r.keep_rate, want)
+        assert 0 <= r.n_kept <= r.n_docs
+    # antitone: bigger source -> smaller-or-equal keep rate
+    by_size = sorted(out.values(), key=lambda r: r.n_docs)
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.keep_rate >= b.keep_rate
