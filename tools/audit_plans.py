@@ -81,6 +81,9 @@ ONE_ROW_BROADCAST_OK = {
     # the anchor batch (HARDNEG_ANCHORS rows) broadcast onto the
     # embedding scan — same shape as q_x6_batchann
     "q_x39_hardneg",
+    # the corpus-total and min-share scalars (ONE row each) broadcast
+    # onto the per-source summary when deriving temperature keep rates
+    "q_x40_tempmix",
 }
 
 # Queries that read every column of their base table by design.
