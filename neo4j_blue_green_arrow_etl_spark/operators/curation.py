@@ -210,23 +210,23 @@ def q_x9_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_BUCKETS = 16777216
 
 _TEMP_ORACLE = """
-WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
 t AS (SELECT SUM(n) AS tot FROM c),
-p AS (SELECT source, n, n * 1.0 / tot AS p FROM c, t),
+p AS (SELECT lang, n, n * 1.0 / tot AS p FROM c, t),
 m AS (SELECT MIN(p) AS pmin FROM p),
-r AS (SELECT source, n, sqrt(pmin / p) AS rate,
+r AS (SELECT lang, n, sqrt(pmin / p) AS rate,
         CASE WHEN sqrt(pmin / p) >= 1 THEN 'g'
              ELSE printf('%06x',
                 CAST(FLOOR(sqrt(pmin / p) * 16777216) AS INT)) END AS thr
       FROM p, m),
-k AS (SELECT d.source FROM documents d JOIN r USING (source)
+k AS (SELECT d.lang FROM documents d JOIN r USING (lang)
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < thr)
-SELECT r.source AS source, CAST(r.n AS BIGINT) AS n_docs,
+SELECT r.lang AS lang, CAST(r.n AS BIGINT) AS n_docs,
        CAST(COALESCE(kk.cnt, 0) AS BIGINT) AS n_kept,
        ROUND(rate, 6) AS keep_rate
-FROM r LEFT JOIN (SELECT source, COUNT(*) AS cnt FROM k GROUP BY 1) kk
-  USING (source)
-ORDER BY source
+FROM r LEFT JOIN (SELECT lang, COUNT(*) AS cnt FROM k GROUP BY 1) kk
+  USING (lang)
+ORDER BY lang
 """
 
 
@@ -234,29 +234,29 @@ ORDER BY source
     "q_x40_tempmix",
     oracle=_TEMP_ORACLE,
     doc="Temperature-based mixture resampling (alpha = 0.5, the "
-    "multilingual-LM upsampling rule): source g with corpus share p_g "
-    "is kept at rate (p_min/p_g)^0.5, so the smallest source keeps "
-    "everything and head sources are squashed toward the tempered "
-    "distribution p^alpha / sum p^alpha. Acceptance is the same "
+    "multilingual-LM rebalancing rule): language g with corpus share "
+    "p_g is kept at rate (p_min/p_g)^0.5, so the smallest language "
+    "keeps everything and head languages are squashed toward the "
+    "tempered distribution p^alpha / sum p^alpha. Acceptance is the same "
     "deterministic md5-prefix bucket as q_x9_mix, with the rate "
     "quantized to 2^24 buckets rendered as a 6-hex-digit threshold — "
     "identical in both engines because alpha = 0.5 makes the rate one "
     "IEEE-exact sqrt and divide (no libm pow drift). Scale: the rate "
-    "table is one groupBy of the source column broadcast back; the "
+    "table is one groupBy of the language column broadcast back; the "
     "corpus itself is filtered map-side, never shuffled — resampling "
-    "100 TB costs one scan plus a per-source summary agg.",
+    "100 TB costs one scan plus a per-language summary agg.",
 )
 def q_x40_tempmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.agg(F.sum("n").alias("tot"))
     p = counts.crossJoin(F.broadcast(tot)).select(
-        "source", "n", (F.col("n") * 1.0 / F.col("tot")).alias("p")
+        "lang", "n", (F.col("n") * 1.0 / F.col("tot")).alias("p")
     )
     pmin = p.agg(F.min("p").alias("pmin"))
     rate = F.sqrt(F.col("pmin") / F.col("p"))
     rates = p.crossJoin(F.broadcast(pmin)).select(
-        "source",
+        "lang",
         "n",
         rate.alias("rate"),
         F.when(rate >= 1, F.lit("g"))
@@ -269,23 +269,207 @@ def q_x40_tempmix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("thr"),
     )
     kept = (
-        d.join(F.broadcast(rates), "source")
+        d.join(F.broadcast(rates), "lang")
         .filter(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
             < F.col("thr")
         )
-        .groupBy("source")
+        .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        rates.join(kept, "source", "left")
+        rates.join(kept, "lang", "left")
         .select(
-            "source",
+            "lang",
             F.col("n").alias("n_docs"),
             F.coalesce(F.col("cnt"), F.lit(0)).alias("n_kept"),
             F.round("rate", 6).alias("keep_rate"),
         )
-        .orderBy("source")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch mixture sampling WITH replacement (the upsampling twin)
+# ---------------------------------------------------------------------------
+
+_EPOCH_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT MAX(n * 1.0) AS mx FROM c),
+r AS (SELECT lang, n, sqrt(mx / n) AS ep,
+        CAST(FLOOR(sqrt(mx / n)) AS INT) AS whole,
+        printf('%06x', CAST(FLOOR(
+            (sqrt(mx / n) - FLOOR(sqrt(mx / n))) * 16777216) AS INT)) AS thr
+      FROM c, m),
+e AS (SELECT d.lang,
+        r.whole + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+                            < r.thr THEN 1 ELSE 0 END AS k
+      FROM documents d JOIN r USING (lang))
+SELECT r.lang AS lang, CAST(r.n AS BIGINT) AS n_docs,
+       CAST(ee.s AS BIGINT) AS n_emitted, ROUND(r.ep, 6) AS epochs
+FROM r JOIN (SELECT lang, SUM(k) AS s FROM e GROUP BY 1) ee USING (lang)
+ORDER BY lang
+"""
+
+
+@register(
+    "q_x41_epochmix",
+    oracle=_EPOCH_ORACLE,
+    doc="Multi-epoch mixture sampling WITH replacement — the "
+    "upsampling twin of q_x40: language g with count n_g trains for "
+    "epochs_g = sqrt(n_max/n_g) epochs, so the largest language runs "
+    "exactly one epoch and smaller ones are replicated toward the "
+    "alpha=0.5 tempered mix (the LM data-schedule rule where a rate of "
+    "2.3 means two full copies plus a deterministic 30% third pass). "
+    "Each doc emits floor(epochs) copies via explode(sequence(...)), "
+    "plus one more when its md5 bucket clears the 2^24-quantized "
+    "fractional threshold — same engine-portable acceptance as q_x40. "
+    "The oracle short-circuits the explode to SUM(k), the same "
+    "multiset at summary level. Scale: the epoch table is a per-"
+    "language summary broadcast back; replication is map-side explode "
+    "(output rows ~ epochs x corpus, the irreducible output), with the "
+    "final agg the only shuffle.",
+)
+def q_x41_epochmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    nmax = counts.agg(F.max(F.col("n").cast("double")).alias("mx"))
+    ep = F.sqrt(F.col("mx") / F.col("n"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        "lang",
+        "n",
+        ep.alias("ep"),
+        # ep >= 1 always (n <= n_max), so whole >= 1 and the
+        # sequence(1, k) below never sees the descending k=0 trap
+        F.floor(ep).alias("whole"),
+        F.format_string(
+            "%06x",
+            F.floor((ep - F.floor(ep)) * _TEMP_BUCKETS).cast("int"),
+        ).alias("thr"),
+    )
+    copies = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates.select("lang", "whole", "thr")), "lang")
+        .select(
+            "lang",
+            (
+                F.col("whole")
+                + F.when(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 6
+                    )
+                    < F.col("thr"),
+                    1,
+                ).otherwise(0)
+            ).alias("k"),
+        )
+        .select("lang", F.explode(F.sequence(F.lit(1), F.col("k"))))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
+    )
+    return (
+        rates.join(copies, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "n_emitted",
+            F.round("ep", 6).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus selection under a global token budget
+# ---------------------------------------------------------------------------
+
+# quality-histogram resolution: the boundary bin (the only part that
+# needs an exact per-doc ordering) holds ~1/_BUDGET_BINS of the corpus
+_BUDGET_BINS = 1000
+_BUDGET_FRAC = 0.6  # keep the best 60% of corpus characters
+
+_BUDGET_ORACLE = """
+WITH s AS (SELECT doc_id, n_chars,
+        CAST(FLOOR(len(list_distinct(string_split(text, ' '))) /
+                   len(string_split(text, ' ')) * 1000) AS INT) AS qbin
+      FROM documents),
+t AS (SELECT CAST(FLOOR(SUM(n_chars) * 0.6) AS BIGINT) AS budget FROM s),
+o AS (SELECT s.*, SUM(n_chars) OVER (ORDER BY qbin DESC, doc_id) AS rs
+      FROM s)
+SELECT doc_id, qbin, CAST(n_chars AS BIGINT) AS n_chars
+FROM o, t WHERE rs <= budget ORDER BY doc_id
+"""
+
+
+@register(
+    "q_x42_tokenbudget",
+    oracle=_BUDGET_ORACLE,
+    doc="Corpus selection under a global token budget: keep the "
+    "highest-quality documents (quality = distinct-word ratio) until "
+    "the running character total reaches 60% of the corpus — the "
+    "'select 1T tokens from 10T by quality' step of an LM data "
+    "pipeline. The oracle is the obvious global-window running sum; "
+    "the engine is the shape that survives 100 TB: quantize quality "
+    "into 1000 histogram bins, take the per-bin (count, chars) "
+    "summary (tiny), find the cutoff bin with a window over bins "
+    "only, keep WHOLE bins above the cutoff via a broadcast semi-join "
+    "(map-side, no doc shuffle), and run the exact per-doc running "
+    "sum only inside the single boundary bin (~1/1000 of the corpus; "
+    "raise the bin count if a quality plateau makes it hot). "
+    "Tie-break inside the boundary bin is doc_id order, so the "
+    "selection is total and engine-portable.",
+)
+def q_x42_tokenbudget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    qbin = F.floor(
+        F.size(F.array_distinct(words)) / F.size(words) * _BUDGET_BINS
+    ).cast("int")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", qbin.alias("qbin")
+    )
+    total = docs.agg(
+        F.floor(F.sum("n_chars") * _BUDGET_FRAC)
+        .cast("long")
+        .alias("budget")
+    )
+    bins = docs.groupBy("qbin").agg(F.sum("n_chars").alias("chars"))
+    # <= _BUDGET_BINS+1 rows: the single-partition window is over the
+    # histogram summary, never the corpus
+    wb = Window.orderBy(F.desc("qbin"))
+    bins = (
+        bins.select(
+            "qbin",
+            "chars",
+            F.sum("chars").over(wb).alias("cum_incl"),
+        )
+        .withColumn("cum_before", F.col("cum_incl") - F.col("chars"))
+        .crossJoin(F.broadcast(total))
+    )
+    full_bins = bins.filter(F.col("cum_incl") <= F.col("budget"))
+    kept_full = docs.join(
+        F.broadcast(full_bins.select("qbin")), "qbin", "left_semi"
+    )
+    # at most ONE boundary row: budget falls strictly inside this bin
+    boundary = bins.filter(
+        (F.col("cum_before") <= F.col("budget"))
+        & (F.col("cum_incl") > F.col("budget"))
+    )
+    bdocs = docs.join(
+        F.broadcast(boundary.select("qbin", "cum_before", "budget")),
+        "qbin",
+    )
+    wd = Window.orderBy("doc_id")  # boundary-bin docs only
+    kept_boundary = bdocs.select(
+        "doc_id",
+        "qbin",
+        "n_chars",
+        (F.col("cum_before") + F.sum("n_chars").over(wd)).alias("rs"),
+        "budget",
+    ).filter(F.col("rs") <= F.col("budget"))
+    return (
+        kept_full.select("doc_id", "qbin", "n_chars")
+        .unionByName(kept_boundary.select("doc_id", "qbin", "n_chars"))
+        .orderBy("doc_id")
     )
 
 

@@ -351,11 +351,11 @@ def test_word_ngrams_short_documents_yield_empty(spark):
 
 def test_tempmix_rates_and_invariants(spark):
     """q_x40_tempmix: the alpha=0.5 temperature rule. The smallest
-    source keeps everything (rate 1); keep rates are antitone in corpus
-    share; every reported rate equals sqrt(p_min/p_g) to the rounding
-    the query promises; and kept counts never exceed source size."""
-    out = {r.source: r for r in REGISTRY["q_x40_tempmix"].spark(spark, SF_SMOKE).collect()}
-    assert out, "fixture must have at least one source"
+    language keeps everything (rate 1); keep rates are antitone in
+    corpus share; every reported rate equals sqrt(p_min/p_g) to the
+    rounding the query promises; kept counts never exceed corpus size."""
+    out = {r.lang: r for r in REGISTRY["q_x40_tempmix"].spark(spark, SF_SMOKE).collect()}
+    assert out, "fixture must have at least one language"
     n = {s: r.n_docs for s, r in out.items()}
     nmin = min(n.values())
     smallest = [s for s in n if n[s] == nmin]
@@ -366,7 +366,54 @@ def test_tempmix_rates_and_invariants(spark):
         want = round(math.sqrt(nmin / n[s]), 6)
         assert abs(r.keep_rate - want) < 1e-9, (s, r.keep_rate, want)
         assert 0 <= r.n_kept <= r.n_docs
-    # antitone: bigger source -> smaller-or-equal keep rate
+    # antitone: bigger language -> smaller-or-equal keep rate
     by_size = sorted(out.values(), key=lambda r: r.n_docs)
     for a, b in zip(by_size, by_size[1:]):
         assert a.keep_rate >= b.keep_rate
+    # the fixture's language mix is skewed, so the rule must actually
+    # squash something — guards against a degenerate uniform grouping
+    assert any(r.keep_rate < 1 for r in out.values())
+
+
+def test_epochmix_factors_and_bounds(spark):
+    """q_x41_epochmix: the largest language runs exactly one epoch and
+    emits each doc exactly once; every language's emitted count lies in
+    [floor(ep)*n, (floor(ep)+1)*n]; factors are antitone in size."""
+    out = {r.lang: r for r in REGISTRY["q_x41_epochmix"].spark(spark, SF_SMOKE).collect()}
+    assert out
+    nmax = max(r.n_docs for r in out.values())
+    for r in out.values():
+        want = round(math.sqrt(nmax / r.n_docs), 6)
+        assert abs(r.epochs - want) < 1e-9
+        whole = math.floor(math.sqrt(nmax / r.n_docs))
+        assert whole * r.n_docs <= r.n_emitted <= (whole + 1) * r.n_docs
+        if r.n_docs == nmax:
+            assert r.epochs == 1.0 and r.n_emitted == r.n_docs
+    by_size = sorted(out.values(), key=lambda r: r.n_docs)
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.epochs >= b.epochs
+
+
+def test_tokenbudget_matches_python_reference(spark):
+    """q_x42_tokenbudget: the two-phase histogram selection must equal
+    the obvious sequential greedy — order all docs by (quality desc,
+    doc_id), keep while the running char total fits the 60% budget."""
+    rows = (
+        _docs(spark)
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    )
+    scored = []
+    for r in rows:
+        w = r.text.split(" ")
+        scored.append((math.floor(len(set(w)) / len(w) * 1000), r.doc_id, r.n_chars))
+    budget = math.floor(sum(c for _, _, c in scored) * 0.6)
+    want, rs = set(), 0
+    for qb, did, c in sorted(scored, key=lambda t: (-t[0], t[1])):
+        if rs + c > budget:
+            break
+        rs += c
+        want.add(did)
+    got = REGISTRY["q_x42_tokenbudget"].spark(spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in got} == want
+    assert sum(r.n_chars for r in got) <= budget

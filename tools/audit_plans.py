@@ -82,8 +82,14 @@ ONE_ROW_BROADCAST_OK = {
     # embedding scan — same shape as q_x6_batchann
     "q_x39_hardneg",
     # the corpus-total and min-share scalars (ONE row each) broadcast
-    # onto the per-source summary when deriving temperature keep rates
+    # onto the per-language summary when deriving temperature keep rates
     "q_x40_tempmix",
+    # the max-count scalar (ONE row) broadcast onto the per-language
+    # summary when deriving epoch factors
+    "q_x41_epochmix",
+    # the char-budget scalar (ONE row) broadcast onto the ~1000-row
+    # quality-histogram summary
+    "q_x42_tokenbudget",
 }
 
 # Queries that read every column of their base table by design.
