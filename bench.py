@@ -133,10 +133,17 @@ def main() -> None:
                 df = REGISTRY[name].spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 took = round(time.time() - t0, 3)
-                timings[name] = min(timings.get(name, took), took)
+                prev = timings.get(name, took)
+                # prev may be the -1.0 failure sentinel from an earlier
+                # pass; a successful pass always supersedes it.
+                timings[name] = took if prev < 0 else min(prev, took)
             except Exception as e:  # a failing query must not hide the rest
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-                timings[name] = -1.0
+                # A transient failure must not poison a timing that an
+                # earlier pass already recorded, and a later successful
+                # pass must be able to replace the -1 sentinel.
+                if timings.get(name, -1.0) < 0:
+                    timings[name] = -1.0
             # Per-query cache hygiene: some operators hold lazy caches
             # (e.g. the dedup shingle table) that the CacheManager would
             # otherwise keep alive for the REST of the run — 178 queries

@@ -1166,11 +1166,14 @@ def q_g10_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = 2 * int(SSSP_SOURCE[1:])  # 'P1' -> part 1 -> even encoding
     d = sssp_distances(ew, source=src, edges_unique=True)
+    # Integer decode (shiftright, not float division): (a/2) through a
+    # double loses exactness above 2^53, which would corrupt ids on
+    # 100 TB-scale key spaces; >>1 is exact for the full long range.
     node_id = F.when(
         F.col("a") % 2 == 0,
-        F.concat(F.lit("P"), (F.col("a") / 2).cast("long").cast("string")),
+        F.concat(F.lit("P"), F.shiftright(F.col("a"), 1).cast("string")),
     ).otherwise(
-        F.concat(F.lit("S"), ((F.col("a") - 1) / 2).cast("long").cast("string"))
+        F.concat(F.lit("S"), F.shiftright(F.col("a") - 1, 1).cast("string"))
     )
     return d.select(
         node_id.alias("nodeId"), F.round("dist", 2).alias("dist")

@@ -576,7 +576,9 @@ def q_h16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("p_type").startswith("PROMO")
         & F.col("p_size").isin(_Q16_SIZES)
     )
-    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    bad = _t(spark, sf_dir, "supplier").filter(
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+    )
     return (
         ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
         .join(

@@ -403,6 +403,12 @@ class SnapshotWriter(DataSourceArrowWriter):
             p.unlink(missing_ok=True)
         with contextlib.suppress(OSError):
             staging.rmdir()  # leave published dirs clean; non-empty = no-op
+        # Legacy layout sweep: pre-.staging writers staged at the top
+        # level; an aborted job from that era leaves part-*.staged
+        # residue (invisible to readers but accumulating forever in
+        # upgraded snapshot dirs) that only this sweep reclaims.
+        for p in Path(self._path).glob("*.staged"):
+            p.unlink(missing_ok=True)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -423,6 +429,8 @@ class SnapshotWriter(DataSourceArrowWriter):
                 p.unlink(missing_ok=True)
             with contextlib.suppress(OSError):
                 staging.rmdir()
+        for p in Path(self._path).glob("*.staged"):  # legacy top-level layout
+            p.unlink(missing_ok=True)
 
 
 class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamArrowWriter):
