@@ -30,7 +30,16 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_K = 32  # signature length
 MINHASH_BANDS = 8  # 8 bands x 4 rows/band
 SIMHASH_BITS = 64
-SIMHASH_MAX_HAMMING = 3
+# Hamming acceptance radius for simhash candidates. 6 is chosen so the
+# band-PAIR probe structure below (8 bands of 8 bits, all C(8,2)=28
+# two-band concatenations as 16-bit keys) gives an exact pigeonhole
+# guarantee: <=6 bit flips touch at most 6 of the 8 bands, so at least
+# 2 bands — hence at least one probed band pair — survive untouched.
+# Measured on the shingle feature space this radius captures ~83% of
+# the exact-Jaccard>=0.5 truth pairs (RECALL_r5), vs 19% for the old
+# radius-3 single-token fingerprint.
+SIMHASH_MAX_HAMMING = 6
+SIMHASH_BANDS = 8  # 8-bit bands; probed as 28 two-band 16-bit keys
 # LSH buckets above this size switch from all-pairs to star candidates
 # (every member vs the bucket's min-id representative) — see
 # lsh_band_candidates. SCALE_PROBE r3 measured superlinear runtime from
@@ -62,7 +71,13 @@ def lsh_band_candidates(bands: DataFrame) -> DataFrame:
     sizes = bands.groupBy("band", "bh").agg(
         F.count(F.lit(1)).alias("bn"), F.min("doc_id").alias("rep")
     )
-    tagged = bands.join(sizes, ["band", "bh"])
+    # Cached (lazily, MEMORY_AND_DISK): the pair self-join below reads
+    # `small` (hence `tagged`) TWICE — uncached, Spark recomputes the
+    # bucket-size aggregation and the tag join once per side, which
+    # profiling showed was the dominant cost of the whole candidate
+    # stage. The cached table is (doc_id, band, bh, bn, rep) — five
+    # fixed-width columns at |docs| x bands rows, spill-safe.
+    tagged = bands.join(sizes, ["band", "bh"]).cache()
     small = tagged.filter(F.col("bn") <= MINHASH_BUCKET_CAP)
     l = small.select("band", "bh", F.col("doc_id").alias("a"))
     r = small.select("band", "bh", F.col("doc_id").alias("b"))
@@ -74,6 +89,52 @@ def lsh_band_candidates(bands: DataFrame) -> DataFrame:
         .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
     )
     return all_pairs.select("a", "b").union(star).distinct()
+
+
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, keep=(), sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over a (hashed)
+    shingle table (doc_id, shingle): returns (doc_a, doc_b, *keep,
+    jaccard) for candidates clearing JACCARD_THRESHOLD — the step that
+    makes every hash-candidate tier (minhash, simhash) emit ZERO false
+    positives relative to the q_dedup_ngram truth definition. `keep`
+    names extra per-pair columns on `candidates` to carry through
+    (constant per (a, b), so folding them into the groupBy is free).
+    Scale: only candidate pairs are touched — the join fans each pair
+    out by its shared shingles and one count-aggregate folds them back;
+    both joins shuffle on doc_id, the same key the shingle table is
+    already hashed by. A caller that already holds per-doc set sizes
+    (doc_id, n) passes them via `sizes` to skip the re-aggregation."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    common = (
+        candidates.join(x, F.col("a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("b") == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("a", "b", *keep)
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            *keep,
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .transform(barrier_sort("doc_a", "doc_b"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -270,29 +331,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bh")
     candidates = lsh_band_candidates(bands)
     # Verify candidates with exact Jaccard over the shingle sets.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    common = (
-        candidates.join(x, F.col("a") == F.col("x.doc_id"))
-        .join(y, (F.col("b") == F.col("y.doc_id")) & (F.col("x.shingle") == F.col("y.shingle")))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        common.join(sa, F.col("a") == F.col("sa.doc_id"))
-        .join(sb, F.col("b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
-        .transform(barrier_sort("doc_a", "doc_b"))
-    )
+    return jaccard_verify(candidates, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -302,77 +341,100 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_simhash",
-    oracle=None,  # hash-based fingerprint; recall asserted in tests.
-    doc=f"SimHash-{SIMHASH_BITS} near-dup pairs: per-bit majority vote over "
-    "token xxhash64 values, candidates from 16-bit band equality, verified "
-    f"with Hamming distance <= {SIMHASH_MAX_HAMMING} via bit_count(xor). "
-    "Scale: fingerprint is one groupBy; candidate join is equi on bands.",
+    oracle=None,  # hash-seeded fingerprint; recall asserted in tests.
+    doc=f"SimHash-{SIMHASH_BITS} near-dup pairs over the SAME "
+    f"{SHINGLE_N}-gram shingle feature space as the exact oracle: "
+    "per-bit majority vote over hashed shingles, candidates from all "
+    f"C({SIMHASH_BANDS},2)=28 two-band 16-bit probe keys (Manku-style "
+    f"rotation probing: any Hamming-<= {SIMHASH_MAX_HAMMING} pair "
+    "leaves >=2 of the 8 bands untouched, so >=1 probed band pair "
+    "matches — exact pigeonhole guarantee), Hamming-filtered via "
+    "bit_count(xor), then VERIFIED with exact Jaccard >= "
+    f"{JACCARD_THRESHOLD} so emitted pairs are a strict subset of the "
+    "truth set (0 false positives; recall is the Hamming-radius "
+    "capture rate, measured >=0.8 in RECALL_r5). Scale: fingerprint "
+    "is one groupBy; 28 fixed-width probe keys per doc; bucket-capped "
+    "candidate join (lsh_band_candidates); verify touches only "
+    "candidate pairs.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).filter(F.length("tok") > 0)
-    h = toks.withColumn("th", F.xxhash64("tok"))
-    # per-bit vote: +1 if bit set else -1; simhash bit b = 1 iff vote > 0
-    votes = h.groupBy("doc_id").agg(
+    # Hashed-shingle table is shared by the vote aggregation AND the
+    # Jaccard verify — lazy cache, two longs per row (cf. minhash).
+    sh = (
+        shingles(_docs(spark, sf_dir))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
+    # per-bit vote: simhash bit b = 1 iff more than half the features
+    # set it. Computed branch-free as s_b = SUM((h >> b) & 1) plus one
+    # COUNT(*): the +1/-1 majority vote v_b = 2*s_b - n is positive iff
+    # 2*s_b > n — same fingerprint, no per-bit conditional in the 64
+    # aggregate expressions (the hot path: |shingles| rows x 64 exprs).
+    # The feature hash IS the already-computed shingle xxhash64 — no
+    # second hashing pass.
+    votes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(F.col("shingle"), b).bitwiseAND(F.lit(1))).alias(
+                f"s{b}"
+            )
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
     # pack sign bits into one BIGINT; bit 63 via signed overflow-free expr
     packed = votes.select(
         "doc_id",
+        "n",  # per-doc shingle-set size, reused by the Jaccard verify
         sum(
             [
-                F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)))
-                .otherwise(0)
+                F.when(
+                    F.col(f"s{b}") * 2 > F.col("n"),
+                    F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)),
+                ).otherwise(0)
                 for b in range(SIMHASH_BITS)
             ]
         ).alias("simhash"),
     ).cache()
-    # cached (lazily): both sides of the band self-join read packed;
-    # without it the token-hash scan + 64-column vote aggregation runs
-    # twice. packed is 2 longs/doc — trivially cacheable at any SF.
+    # cached (lazily): the band explode and both sides of the Hamming
+    # re-join read packed; it is 2 longs/doc — cacheable at any SF.
+    band_val = [
+        F.shiftrightunsigned("simhash", i * 8).bitwiseAND(F.lit(0xFF))
+        for i in range(SIMHASH_BANDS)
+    ]
+    combos = [
+        (i, j)
+        for i in range(SIMHASH_BANDS)
+        for j in range(i + 1, SIMHASH_BANDS)
+    ]
     bands = packed.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bh"),
+                        F.lit(i * SIMHASH_BANDS + j).alias("band"),
+                        (band_val[i] * F.lit(256) + band_val[j]).alias("bh"),
                     )
-                    for i in range(4)
+                    for (i, j) in combos
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.bh")
-    l = bands.alias("l")
-    r = bands.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select("doc_id", "bk.band", "bk.bh")
+    cand = lsh_band_candidates(bands)
+    pa = packed.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
+    pb = packed.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    near = (
+        cand.join(pa, "a")
+        .join(pb, "b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .transform(barrier_sort("doc_a", "doc_b"))
+        .select("a", "b", "hamming")
+    )
+    return jaccard_verify(
+        near, sh, keep=("hamming",), sizes=packed.select("doc_id", "n")
     )
 
 

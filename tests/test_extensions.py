@@ -35,14 +35,27 @@ def test_minhash_recall_vs_exact_oracle(spark):
         assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
 
 
-def test_simhash_pairs_are_plausible(spark):
-    """SimHash pairs must include every exact-Jaccard near-dup pair's
-    doc ids at hamming<=3 OR at minimum be internally consistent
-    (hamming column bounded, pairs ordered)."""
+def test_simhash_recall_floor_and_no_false_positives(spark):
+    """VERDICT r4 task 1: simhash is a verified candidate tier over the
+    SAME shingle space as the exact oracle — emitted pairs must be a
+    strict subset of the exact-Jaccard truth (0 false positives) and
+    the Hamming-radius capture rate must clear a pinned >=0.6 recall
+    floor (measured 0.80 at sf0.001, 0.84 at sf0.1 — RECALL_r5)."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import SIMHASH_MAX_HAMMING
+
     df = REGISTRY["q_dedup_simhash"].spark(spark, SF_SMOKE)
     rows = df.collect()
     assert all(r.doc_a < r.doc_b for r in rows)
-    assert all(0 <= r.hamming <= 3 for r in rows)
+    assert all(0 <= r.hamming <= SIMHASH_MAX_HAMMING for r in rows)
+    approx = {(r.doc_a, r.doc_b) for r in rows}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram"].spark(spark, SF_SMOKE).collect()
+    }
+    assert approx <= exact  # no false positives after verification
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"simhash recall {recall:.2f} below floor"
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):

@@ -9,8 +9,10 @@ probe makes the same checks durable AT SCALE:
 
 - q_dedup_minhash vs q_dedup_ngram: near-dup PAIR recall, plus the
   no-false-positive invariant (candidates are exact-Jaccard-verified)
-- q_dedup_simhash vs q_dedup_ngram: pair recall at hamming<=3 (a
-  different similarity notion, so the floor is advisory, reported raw)
+- q_dedup_simhash vs q_dedup_ngram: pair recall of the verified
+  Hamming-radius candidate tier, plus the same no-false-positive
+  invariant (r5: shingle-feature fingerprints + band-pair probing +
+  exact-Jaccard verify; pinned floor 0.6 in pytest)
 - q_sim_lsh / q_sim_ivf / q_sim_pq vs q_x2: top-k id overlap vs the
   exact brute-force scan
 """
@@ -74,6 +76,7 @@ def main() -> None:
         },
         "simhash": {
             "pairs": len(simhash),
+            "false_positives": len(simhash - exact_pairs),
             "recall_vs_ngram": round(
                 len(simhash & exact_pairs) / len(exact_pairs), 3
             )
