@@ -216,12 +216,67 @@ def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[fl
 
 def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplane projections — pure
-    column expressions (dot products against literal arrays)."""
+    column expressions (dot products against literal arrays). Kept for
+    single-table/expression-only callers; q_sim_lsh uses
+    lsh_signatures, which batches ALL tables' projections into one
+    Arrow matrix multiply (the per-plane interpreted higher-order
+    dot products were the round-4 3.6x cost regression)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = dot(col, F.array(*[F.lit(v) for v in p]))
         bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(0)
     return bucket
+
+
+def lsh_signatures(
+    spark: SparkSession, e: DataFrame, tables: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_id, embedding, b0..b{T-1}): every table's sign-bit bucket id
+    computed in ONE blocked matrix multiply per Arrow batch — the
+    (T*P x dim) concatenated plane matrix is broadcast once and each
+    batch does a single (n x dim) @ (dim x T*P) BLAS call plus a
+    vectorized bit-pack, instead of T*P independent interpreted
+    array-dot expressions per row (the q_sim_ivf `assign` shape,
+    VERDICT r4 task 2). Scale: map-only, no shuffle; the plane matrix
+    is a few KB regardless of table size."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    pm = np.asarray(
+        [p for table in tables for p in table], dtype=np.float64
+    )  # (T*P, dim)
+    bc = spark.sparkContext.broadcast(pm)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            *[
+                T.StructField(f"b{t}", T.LongType())
+                for t in range(n_tables)
+            ],
+        ]
+    )
+
+    def sign(it):
+        import numpy as np
+        import pandas as pd
+
+        planes = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            bits = (mat @ planes.T >= 0).astype(np.int64)  # (n, T*P)
+            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            for t in range(n_tables):
+                out[f"b{t}"] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+            yield pd.DataFrame(out)
+
+    return e.mapInPandas(sign, schema=schema)
 
 
 @register(
@@ -235,7 +290,8 @@ def lsh_bucket(col: Column, planes: list[list[float]]) -> Column:
     "the table union is the standard LSH recall lever (1-(1-p)^L) and "
     "lifts top-k overlap to >=0.8 (pinned in tests/test_extensions.py). "
     "Scale: bucket filters replace the cross join; per-table bucket ids "
-    "are narrow longs computed in one projection pass, and the rerank "
+    "are narrow longs computed in one Arrow-batched matrix-multiply "
+    "pass (lsh_signatures), and the rerank "
     "touches only the candidate fraction.",
 )
 def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,14 +301,7 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_planes[t * LSH_PLANES : (t + 1) * LSH_PLANES]
         for t in range(LSH_TABLES)
     ]
-    bucketed = e.select(
-        "vec_id",
-        "embedding",
-        *[
-            lsh_bucket(F.col("embedding"), tables[t]).alias(f"b{t}")
-            for t in range(LSH_TABLES)
-        ],
-    )
+    bucketed = lsh_signatures(spark, e, tables)
     q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(LSH_TABLES)],

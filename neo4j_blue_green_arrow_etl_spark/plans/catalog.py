@@ -85,6 +85,13 @@ class DeploymentCatalog:
     """
 
     def __init__(self, spark: SparkSession, manifest_path: str | Path | None = None):
+        if not isinstance(spark, SparkSession):
+            raise TypeError(
+                "DeploymentCatalog(spark, manifest_path): first argument must "
+                f"be a SparkSession, got {type(spark).__name__!r} — a path "
+                "passed here yields a catalog that silently cannot create "
+                "alias views"
+            )
         self.spark = spark
         self.manifest_path = Path(manifest_path) if manifest_path else None
         self._deployments: dict[str, dict] = {}  # db name -> meta

@@ -34,6 +34,7 @@ ARROW_PYTHON_OK = {
     "q_mm_audio_rms",
     "q_mm_segments",  # composes q_mm_audio_rms's mapInPandas framing
     "q_sim_ivf",
+    "q_sim_lsh",  # Arrow-batched all-tables projection (lsh_signatures)
     "q_sim_pq",  # Arrow-batched encode pass (codes assignment)
     "q_x21_kmeans",  # Arrow-batched nearest-centroid assignment pass
     "q_x22_semdedup",  # same assignment pass feeding the pair join
