@@ -30,6 +30,13 @@ class InternalError(EngineError):
     """Server/engine-side failure."""
 
 
+class SinkIntegrityError(EngineError):
+    """Server-acknowledged row count disagrees with the rows the
+    executors streamed — the signature of a half-committed stream from
+    a killed/retried writer task. The load must be aborted, not
+    finalized."""
+
+
 class UnknownError(EngineError):
     """Unclassified failure."""
 

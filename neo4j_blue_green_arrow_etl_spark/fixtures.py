@@ -185,8 +185,41 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_edges(raw_edges(spark, sf_dir))
 
 
+_REPLICA_STRIDE = 10_000_000  # id headroom between snapshot replicas
+
+
+def _replicate_ids(df: DataFrame, id_cols: tuple[str, ...], scale: int) -> DataFrame:
+    """``scale`` shifted copies of a positional table: each replica adds
+    rep*stride to the numeric tail of every prefixed id ('E123' ->
+    'E10000123'), so node identity, edge endpoints, and graph topology
+    replicate per copy instead of collapsing into one hot graph. The
+    replica index comes from a broadcast crossJoin with range(scale) —
+    one tiny BNLJ, not a ``scale``-way union plan."""
+    if scale <= 1:
+        return df
+    reps = F.broadcast(df.sparkSession.range(scale).withColumnRenamed("id", "rep"))
+    shifted = [
+        F.concat(
+            F.substring(c, 1, 1),
+            (
+                F.substring(F.col(c), 2, 30).cast("long")
+                + F.col("rep") * _REPLICA_STRIDE
+            ).cast("string"),
+        ).alias(c)
+        if c in id_cols
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.crossJoin(reps).select(*shifted)
+
+
 def materialize_snapshot(
-    spark: SparkSession, sf_dir: str, base: str, customer_id: str, timestamp: int
+    spark: SparkSession,
+    sf_dir: str,
+    base: str,
+    customer_id: str,
+    timestamp: int,
+    scale: int = 1,
 ) -> str:
     """Write one FIXTURES.md §2 snapshot tree to disk:
 
@@ -194,18 +227,28 @@ def materialize_snapshot(
         {base}/{customer_id}/{timestamp}/relationships/HAS_*/
 
     using the positional (pre-normalization) column contract the
-    reference consumes. Returns the snapshot path."""
+    reference consumes. ``scale`` > 1 writes that many id-shifted
+    replicas of every table (tools/bench_pipeline.py --scale: ingest
+    throughput measured at multi-million-row snapshots). Returns the
+    snapshot path."""
     root = f"{base}/{customer_id}/{timestamp}"
-    raw_entity_nodes(spark, sf_dir).write.mode("overwrite").parquet(f"{root}/nodes/Entity")
-    raw_address_nodes(spark, sf_dir).write.mode("overwrite").parquet(f"{root}/nodes/Address")
+    _replicate_ids(raw_entity_nodes(spark, sf_dir), ("id",), scale).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/nodes/Entity")
+    _replicate_ids(raw_address_nodes(spark, sf_dir), ("id",), scale).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/nodes/Address")
     c = _customer(spark, sf_dir)
     for rel_type, predicate in EDGE_TYPES:
-        c.filter(F.expr(predicate)).select(
+        raw = c.filter(F.expr(predicate)).select(
             F.concat(F.lit("E"), F.col("c_custkey").cast("string")).alias("src"),
             F.concat(F.lit("A"), (F.lit(1) + F.col("c_custkey") % 10).cast("string")).alias("dst"),
             F.lit(rel_type).alias("type"),
             (F.col("c_acctbal") / 100.0).alias("weight"),
-        ).write.mode("overwrite").parquet(f"{root}/relationships/{rel_type}")
+        )
+        _replicate_ids(raw, ("src", "dst"), scale).write.mode("overwrite").parquet(
+            f"{root}/relationships/{rel_type}"
+        )
     return root
 
 

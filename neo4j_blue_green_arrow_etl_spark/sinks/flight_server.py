@@ -42,6 +42,11 @@ class InMemoryGraphFlightServer(flight.FlightServerBase):
         super().__init__(location)
         self.graphs: dict[str, dict[str, Any]] = {}
         self._lock = threading.Lock()
+        # concurrency gauge: how many do_put streams were open at once
+        # (high-water mark). Lets tests assert the executor data path
+        # really streams partitions in parallel rather than serially.
+        self._active_puts = 0
+        self.max_concurrent_puts = 0
 
     # -- lifecycle actions (reference neo4j_arrow_client.py:123-149) ----
 
@@ -96,10 +101,25 @@ class InMemoryGraphFlightServer(flight.FlightServerBase):
         with self._lock:
             g = self._graph(name)
             self._require(name, g, expected)
+            self._active_puts += 1
+            self.max_concurrent_puts = max(
+                self.max_concurrent_puts, self._active_puts
+            )
         rows = 0
         schema = reader.schema
-        for chunk in reader:
-            rows += chunk.data.num_rows
+        try:
+            # A writer killed mid-stream is NOT reliably detectable here:
+            # the dying process's TCP half-close reads as a clean end of
+            # stream, so its partial rows land — and Spark's task retry
+            # then re-streams the whole partition. The protocol's defense
+            # is the barrier count cross-check (GraphSink._check_count):
+            # the lifecycle ACK carries this server-side total, and the
+            # client aborts on mismatch instead of finalizing.
+            for chunk in reader:
+                rows += chunk.data.num_rows
+        finally:
+            with self._lock:
+                self._active_puts -= 1
         with self._lock:
             g = self._graph(name)
             self._require(name, g, expected)  # phase may have moved mid-stream

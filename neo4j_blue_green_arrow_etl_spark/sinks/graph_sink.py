@@ -54,6 +54,9 @@ class GraphSink(abc.ABC):
     def __init__(self, database: str):
         self.database = database
         self.state = SinkState.READY
+        # client-side truth for the barrier cross-check: rows the
+        # executors actually streamed, accumulated across write calls
+        self._written = {"nodes": 0, "edges": 0}
 
     def _require(self, *states: SinkState) -> None:
         if self.state not in states:
@@ -70,28 +73,52 @@ class GraphSink(abc.ABC):
     def write_nodes(self, nodes: DataFrame) -> WriteResult:
         self._require(SinkState.CREATED, SinkState.FEEDING_NODES)
         self.state = SinkState.FEEDING_NODES
-        return self._write_nodes(nodes)
+        res = self._write_nodes(nodes)
+        self._written["nodes"] += res.rows
+        return res
 
     def nodes_done(self) -> dict:
         """Returns the sink's acknowledgment payload (the Flight server
         answers ``{"name": ..., "node_count": N}``), so callers can
         cross-check server-side counts — the only verification channel
-        when the server runs out of process."""
+        when the server runs out of process. The barrier cross-checks it
+        automatically: a killed writer's half-stream arrives at the
+        server as a clean TCP half-close and is silently committed, and
+        Spark's task retry then re-streams the whole partition — the
+        server-vs-client count mismatch here is the ONLY place that
+        corruption is observable, so a mismatch raises
+        SinkIntegrityError instead of finalizing a wrong graph."""
         self._require(SinkState.FEEDING_NODES)
         ack = self._nodes_done()
+        self._check_count(ack, "node_count", self._written["nodes"])
         self.state = SinkState.FEEDING_EDGES
         return ack or {}
 
     def write_edges(self, edges: DataFrame) -> WriteResult:
         self._require(SinkState.FEEDING_EDGES)
-        return self._write_edges(edges)
+        res = self._write_edges(edges)
+        self._written["edges"] += res.rows
+        return res
 
     def edges_done(self) -> dict:
-        """See nodes_done: returns ``{"relationship_count": N, ...}``."""
+        """See nodes_done: returns ``{"relationship_count": N, ...}``
+        and applies the same count cross-check."""
         self._require(SinkState.FEEDING_EDGES)
         ack = self._finalize()
+        self._check_count(ack, "relationship_count", self._written["edges"])
         self.state = SinkState.DONE
         return ack or {}
+
+    def _check_count(self, ack: dict | None, key: str, written: int) -> None:
+        from ..errors import SinkIntegrityError
+
+        if ack and key in ack and ack[key] != written:
+            raise SinkIntegrityError(
+                f"sink {self.database!r}: server acknowledged "
+                f"{ack[key]} {key.split('_')[0]}s but executors streamed "
+                f"{written} — half-committed stream from a killed/"
+                "retried writer; abort the load"
+            )
 
     def abort(self) -> None:
         """Idempotent: aborting an unstarted/aborted sink is a no-op

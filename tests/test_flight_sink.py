@@ -227,3 +227,106 @@ def test_full_load_against_out_of_process_server(spark, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_multi_partition_puts_stream_concurrently(spark, server):
+    """VERDICT r4 task 4: the executor data path must stream partitions
+    in PARALLEL do_put calls (1000-executor shape), not serially. A
+    16-partition put on local[32] must overlap on the server — the
+    server's high-water gauge proves the wire-level concurrency."""
+    nodes = (
+        spark.range(400_000)
+        .selectExpr("id", "id * 2 AS attr", "repeat('x', 64) AS pad")
+        .repartition(16)
+    )
+    sink = _sink(server)
+    sink.create_database()
+    res = sink.write_nodes(nodes)
+    assert res.rows == 400_000
+    g = server.graphs["acme-100"]
+    assert g["put_calls"] == 16
+    assert server.max_concurrent_puts >= 2
+
+
+def test_killed_writer_mid_stream_server_survives_and_abort_cleans(server):
+    """VERDICT r4 task 4: SIGKILL a writer process holding an open
+    do_put stream. The server must drain the dead stream (no leaked
+    handler thread), keep serving lifecycle actions, and ABORT must
+    leave the graph absent."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.flight as flight
+
+    script = f"""
+import pyarrow as pa, pyarrow.flight as flight, json, time
+c = flight.FlightClient(flight.Location.for_grpc_tcp("127.0.0.1", {server.port}))
+list(c.do_action(flight.Action("CREATE_DATABASE", json.dumps({{"name": "victim"}}).encode())))
+desc = flight.FlightDescriptor.for_command(
+    json.dumps({{"name": "victim", "entity_type": "node"}}).encode())
+tbl = pa.table({{"id": pa.array(range(50_000), pa.int64())}})
+writer, _ = c.do_put(desc, tbl.schema)
+writer.write_table(tbl)
+print("streamed", flush=True)
+time.sleep(30)  # hold the stream open until killed
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert proc.stdout.readline().strip() == "streamed"
+        assert server.graphs["victim"]["state"] == "feeding_nodes"
+    finally:
+        proc.kill()
+        proc.wait()
+    # the dead stream must drain: handler thread exits, gauge returns to 0
+    deadline = time.time() + 10
+    while server._active_puts and time.time() < deadline:
+        time.sleep(0.1)
+    assert server._active_puts == 0
+    # server still serves; abort leaves the graph absent
+    c2 = flight.FlightClient(
+        flight.Location.for_grpc_tcp("127.0.0.1", server.port)
+    )
+    list(
+        c2.do_action(
+            flight.Action("ABORT", json.dumps({"name": "victim"}).encode())
+        )
+    )
+    c2.close()
+    assert "victim" not in server.graphs
+
+
+def test_barrier_detects_half_committed_stream(spark, server):
+    """A writer killed mid-stream arrives at the server as a clean TCP
+    half-close, so its partial rows are committed server-side — and the
+    Spark task retry re-streams the whole partition. That corruption is
+    only observable as a server-vs-client count mismatch at the phase
+    barrier: nodes_done()/edges_done() must raise SinkIntegrityError
+    rather than finalize a wrong graph."""
+    from neo4j_blue_green_arrow_etl_spark.errors import SinkIntegrityError
+
+    nodes = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    edges = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    sink = _sink(server)
+    sink.create_database()
+    sink.write_nodes(nodes)
+    # simulate the half-committed duplicate rows a killed+retried
+    # writer leaves behind
+    server.graphs["acme-100"]["nodes"] += 7
+    with pytest.raises(SinkIntegrityError, match="abort the load"):
+        sink.nodes_done()
+    sink.abort()
+    assert "acme-100" not in server.graphs
+
+    # clean reload passes both barriers
+    sink2 = FlightGraphSink("acme-100", host="127.0.0.1", port=server.port)
+    sink2.create_database()
+    sink2.write_nodes(nodes)
+    assert sink2.nodes_done()["node_count"] == nodes.count()
+    sink2.write_edges(edges)
+    server.graphs["acme-100"]["relationships"] -= 3
+    with pytest.raises(SinkIntegrityError, match="relationship"):
+        sink2.edges_done()

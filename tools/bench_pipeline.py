@@ -2,8 +2,14 @@
 blue/green cycle (discover -> load -> alias switch -> retention) on a
 snapshot materialized from $SPARK_GRAFT_SF_DIR-equivalent data.
 
-Usage: python tools/bench_pipeline.py [sf_dir] [--flight]
+Usage: python tools/bench_pipeline.py [sf_dir] [--flight] [--scale N]
 Prints one JSON line: {"pipeline_sec": ..., "rows": ..., "rows_per_sec": ...}
+
+--scale N materializes N id-shifted replicas of the snapshot before the
+timed cycle (fixtures.materialize_snapshot scale=), so ingest throughput
+is measured at multi-million-row snapshots instead of the fixed-latency
+floor a 43k-row snapshot sits on (VERDICT r4 task 5: --scale 100 is
+~4.3M rows).
 
 --flight routes the load through the Arrow Flight gRPC sink against an
 in-process server (per-partition executor-side do_put streams), so the
@@ -24,8 +30,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--flight"]
-    use_flight = "--flight" in sys.argv[1:]
+    argv = sys.argv[1:]
+    scale = 1
+    if "--scale" in argv:
+        i = argv.index("--scale")
+        scale = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    use_flight = "--flight" in argv
+    args = [a for a in argv if a != "--flight"]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     from neo4j_blue_green_arrow_etl_spark.fixtures import materialize_snapshot
     from neo4j_blue_green_arrow_etl_spark.plans.catalog import DeploymentCatalog
@@ -38,7 +50,7 @@ def main() -> None:
 
     spark = get_spark("bench_pipeline")
     base = Path(tempfile.mkdtemp(prefix="bench_pipeline_"))
-    materialize_snapshot(spark, sf_dir, str(base), "bench", 1000)
+    materialize_snapshot(spark, sf_dir, str(base), "bench", 1000, scale=scale)
 
     # row count of the snapshot (outside the timed section)
     ref = discover_snapshots(base)[0]
@@ -80,6 +92,7 @@ def main() -> None:
                 "rows_per_sec": round(total_rows / wall),
                 "sink": "flight-grpc" if use_flight else "parquet",
                 "sf_dir": sf_dir,
+                "scale": scale,
             }
         )
     )

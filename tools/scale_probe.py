@@ -39,12 +39,30 @@ BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/spark_graft_scale"
 
 # table -> (int key columns to shift, text columns to suffix)
+# l_partkey/l_suppkey are shifted so the part--supplier graph grows
+# with the factor (disconnected replica per shift): without it the
+# distinct edge list of the graph probes would collapse back to the
+# x1 graph and the probe would measure nothing.
 TABLES = {
-    "lineitem": (["l_orderkey"], []),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], []),
     "orders": (["o_orderkey"], []),
     "documents": (["doc_id"], ["text"]),
 }
-PROBES = ["q_a1", "q_j5", "q_x1", "q_x13_sample", "q_dedup_minhash", "q_x24_fuzzy"]
+PROBES = [
+    "q_a1",
+    "q_j5",
+    "q_x1",
+    "q_x13_sample",
+    "q_dedup_minhash",
+    "q_x24_fuzzy",
+    # iterative graph family (VERDICT r4 task 3): runtime must grow with
+    # rounds x frontier/edges, not quadratically. Replica graphs keep the
+    # round count constant while edges grow linearly, so exponent <= ~1.2
+    # is the pass signal here too.
+    "q_g8_kcore",
+    "q_g10_sssp",
+    "q_x5b_clusters_star",
+]
 KEY_STRIDE = 100_000_000
 
 
