@@ -128,6 +128,8 @@ def main() -> None:
     base = _stage_totals(ui_port, app_id) if with_metrics else {}
     for pass_i in range(passes):
         for name in sorted(REGISTRY):
+            if REGISTRY[name].alias_of:
+                continue  # driver-window alias: same code already timed
             t0 = time.time()
             try:
                 df = REGISTRY[name].spark(spark, sf_dir)

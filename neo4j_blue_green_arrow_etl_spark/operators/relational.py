@@ -28,11 +28,18 @@ from .. import fixtures as FX
 
 @dataclass(frozen=True)
 class QuerySpec:
-    """One declared query: Spark implementation + optional DuckDB oracle."""
+    """One declared query: Spark implementation + optional DuckDB oracle.
+
+    ``alias_of`` marks a driver-window rotation alias (see
+    operators/__init__.py): same implementation and oracle under an
+    early-alphabet name so the driver's first-50 correctness sample
+    reaches families that otherwise sort past its cap. Aliases are NOT
+    new operators — bench skips them so no query is timed twice."""
 
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    alias_of: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}

@@ -145,7 +145,8 @@ def test_survey_section8_matches_registry():
     for a, b in re.findall(r"^\| (q_\w+) / (q_\w+)", sec8, re.M):
         listed.add(a)
         listed.add(b)
-    registry = set(REGISTRY)
+    # driver-window rotation aliases are documented in §8 prose, not the table
+    registry = {n for n, s in REGISTRY.items() if not s.alias_of}
     assert registry - listed == set(), f"missing from SURVEY §8: {sorted(registry - listed)}"
     assert listed - registry == set(), f"stale in SURVEY §8: {sorted(listed - registry)}"
 

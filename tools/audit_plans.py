@@ -166,6 +166,8 @@ def main() -> int:
     probes = iterative_round_probes()
     failures = 0
     for name in sorted(REGISTRY):
+        if REGISTRY[name].alias_of:
+            continue  # driver-window alias: identical plan already audited
         try:
             df = REGISTRY[name].spark(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
