@@ -185,6 +185,35 @@ def main() -> None:
     if with_metrics:
         payload["stage_metrics"] = metrics
     print(json.dumps(payload))
+    # The driver records only the TAIL of stdout and parses its last
+    # line — with 180+ queries the full JSON line above gets truncated
+    # from the FRONT, losing the total and everything alphabetically
+    # early ("parsed": null in BENCH_r04/r05). So the very LAST line is
+    # a compact, complete JSON carrying the headline numbers: the
+    # total, query/failure counts, and the slowest-10 map. The full
+    # per-query map stays in the line above and in the committed
+    # BENCH_LOCAL artifact (SPARK_GRAFT_BENCH_OUT).
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    summary_line = {
+        "metric": "total_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": sum(1 for t in timings.values() if t >= 0),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "queries": slowest,
+        "note": "slowest-10 only; full per-query map in the previous "
+        "stdout line / SPARK_GRAFT_BENCH_OUT artifact",
+    }
+    if passes > 1:
+        summary_line["passes"] = passes
+        summary_line["estimator"] = "min"
+    print(json.dumps(summary_line))
     # The driver artifact truncates long tails; keep a durable full copy
     # in the repo (overwritten per run, committed per round).
     out = os.environ.get("SPARK_GRAFT_BENCH_OUT")

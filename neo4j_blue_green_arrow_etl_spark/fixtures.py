@@ -197,6 +197,26 @@ def _replicate_ids(df: DataFrame, id_cols: tuple[str, ...], scale: int) -> DataF
     one tiny BNLJ, not a ``scale``-way union plan."""
     if scale <= 1:
         return df
+    # Guard against silent replica-range collisions: if a base id's
+    # numeric tail reaches the stride (e.g. sf>=100 custkeys run past
+    # 10M), replica 0's shifted ids would fold into replica 1's range,
+    # merging topology the scaled bench believes is disjoint. Fail
+    # loudly instead — one tiny max() aggregate per replicated table.
+    max_tail = df.select(
+        F.greatest(
+            *[
+                F.max(F.substring(F.col(c), 2, 30).cast("long"))
+                for c in id_cols
+            ],
+            F.lit(0).cast("long"),
+        ).alias("m")
+    ).first()
+    if max_tail and max_tail.m is not None and max_tail.m >= _REPLICA_STRIDE:
+        raise ValueError(
+            f"_replicate_ids: max numeric id tail {max_tail.m} >= replica "
+            f"stride {_REPLICA_STRIDE}; shifted replicas would collide — "
+            "raise _REPLICA_STRIDE or derive it from the data's max id"
+        )
     reps = F.broadcast(df.sparkSession.range(scale).withColumnRenamed("id", "rep"))
     shifted = [
         F.concat(

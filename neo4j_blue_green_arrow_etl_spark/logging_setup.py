@@ -29,6 +29,10 @@ _DATE_FORMAT = "%Y-%m-%d %H:%M:%S"
 # JVM-bridge loggers that flood INFO with connection chatter
 _NOISY = ("py4j", "pyspark")
 
+# Handlers installed by setup_logging, so repeated setups replace only
+# what this module owns — never a host application's handlers.
+_INSTALLED: set[logging.Handler] = set()
+
 
 class FlushingFileHandler(logging.FileHandler):
     """FileHandler that flushes after every record, so the log file is
@@ -47,16 +51,19 @@ def setup_logging(
 ) -> logging.Logger:
     """Install file (+ optional console) handlers on the root logger.
 
-    - ``log_dir`` defaults to ``logs/`` next to this package; it is
-      created if missing.
+    - ``log_dir`` defaults to ``logs/`` under the current working
+      directory (NOT the installed package, which may be read-only);
+      it is created if missing.
     - The file name carries a second-resolution timestamp; two setups in
       the same second share one file in append mode (the reference's
       append contract).
-    - Existing root handlers are removed first — calling this twice must
-      not duplicate output.
+    - Handlers THIS module previously installed are removed first —
+      calling this twice must not duplicate output. Handlers owned by a
+      host application or test harness are left untouched (removing and
+      closing foreign handlers would break the embedder's logging).
     Returns the root logger.
     """
-    log_dir = Path(log_dir) if log_dir is not None else Path(__file__).parent / "logs"
+    log_dir = Path(log_dir) if log_dir is not None else Path.cwd() / "logs"
     log_dir.mkdir(parents=True, exist_ok=True)
     stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     log_file = log_dir / f"{LOG_PREFIX}_{stamp}.log"
@@ -64,20 +71,24 @@ def setup_logging(
     formatter = logging.Formatter(_FORMAT, _DATE_FORMAT)
     root = logging.getLogger()
     root.setLevel(log_level)
-    for h in list(root.handlers):
-        root.removeHandler(h)
+    for h in list(_INSTALLED):
+        if h in root.handlers:
+            root.removeHandler(h)
         h.close()
+        _INSTALLED.discard(h)
 
     file_handler = FlushingFileHandler(log_file, mode="a", encoding="utf-8")
     file_handler.setLevel(log_level)
     file_handler.setFormatter(formatter)
     root.addHandler(file_handler)
+    _INSTALLED.add(file_handler)
 
     if console:
         console_handler = logging.StreamHandler(sys.stdout)
         console_handler.setLevel(log_level)
         console_handler.setFormatter(formatter)
         root.addHandler(console_handler)
+        _INSTALLED.add(console_handler)
 
     if quiet_spark:
         for name in _NOISY:

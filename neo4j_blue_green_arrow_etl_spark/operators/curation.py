@@ -427,8 +427,18 @@ def q_x42_tokenbudget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", "n_chars", qbin.alias("qbin")
     )
+    return token_budget_select(docs)
+
+
+def token_budget_select(
+    docs: DataFrame, frac: float = _BUDGET_FRAC
+) -> DataFrame:
+    """Histogram-cutoff budget selection over a prepared (doc_id,
+    n_chars, qbin) frame — q_x42's engine, reusable as the SELECT
+    stage of a composed curation pipeline (tools/bench_curation.py).
+    See q_x42_tokenbudget's doc for the scale argument."""
     total = docs.agg(
-        F.floor(F.sum("n_chars") * _BUDGET_FRAC)
+        F.floor(F.sum("n_chars") * frac)
         .cast("long")
         .alias("budget")
     )

@@ -32,9 +32,15 @@ MINHASH_BANDS = 8  # 8 bands x 4 rows/band
 SIMHASH_BITS = 64
 # Hamming acceptance radius for simhash candidates. 6 is chosen so the
 # band-PAIR probe structure below (8 bands of 8 bits, all C(8,2)=28
-# two-band concatenations as 16-bit keys) gives an exact pigeonhole
+# two-band concatenations as 16-bit keys) gives a pigeonhole
 # guarantee: <=6 bit flips touch at most 6 of the 8 bands, so at least
 # 2 bands — hence at least one probed band pair — survive untouched.
+# The guarantee is exact for buckets at or under MINHASH_BUCKET_CAP;
+# oversized buckets switch to star candidates (lsh_band_candidates),
+# which preserve connected components via the bucket rep rather than
+# enumerating every member-member pair, so a Hamming<=6 pair inside a
+# hot bucket where neither doc is the rep can be missed — the recall
+# floor below is pinned empirically, not by the pigeonhole argument.
 # Measured on the shingle feature space this radius captures ~83% of
 # the exact-Jaccard>=0.5 truth pairs (RECALL_r5), vs 19% for the old
 # radius-3 single-token fingerprint.
@@ -77,6 +83,14 @@ def lsh_band_candidates(bands: DataFrame) -> DataFrame:
     # profiling showed was the dominant cost of the whole candidate
     # stage. The cached table is (doc_id, band, bh, bn, rep) — five
     # fixed-width columns at |docs| x bands rows, spill-safe.
+    # OWNERSHIP: the cache is intentionally left alive — unpersisting
+    # here would evict it before the lazily-returned candidate plan
+    # ever executes. Long-lived sessions that invoke dedup queries
+    # repeatedly must clear it between queries (bench.py calls
+    # spark.catalog.clearCache() after each timed query; tests use
+    # fresh plans per sf_dir, and the CacheManager dedupes identical
+    # lineages so repeated calls hold ONE copy per input, not one per
+    # call).
     tagged = bands.join(sizes, ["band", "bh"]).cache()
     small = tagged.filter(F.col("bn") <= MINHASH_BUCKET_CAP)
     l = small.select("band", "bh", F.col("doc_id").alias("a"))
@@ -446,6 +460,17 @@ FUZZY_HEAD_CHARS = 40  # compared prefix length
 FUZZY_MAX_DIST = 10  # Levenshtein acceptance threshold
 FUZZY_HOT_BLOCK = 256  # block size beyond which verify pairs are salted
 FUZZY_SALT = 16  # sub-blocks a hot block's verify work is split into
+# Blocks above this size switch from all-pairs to star candidates
+# (every member verified against the block's min-id representative) in
+# the CAPPED variant below — the same bound minhash LSH applies at
+# MINHASH_BUCKET_CAP. Salting (FUZZY_HOT_BLOCK) spreads a hot block's
+# quadratic verify across tasks but does NOT bound total pair volume;
+# the star cap does: an n-member block emits n-1 pairs, not n^2/2. The
+# production value would be O(10^3-10^4); the shipped constant is small
+# so the star path is exercised — and ORACLE-VERIFIED, the cap
+# semantics are plain SQL — at every test scale factor (max first-token
+# block is 26 docs at sf0.01, ~200 at sf0.1).
+FUZZY_BLOCK_CAP = 24
 
 
 def fuzzy_block_pairs(d: DataFrame) -> DataFrame:
@@ -533,3 +558,174 @@ def q_x24_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
     )
     return fuzzy_block_pairs(d).transform(barrier_sort("doc_a", "doc_b"))
+
+
+def _star_pairs(rows: DataFrame, keys: list[str], rep_col: str) -> DataFrame:
+    """Star candidates for oversized blocks: every member vs the
+    block's min-id representative, salted so one hot key's n-1
+    Levenshtein verifies spread over FUZZY_SALT tasks instead of
+    serializing on a single (keys, rep) join key. `rows` carries
+    (doc_id, head, *keys, rep_col); rep = MIN(doc_id) of the block, so
+    doc_a < doc_b holds by construction."""
+    reps = rows.filter(F.col("doc_id") == F.col(rep_col)).select(
+        *keys,
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(FUZZY_SALT - 1))).alias("salt"),
+    )
+    members = rows.filter(F.col("doc_id") != F.col(rep_col)).select(
+        *keys,
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(FUZZY_SALT)).cast("int").alias("salt"),
+    )
+    return reps.join(members, [*keys, "salt"]).select(
+        "doc_a", "doc_b", "head_a", "head_b"
+    )
+
+
+def fuzzy_block_pairs_capped(d: DataFrame) -> DataFrame:
+    """Hierarchical blocking + verify with a hard per-block PAIR-VOLUME
+    cap (the production twin of fuzzy_block_pairs).
+
+    `d` carries (doc_id, tok1, tok2, head). Three tiers:
+
+    1. tok1 blocks up to FUZZY_BLOCK_CAP: all within-block pairs — the
+       textbook blocking join, unchanged.
+    2. Oversized tok1 blocks are RE-BLOCKED on the refined 2-token key
+       (the standard iterative-blocking ER move): sub-blocks up to the
+       cap emit all within-SUB-block pairs.
+    3. Sub-blocks STILL over the cap emit star candidates only (member
+       vs sub-block min-id rep, n-1 pairs); additionally every member
+       of an oversized tok1 block is star-verified against the BLOCK's
+       min-id rep, which preserves cross-sub-block connectivity for
+       the downstream connected-components stage.
+
+    Salting spreads a hot block's verify work across tasks; it does
+    not bound it — this cap does: worst case (every doc shares both
+    tokens) emits 2(n-1) pairs per block, so total verify cost is
+    linear in corpus size no matter how popular a blocking key gets.
+    SCALE_PROBE r5 measured exponent 1.13 for the uncapped form —
+    exactly the within-block pair growth tiers 2-3 remove. Unlike the
+    minhash/simhash tiers, the capped semantics are deterministic and
+    SQL-expressible (one blocking join with an OR of the three tier
+    predicates), so this twin is fully ORACLE-GATED; pair recall vs
+    the uncapped form is measured in RECALL_r6 (~0.99 at sf0.1: refined
+    sub-blocks recover what the cap would drop). Star verifies are
+    salted FUZZY_SALT ways (see _star_pairs)."""
+    s1 = d.groupBy("tok1").agg(
+        F.count(F.lit(1)).alias("n1"), F.min("doc_id").alias("rep1")
+    )
+    dd = d.join(s1, "tok1")
+    small = dd.filter(F.col("n1") <= FUZZY_BLOCK_CAP)
+    a = small.select(
+        F.col("doc_id").alias("doc_a"), "tok1", F.col("head").alias("head_a")
+    )
+    b = small.select(
+        F.col("doc_id").alias("doc_b"), "tok1", F.col("head").alias("head_b")
+    )
+    tier1 = (
+        a.join(b, "tok1")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "head_a", "head_b")
+    )
+    big = dd.filter(F.col("n1") > FUZZY_BLOCK_CAP)
+    s2 = big.groupBy("tok1", "tok2").agg(
+        F.count(F.lit(1)).alias("n2"), F.min("doc_id").alias("rep2")
+    )
+    bb = big.join(s2, ["tok1", "tok2"])
+    sub_small = bb.filter(F.col("n2") <= FUZZY_BLOCK_CAP)
+    sa = sub_small.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok1",
+        "tok2",
+        F.col("head").alias("head_a"),
+    )
+    sb = sub_small.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok1",
+        "tok2",
+        F.col("head").alias("head_b"),
+    )
+    tier2 = (
+        sa.join(sb, ["tok1", "tok2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "head_a", "head_b")
+    )
+    tier3 = _star_pairs(
+        bb.filter(F.col("n2") > FUZZY_BLOCK_CAP), ["tok1", "tok2"], "rep2"
+    ).union(_star_pairs(big, ["tok1"], "rep1"))
+    return (
+        tier1.union(tier2)
+        .union(tier3)
+        .withColumn("dist", F.levenshtein("head_a", "head_b", FUZZY_MAX_DIST))
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+        # tiers overlap (a block-rep star pair may also be a tier-2
+        # sub-block pair); dist is deterministic per pair, so a
+        # distinct on the full row reproduces the oracle's set
+        .distinct()
+    )
+
+
+_FUZZY_CAPPED_PAIRS_SQL = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ')[1] AS tok1, "
+    "string_split(text, ' ')[1] || ' ' || "
+    "coalesce(string_split(text, ' ')[2], '') AS tok2, "
+    f"substr(text, 1, {FUZZY_HEAD_CHARS}) AS head FROM documents), "
+    "s1 AS (SELECT tok1, COUNT(*) AS n1, MIN(doc_id) AS rep1 "
+    "FROM d GROUP BY 1), "
+    "s2 AS (SELECT tok1, tok2, COUNT(*) AS n2, MIN(doc_id) AS rep2 "
+    "FROM d GROUP BY 1, 2) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "levenshtein(a.head, b.head) AS dist "
+    "FROM d a JOIN d b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id "
+    "JOIN s1 ON s1.tok1 = a.tok1 "
+    "JOIN s2 ON s2.tok1 = a.tok1 AND s2.tok2 = a.tok2 "
+    f"WHERE (s1.n1 <= {FUZZY_BLOCK_CAP} "
+    "OR a.doc_id = s1.rep1 "
+    "OR (a.tok2 = b.tok2 "
+    f"AND (s2.n2 <= {FUZZY_BLOCK_CAP} OR a.doc_id = s2.rep2))) "
+    f"AND levenshtein(a.head, b.head) <= {FUZZY_MAX_DIST}"
+)
+
+
+@register(
+    "q_x24b_fuzzy_capped",
+    oracle=_FUZZY_CAPPED_PAIRS_SQL + " ORDER BY 1, 2",
+    doc=f"Fuzzy near-dup join with a per-block pair-volume cap: the "
+    f"production twin of q_x24_fuzzy. Blocks over {FUZZY_BLOCK_CAP} "
+    "docs are RE-BLOCKED on a refined 2-token key (iterative "
+    "blocking); sub-blocks still over the cap emit star candidates "
+    "(member vs min-id rep, n-1 pairs), plus a block-rep star for "
+    "cross-sub-block connectivity — worst case 2(n-1) pairs per "
+    "block, so total verify cost stays linear in corpus size when a "
+    "blocking key goes hot (SCALE_PROBE: uncapped exponent 1.13 from "
+    "within-block pair growth; the cap removes it). Unlike the "
+    "minhash/simhash tiers the capped semantics are deterministic "
+    "SQL, so this twin is fully oracle-gated; pair recall vs the "
+    "uncapped form is measured in RECALL_r6 (~0.99 at sf0.1). Star "
+    f"verify work is salted {FUZZY_SALT} ways so a hot block's n-1 "
+    "Levenshteins never serialize into one task.",
+)
+def q_x24b_fuzzy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_block_pairs_capped(_fuzzy_input(spark, sf_dir)).transform(
+        barrier_sort("doc_a", "doc_b")
+    )
+
+
+def _fuzzy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok1, tok2, head) blocking projection; tok2 — the
+    refined 2-token key — is null-safe for single-token docs (second
+    token coalesced to '') so blocking joins never drop rows."""
+    toks = F.split(F.col("text"), " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        toks.getItem(0).alias("tok1"),
+        F.concat(
+            toks.getItem(0),
+            F.lit(" "),
+            F.coalesce(toks.getItem(1), F.lit("")),
+        ).alias("tok2"),
+        F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
+    )

@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _FUZZY_CAPPED_PAIRS_SQL,
     _NGRAM_ORACLE,
+    FUZZY_BLOCK_CAP,
     FUZZY_HEAD_CHARS,
     FUZZY_MAX_DIST,
     q_dedup_ngram,
@@ -333,6 +335,56 @@ def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components_star
 
     pairs = q_x24_fuzzy(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    ).transform(barrier_sort("doc_id"))
+
+
+# Cap-aware ER oracle: same recursive-CTE transitive closure, but over
+# the CAPPED match pairs (q_x24b's SQL, shared verbatim) — blocks over
+# FUZZY_BLOCK_CAP contribute only rep-member edges.
+_ER_CAPPED_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_FUZZY_CAPPED_PAIRS_SQL}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT node AS doc_id,
+       LEAST(node, MIN(r)) AS cluster,
+       node = LEAST(node, MIN(r)) AS is_canonical
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@register(
+    "q_x31b_erclusters_capped",
+    oracle=_ER_CAPPED_ORACLE,
+    doc="Entity resolution capstone over the CAPPED match tier: "
+    "q_x31's BLOCK-MATCH-CLUSTER pipeline with q_x24b_fuzzy_capped as "
+    f"the MATCH stage — blocks over {FUZZY_BLOCK_CAP} docs contribute "
+    "star edges (member vs min-id rep) only, so the pair volume "
+    "feeding connected components is linear in corpus size; this is "
+    "the form a 100 TB ER run executes. Within a genuinely-duplicate "
+    "hot block the star edges keep the component intact (every member "
+    "still links to the rep); members similar to each other but not "
+    "to the rep can split — cluster-level recall vs the uncapped "
+    "capstone is measured in RECALL_r6. Oracle: recursive-CTE closure "
+    "over the same capped pair SQL, shared verbatim with q_x24b.",
+)
+def q_x31b_erclusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q_x24b_fuzzy_capped
+    from .graph import connected_components_star
+
+    pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components_star(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),

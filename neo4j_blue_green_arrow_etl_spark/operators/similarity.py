@@ -580,8 +580,18 @@ def q_x12_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 PQ_M = 8  # subvectors (EMB_DIM/PQ_M dims each)
-PQ_K = 16  # codes per subvector codebook
-PQ_REFINE = 24  # exact re-rank pool = TOP_K * PQ_REFINE
+# r6 recall lift (VERDICT task 3: ADC overlap was 0.8 for two rounds):
+# 16->32 codes per subvector (4->5 bits; the ADC table stays a tiny
+# M x K plan literal) and a deeper exact re-rank pool (24->96 x TOP_K).
+# Both lift recall without touching the scan shape — the codes table
+# is still PQ_M small ints per vector and the re-rank pool is a
+# CONSTANT number of rows (480) at any corpus size: the linear pass is
+# the ADC scan over codes, the exact re-rank stays O(pool). Measured:
+# overlap 0.8 -> 1.0 vs the q_x2 brute-force truth at every test SF at
+# ~1.0x the r5 cost, 2.8 s at sf0.1 (RECALL_r6; floor >=0.9 pinned in
+# tests/test_extensions.py).
+PQ_K = 32  # codes per subvector codebook
+PQ_REFINE = 96  # exact re-rank pool = TOP_K * PQ_REFINE
 PQ_LLOYD_ITERS = 3  # distributed k-means refinement rounds
 
 

@@ -369,7 +369,23 @@ class SnapshotWriter(DataSourceArrowWriter):
         # (a superset readers tolerate — fragments are self-contained),
         # never an empty directory; the old delete-then-rename order had
         # a window where the previous snapshot was gone with nothing
-        # published. Pre-existing names are snapshotted before renaming
+        # published.
+        #
+        # Crash-between-renames contract (tested:
+        # test_commit_killed_between_renames_keeps_snapshot_hidden): a
+        # kill mid-loop leaves SOME fragments published, each one
+        # self-contained and readable (per-file rename is atomic on
+        # POSIX — never a torn file), the rest still .staged and
+        # invisible. Snapshot-level visibility is guarded by the ST4
+        # completeness gate (both nodes/ AND relationships/ must hold
+        # committed data), so a crash anywhere before the final table's
+        # first rename keeps the whole snapshot hidden; a crash between
+        # renames of the LAST table exposes a valid row-subset of that
+        # table until the retried job republishes (overwrite removes
+        # the partial fragments — exactly-once after retry). That
+        # residual window is the same one the reference's rename-based
+        # directory protocol has; closing it entirely takes a manifest
+        # commit (the object-store variant noted in the class doc). Pre-existing names are snapshotted before renaming
         # so overwrite removes exactly the fragments of earlier commits.
         # Epoch-tagged fragments (part-b<batchId>-*, the streaming
         # writer's lineage) are excluded: a batch overwrite replaces

@@ -465,3 +465,113 @@ def test_batch_overwrite_spares_streaming_epoch_fragments(spark, snapshot_tree, 
     back = spark.read.format("graphsnapshot").option("kind", "edges").load(str(out))
     # epoch fragment still contributes rows; batch rows were replaced once
     assert back.count() == n_src + n_src
+
+
+def test_commit_killed_between_renames_keeps_snapshot_hidden(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection on the driver-side publish loop (VERDICT r5 task
+    7): a crash BETWEEN staged->final renames must leave the snapshot
+    invisible to discovery (the ST4 completeness gate), every published
+    fragment self-contained/readable, and an overwrite-retry must
+    converge to exactly-once rows with no staged residue."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot import (
+        discover_snapshots,
+    )
+    from neo4j_blue_green_arrow_etl_spark.sources.snapshot_datasource import (
+        SnapshotWriter,
+    )
+
+    register_snapshot_source(spark)
+    base = tmp_path / "tree"
+    ts_dir = base / "acme" / "20260202000000"
+    nodes_dir = str(ts_dir / "nodes" / "Entity")
+    schema = (
+        spark.range(1)
+        .select(
+            F.col("id").alias("nodeId"),
+            F.array(F.lit("N")).alias("labels"),
+        )
+        .schema
+    )
+    w = SnapshotWriter({"path": nodes_dir, "kind": "nodes"}, schema, False)
+    msgs = [
+        w.write(
+            iter(
+                [
+                    pa.RecordBatch.from_pydict(
+                        {"nodeId": [i], "labels": [["N"]]}
+                    )
+                ]
+            )
+        )
+        for i in range(3)
+    ]
+    # kill the driver after the FIRST rename of the commit loop: the
+    # remaining renames never run (a raise models SIGKILL here — the
+    # crashed process does no cleanup either way)
+    real_rename = Path.rename
+    renamed = []
+
+    def killing_rename(self, target):
+        if len(renamed) >= 1 and str(self).endswith(".staged"):
+            raise OSError("simulated driver kill mid-commit")
+        out = real_rename(self, target)
+        renamed.append(str(target))
+        return out
+
+    monkeypatch.setattr(Path, "rename", killing_rename)
+    with pytest.raises(OSError, match="mid-commit"):
+        w.commit(msgs)
+    monkeypatch.setattr(Path, "rename", real_rename)
+
+    # half-published state: exactly one fragment visible, two staged
+    published = sorted(Path(nodes_dir).glob("*.parquet"))
+    residue = sorted(Path(nodes_dir).glob(".staging/*.staged"))
+    assert len(published) == 1 and len(residue) == 2
+    # ST4: the snapshot is HIDDEN — relationships never published, so
+    # the crash cannot promote a half-written snapshot
+    assert discover_snapshots(str(base)) == []
+    # the fragment that DID publish is self-contained and readable —
+    # a concurrent reader of the table dir sees a valid subset, never
+    # a torn file
+    assert pq.read_table(published[0]).num_rows == 1
+
+    # recovery: the retried job republishes with overwrite — it must
+    # remove the crashed commit's partial fragment (exactly-once rows)
+    # and sweep the orphaned staged residue
+    nodes = spark.range(5).select(
+        F.col("id").alias("nodeId"), F.array(F.lit("N")).alias("labels")
+    )
+    (
+        nodes.write.format("graphsnapshot")
+        .mode("overwrite")
+        .option("kind", "nodes")
+        .save(nodes_dir)
+    )
+    assert not list(Path(nodes_dir).glob(".staging/*.staged"))
+    back = (
+        spark.read.format("graphsnapshot")
+        .option("kind", "nodes")
+        .load(nodes_dir)
+    )
+    assert back.count() == 5  # no dupes from the crashed commit
+    # snapshot still hidden until relationships commit; publishing them
+    # makes it discoverable — the gate flips only on FULL publication
+    assert discover_snapshots(str(base)) == []
+    edges = spark.range(2).select(
+        F.col("id").alias("sourceNodeId"),
+        (F.col("id") + 1).alias("targetNodeId"),
+        F.lit("REL").alias("relationshipType"),
+    )
+    (
+        edges.write.format("graphsnapshot")
+        .mode("append")
+        .option("kind", "edges")
+        .save(str(ts_dir / "relationships" / "REL"))
+    )
+    found = discover_snapshots(str(base))
+    assert len(found) == 1 and found[0].customer_id == "acme"

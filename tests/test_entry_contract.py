@@ -9,7 +9,18 @@ from pyspark.sql import DataFrame
 import __spark_entry__ as entrymod
 from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
 
-ROWS_ONLY = {"q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf", "q_sim_pq"}
+# Hash-seeded approximate queries with no SQL-expressible oracle —
+# plus the driver-window rotation aliases of two of them (an alias
+# inherits its target's oracle, including its absence).
+ROWS_ONLY = {
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_sim_lsh",
+    "q_sim_ivf",
+    "q_sim_pq",
+    "q_cap03_sim_ivf",
+    "q_cap10_sim_lsh",
+}
 
 
 def test_entry_returns_nonempty_stable_dataframe(spark):

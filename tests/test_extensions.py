@@ -250,12 +250,13 @@ def test_pq_topk_recall_vs_brute_force(spark):
     candidates): the exact re-rank means any true neighbor in the pool
     ranks correctly. On these near-random synthetic vectors (PQ's
     worst case — no cluster structure for the codebooks to exploit)
-    recall@5 is 0.8 at sf0.001/sf0.01 with 3 Lloyd rounds; assert the
-    0.6 floor."""
+    recall@5 is 1.0 at every test SF with the r6 parameters (32 codes
+    per subvector, 96 x TOP_K re-rank pool); assert the 0.9 floor
+    (VERDICT r5 task 3)."""
     brute = [r.vec_id for r in REGISTRY["q_x2"].spark(spark, SF_SMOKE).collect()]
     pq = [r.vec_id for r in REGISTRY["q_sim_pq"].spark(spark, SF_SMOKE).collect()]
     overlap = len(set(brute) & set(pq)) / len(brute)
-    assert overlap >= 0.6, f"PQ recall@5 {overlap:.2f} too low"
+    assert overlap >= 0.9, f"PQ recall@5 {overlap:.2f} too low"
 
 
 def test_pq_codes_are_bounded_and_complete(spark):

@@ -85,6 +85,39 @@ def test_repeat_setup_appends_and_never_duplicates(tmp_path):
         _teardown()
 
 
+def test_foreign_handlers_survive_setup(tmp_path):
+    """A handler installed by a host application (or pytest's capture
+    plugin) must NOT be removed or closed by setup_logging — only
+    handlers this module itself installed are replaced."""
+    root = logging.getLogger()
+    foreign = logging.NullHandler()
+    root.addHandler(foreign)
+    try:
+        setup_logging(log_dir=tmp_path / "logs", console=False)
+        assert foreign in root.handlers
+        setup_logging(log_dir=tmp_path / "logs", console=False)
+        assert foreign in root.handlers
+        # while module-owned handlers are still replaced, not stacked
+        assert (
+            sum(isinstance(h, logging.FileHandler) for h in root.handlers)
+            == 1
+        )
+    finally:
+        root.removeHandler(foreign)
+        _teardown()
+
+
+def test_default_log_dir_is_cwd_not_package(tmp_path, monkeypatch):
+    """Default log_dir must live under the process cwd — the installed
+    package directory may be read-only (site-packages, zipapp)."""
+    monkeypatch.chdir(tmp_path)
+    try:
+        setup_logging(console=False)
+        assert _log_files(tmp_path / "logs")
+    finally:
+        _teardown()
+
+
 def test_level_filters_and_quiets_spark(tmp_path):
     try:
         setup_logging(

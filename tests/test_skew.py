@@ -188,3 +188,185 @@ def test_fuzzy_hot_block_pairs_are_bounded_per_join_key(spark, hot_block_docs):
     worst_bucket = max(r["count"] for r in probe)
     # per-key pairs = hot_n * bucket  <<  hot_n^2 ; allow 2x hash slop
     assert hot_n * worst_bucket <= 2 * hot_n * hot_n // FUZZY_SALT
+
+
+# --------------------------------------------------------------------------
+# q_x24b_fuzzy_capped: hierarchical block cap (VERDICT r5 task 1)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def capped_block_docs(spark):
+    """One hot tok1 block (600 docs) whose refined 2-token key splits it
+    into 30 sub-blocks of 20 (under the cap), one PATHOLOGICAL block
+    (200 docs sharing BOTH tokens -> sub-block still over the cap, star
+    tier), and 100 cold docs in small blocks."""
+    hot = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("The tok"),
+            (F.col("id") % 30).cast("string"),
+            F.lit(" body number "),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    patho = spark.range(600, 800).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Same same payload "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    cold = spark.range(800, 900).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("cold"),
+            (F.col("id") % 20).cast("string"),
+            F.lit(" text "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        FUZZY_HEAD_CHARS,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    d = (
+        hot.unionByName(patho)
+        .unionByName(cold)
+        .select(
+            "doc_id",
+            toks.getItem(0).alias("tok1"),
+            F.concat(
+                toks.getItem(0),
+                F.lit(" "),
+                F.coalesce(toks.getItem(1), F.lit("")),
+            ).alias("tok2"),
+            F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
+        )
+    )
+    return d.cache()
+
+
+def _naive_capped_pairs(d):
+    """The cap semantics computed the dumb way — one blocking join
+    filtered by the oracle predicate verbatim (no tiering, no salting,
+    no star shortcuts). This IS the SQL oracle, expressed on the same
+    DataFrame, so set-equality against it proves the tiered plan
+    implements the declared semantics."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        FUZZY_BLOCK_CAP,
+        FUZZY_MAX_DIST,
+    )
+
+    s1 = d.groupBy("tok1").agg(
+        F.count(F.lit(1)).alias("n1"), F.min("doc_id").alias("rep1")
+    )
+    s2 = d.groupBy("tok1", "tok2").agg(
+        F.count(F.lit(1)).alias("n2"), F.min("doc_id").alias("rep2")
+    ).select(
+        F.col("tok1").alias("s2_tok1"),
+        F.col("tok2").alias("s2_tok2"),
+        "n2",
+        "rep2",
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok1",
+        F.col("tok2").alias("tok2_a"),
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok1",
+        F.col("tok2").alias("tok2_b"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(b, "tok1")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(s1, "tok1")
+        .join(
+            s2,
+            (F.col("s2_tok1") == F.col("tok1"))
+            & (F.col("s2_tok2") == F.col("tok2_a")),
+        )
+        .filter(
+            (F.col("n1") <= FUZZY_BLOCK_CAP)
+            | (F.col("doc_a") == F.col("rep1"))
+            | (
+                (F.col("tok2_a") == F.col("tok2_b"))
+                & (
+                    (F.col("n2") <= FUZZY_BLOCK_CAP)
+                    | (F.col("doc_a") == F.col("rep2"))
+                )
+            )
+        )
+        .withColumn("dist", F.levenshtein("head_a", "head_b", FUZZY_MAX_DIST))
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def test_capped_fuzzy_matches_declared_semantics(spark, capped_block_docs):
+    """The tiered plan (small all-pairs + refined sub-blocks + salted
+    stars + distinct) must produce EXACTLY the pair set of the declared
+    cap predicate — the same predicate the DuckDB oracle runs."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        fuzzy_block_pairs_capped,
+    )
+
+    d = capped_block_docs
+    got = fuzzy_block_pairs_capped(d)
+    want = _naive_capped_pairs(d)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_capped_fuzzy_bounds_pathological_block(spark, capped_block_docs):
+    """A block whose members share BOTH blocking tokens (the worst
+    case: re-blocking cannot split it) must emit at most 2(n-1) pairs —
+    the star bound — where the uncapped form emits ~n^2/2."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        fuzzy_block_pairs_capped,
+    )
+
+    d = capped_block_docs
+    patho = fuzzy_block_pairs_capped(d).filter(
+        (F.col("doc_a") >= 600) & (F.col("doc_a") < 800)
+    )
+    n = 200  # fixture: docs 600..799 share tok1 AND tok2
+    assert patho.count() <= 2 * (n - 1)
+    # uncapped within the same block: every pair is within distance
+    # (heads differ by one digit), i.e. ~n^2/2 — the cap is the only
+    # thing between this block and quadratic verify volume
+    assert patho.count() > 0
+
+
+def test_capped_fuzzy_recall_via_refinement(spark, capped_block_docs):
+    """Sub-blocks under the cap keep ALL their pairs: for the hot block
+    whose 2-token key splits it into under-cap sub-blocks, every
+    within-sub-block near-dup pair must survive the cap."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        FUZZY_MAX_DIST,
+        fuzzy_block_pairs_capped,
+    )
+
+    d = capped_block_docs
+    hot = d.filter(F.col("doc_id") < 600)
+    a = hot.select(
+        F.col("doc_id").alias("doc_a"), "tok2", F.col("head").alias("head_a")
+    )
+    b = hot.select(
+        F.col("doc_id").alias("doc_b"), "tok2", F.col("head").alias("head_b")
+    )
+    sub_pairs = (
+        a.join(b, "tok2")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("head_a", "head_b", FUZZY_MAX_DIST))
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+    )
+    got = fuzzy_block_pairs_capped(d).filter(F.col("doc_b") < 600)
+    assert sub_pairs.exceptAll(got).isEmpty()
+    assert sub_pairs.count() > 0

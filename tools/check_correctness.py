@@ -108,6 +108,10 @@ def main() -> int:
                 "rows": len(srows),
                 "secs": round(time.time() - t0, 2),
                 "detail": "no oracle by design; recall asserted in pytest",
+                # canonical hash of the Spark result: lets a later round
+                # diff sweeps without re-running (hash-seeded queries
+                # are deterministic per sf_dir, just not SQL-expressible)
+                "hash": canon(srows, scols),
             }
             continue
         try:
@@ -129,6 +133,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={scols} oracle={ocols}")
+        hs = None
         if not problems:
             hs, ho = canon(srows, scols), canon(orows, ocols)
             if hs != ho:
@@ -153,6 +158,10 @@ def main() -> int:
                 "rows": len(srows),
                 "secs": round(time.time() - t0, 2),
                 "detail": None,
+                # canonical value hash (identical for spark and oracle
+                # on a pass): lets the next judge diff rounds without
+                # re-running Spark (VERDICT r5 task 8)
+                "hash": hs,
             }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     if out_path:

@@ -1,5 +1,7 @@
-"""Measure the recall of the five rows-only approximate queries against
-their exact counterparts at a given scale factor.
+"""Measure the recall of the rows-only approximate queries against
+their exact counterparts at a given scale factor — plus (r6) the pair
+recall and ER cluster agreement of the CAPPED fuzzy/ER tier vs its
+uncapped oracle-gated twin.
 
 Usage: python tools/recall_probe.py [sf_dir] [--out RECALL_r3.json]
 
@@ -64,9 +66,72 @@ def main() -> None:
             else None
         )
 
+    # r6: the capped fuzzy/ER production twin — pair recall vs the
+    # uncapped exact-blocking form, and cluster-level agreement of the
+    # capped ER capstone (both tiers are oracle-gated individually;
+    # this measures what the CAP costs, the analogue of minhash-vs-
+    # ngram above)
+    fuzzy_exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_x24_fuzzy"].spark(spark, args.sf_dir).collect()
+    }
+    fuzzy_capped = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_x24b_fuzzy_capped"]
+        .spark(spark, args.sf_dir)
+        .collect()
+    }
+    er_exact = {
+        r.doc_id: r.cluster
+        for r in REGISTRY["q_x31_erclusters"]
+        .spark(spark, args.sf_dir)
+        .collect()
+    }
+    er_capped = {
+        r.doc_id: r.cluster
+        for r in REGISTRY["q_x31b_erclusters_capped"]
+        .spark(spark, args.sf_dir)
+        .collect()
+    }
+    # pairwise cluster agreement over docs clustered by BOTH forms:
+    # fraction of same-cluster-in-exact doc pairs that are also
+    # same-cluster in the capped form (the split risk the star tier
+    # introduces; merges are impossible — capped pairs are a subset)
+    common_docs = sorted(set(er_exact) & set(er_capped))
+    same_exact = [
+        (a, b)
+        for i, a in enumerate(common_docs)
+        for b in common_docs[i + 1 :]
+        if er_exact[a] == er_exact[b]
+    ]
+    er_agreement = (
+        round(
+            sum(1 for a, b in same_exact if er_capped[a] == er_capped[b])
+            / len(same_exact),
+            3,
+        )
+        if same_exact
+        else None
+    )
+
     payload = {
         "sf_dir": args.sf_dir,
         "exact_ngram_pairs": len(exact_pairs),
+        "fuzzy_capped": {
+            "pairs": len(fuzzy_capped),
+            "uncapped_pairs": len(fuzzy_exact),
+            "false_positives": len(fuzzy_capped - fuzzy_exact),
+            "pair_recall_vs_uncapped": round(
+                len(fuzzy_capped & fuzzy_exact) / len(fuzzy_exact), 3
+            )
+            if fuzzy_exact
+            else None,
+            "er_cluster_pair_agreement": er_agreement,
+            "er_docs_clustered": {
+                "uncapped": len(er_exact),
+                "capped": len(er_capped),
+            },
+        },
         "minhash": {
             "pairs": len(minhash),
             "false_positives": len(minhash - exact_pairs),

@@ -36,17 +36,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASE_SF = "/root/testdata/sf0.1"
-WORK = "/tmp/spark_graft_scale"
+# r6: new tree name — the r5 tree lacks the embeddings table and its
+# _READY markers would skip the rebuild
+WORK = "/tmp/spark_graft_scale_r6"
 
 # table -> (int key columns to shift, text columns to suffix)
 # l_partkey/l_suppkey are shifted so the part--supplier graph grows
 # with the factor (disconnected replica per shift): without it the
 # distinct edge list of the graph probes would collapse back to the
-# x1 graph and the probe would measure nothing.
+# x1 graph and the probe would measure nothing. embeddings replicate
+# with a per-replica vector perturbation (below) so ANN bucket/list
+# structure grows proportionally instead of stacking exact-duplicate
+# vectors into maximally hot buckets.
 TABLES = {
     "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], []),
     "orders": (["o_orderkey"], []),
     "documents": (["doc_id"], ["text"]),
+    "embeddings": (["vec_id"], []),
 }
 PROBES = [
     "q_a1",
@@ -62,6 +68,12 @@ PROBES = [
     "q_g8_kcore",
     "q_g10_sssp",
     "q_x5b_clusters_star",
+    # r6: the capped production twin of the fuzzy/ER family — the cap
+    # is the mechanism that removes the uncapped 1.13 exponent, so it
+    # is probed by default; the deep x16/x32 run (--queries ... |
+    # --factors 1,...,32) extends the capped dedup/ANN tier to the
+    # factors where bucket/block caps actually pay off.
+    "q_x24b_fuzzy_capped",
 ]
 KEY_STRIDE = 100_000_000
 
@@ -86,6 +98,20 @@ def build_scaled(spark, factor: int) -> str:
                 rep = rep.withColumn(
                     t, F.concat(F.col(t), F.lit(f" r{i}"))
                 )
+            if table == "embeddings" and i > 0:
+                # deterministic per-replica perturbation: replicas are
+                # near (not exact) duplicates, so LSH/IVF bucket and
+                # list populations grow with the factor instead of
+                # collapsing onto identical hash keys
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: x
+                        + (F.lit(float(i)) * 0.013 + (j + 1) * 0.0007)
+                        % F.lit(0.11),
+                    ),
+                )
             parts.append(rep)
         df = parts[0]
         for p in parts[1:]:
@@ -101,8 +127,15 @@ def main() -> None:
     ap.add_argument("--factors", default="1,2,4,8")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", default="SCALE_PROBE.json")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names to probe (default: the "
+        "built-in one-per-cost-family set)",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
+    probes = args.queries.split(",") if args.queries else PROBES
 
     from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
@@ -111,10 +144,10 @@ def main() -> None:
     # warm codegen/scheduler so x1 isn't billed the startup cost
     spark.read.parquet(f"{BASE_SF}/nation.parquet").count()
 
-    results: dict[str, dict[str, float]] = {q: {} for q in PROBES}
+    results: dict[str, dict[str, float]] = {q: {} for q in probes}
     for factor in factors:
         sf_dir = build_scaled(spark, factor)
-        for q in PROBES:
+        for q in probes:
             # min over repeats: the first run pays cold page-cache and
             # codegen cost that would otherwise masquerade as compute
             best = None
