@@ -4,6 +4,7 @@ duplicate clusters -> canonical-survivor selection -> quality-histogram
 token-budget selection — end to end over an N-replica documents table.
 
 Usage: python tools/bench_curation.py [sf_dir] [--scale N] [--frac F]
+                                      [--mode disjoint|neardup]
                                       [--out FILE.json]
 
 Per-operator probes (tools/scale_probe.py) prove each stage's scaling
@@ -15,10 +16,17 @@ included. Prints one JSON line with wall time, per-stage seconds, and
 docs/s; the BASELINE.md "curation capstone" row records the x100 run
 (VERDICT r5 task 6).
 
-The scaled input replicates sf0.1's documents with SHIFTED doc_ids and
-a per-replica text suffix (the scale_probe discipline): duplicate
-structure and block/bucket populations grow with the factor instead of
-collapsing into all-duplicates.
+The scaled input replicates sf0.1's documents with SHIFTED doc_ids;
+--mode picks the text discipline (see build_scaled_docs): "disjoint"
+grows duplicate structure linearly (the honest N x data measurement),
+"neardup" builds the adversarial all-duplicates corpus that stress-
+tests the bucket/block caps.
+
+Memory: the x100 run (500k docs, ~80M cached shingle rows, 32
+concurrent tasks) needs more than the 8g default single-JVM heap —
+run with SPARK_GRAFT_DRIVER_MEM=32g (a real cluster's aggregate
+executor memory dwarfs this; the knob exists only because local[32]
+puts all 32 task slots in one JVM).
 """
 
 from __future__ import annotations
@@ -35,10 +43,22 @@ WORK = "/tmp/spark_graft_curation"
 KEY_STRIDE = 100_000_000
 
 
-def build_scaled_docs(spark, factor: int) -> str:
+def build_scaled_docs(spark, factor: int, mode: str = "disjoint") -> str:
+    """N replicas of sf0.1's documents with shifted doc_ids.
+
+    mode="disjoint" (default): every WORD carries a replica tag, so
+    replicas share no shingles — the corpus is N disjoint copies and
+    duplicate structure (pairs, clusters, dropped mass) grows LINEARLY
+    with the factor: the honest "N x more data" workload.
+
+    mode="neardup": only a per-replica suffix is appended, so each doc
+    is a >=0.9-Jaccard near-dup of its N-1 replicas — an adversarial
+    all-duplicates corpus (every bucket/block is hot, pair mass is
+    quadratic in N before the caps act). Useful as the cap stress
+    test, NOT as a scale measurement."""
     from pyspark.sql import functions as F
 
-    out = f"{WORK}/x{factor}"
+    out = f"{WORK}/{mode}_x{factor}"
     marker = Path(out, "_READY")
     if marker.exists():
         return out
@@ -49,9 +69,21 @@ def build_scaled_docs(spark, factor: int) -> str:
             "doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE)
         )
         if i > 0:
-            rep = rep.withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" r{i}"))
-            )
+            if mode == "neardup":
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                )
+            else:
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(F.lit(f"r{i}."), w),
+                        ),
+                        " ",
+                    ),
+                )
         parts.append(rep)
     df = parts[0]
     for p in parts[1:]:
@@ -74,6 +106,7 @@ def main() -> None:
 
     scale = opt("--scale", 100, int)
     frac = opt("--frac", 0.6, float)
+    mode = opt("--mode", "disjoint", str)
     out_file = opt("--out", None, str)
     sf_dir = argv[0] if argv else BASE_SF
 
@@ -92,7 +125,7 @@ def main() -> None:
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
 
     spark = get_spark("bench_curation")
-    work = build_scaled_docs(spark, scale) if scale > 1 else sf_dir
+    work = build_scaled_docs(spark, scale, mode) if scale > 1 else sf_dir
     docs = spark.read.parquet(f"{work}/documents.parquet")
     n_docs = docs.count()  # outside the timed section
 
@@ -145,6 +178,7 @@ def main() -> None:
     wall = round(time.time() - t_all, 2)
     payload = {
         "scale": scale,
+        "mode": mode if scale > 1 else "base",
         "sf_base": sf_dir if scale == 1 else BASE_SF,
         "docs_in": n_docs,
         "dup_pairs": n_pairs,

@@ -78,14 +78,18 @@ PROBES = [
 KEY_STRIDE = 100_000_000
 
 
-def build_scaled(spark, factor: int) -> str:
+def build_scaled(spark, factor: int, tables: list[str] | None = None) -> str:
     from pyspark.sql import functions as F
 
+    tables = tables or list(TABLES)
     out = f"{WORK}/x{factor}"
-    marker = Path(out, "_READY")
-    if marker.exists():
+    # per-table markers: a deep-factor run that needs only documents +
+    # embeddings must not pay for (or depend on) lineitem/orders builds
+    pending = [t for t in tables if not Path(out, f"_READY_{t}").exists()]
+    if not pending:
         return out
-    for table, (keys, texts) in TABLES.items():
+    for table in pending:
+        keys, texts = TABLES[table]
         src = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
         parts = []
         for i in range(factor):
@@ -117,8 +121,8 @@ def build_scaled(spark, factor: int) -> str:
         for p in parts[1:]:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
-    marker.parent.mkdir(parents=True, exist_ok=True)
-    marker.write_text("ok")
+        Path(out, f"_READY_{table}").parent.mkdir(parents=True, exist_ok=True)
+        Path(out, f"_READY_{table}").write_text("ok")
     return out
 
 
@@ -128,6 +132,12 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", default="SCALE_PROBE.json")
     ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated tables to replicate (default: all; pass "
+        "documents,embeddings for the deep-factor dedup/ANN tier)",
+    )
+    ap.add_argument(
         "--queries",
         default=None,
         help="comma-separated registry names to probe (default: the "
@@ -136,6 +146,7 @@ def main() -> None:
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     probes = args.queries.split(",") if args.queries else PROBES
+    tables = args.tables.split(",") if args.tables else None
 
     from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
@@ -146,7 +157,7 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {q: {} for q in probes}
     for factor in factors:
-        sf_dir = build_scaled(spark, factor)
+        sf_dir = build_scaled(spark, factor, tables)
         for q in probes:
             # min over repeats: the first run pays cold page-cache and
             # codegen cost that would otherwise masquerade as compute
