@@ -729,3 +729,179 @@ def _fuzzy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok2"),
         F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup (new batch vs indexed corpus)
+# --------------------------------------------------------------------------
+
+INCR_MOD = 10  # doc_id % INCR_MOD == 0 -> doc belongs to the incoming batch
+
+_INCR_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT x.doc_id AS doc_new, y.doc_id AS doc_match, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % {INCR_MOD} = 0
+    AND (y.doc_id % {INCR_MOD} <> 0 OR y.doc_id < x.doc_id)
+  GROUP BY 1, 2
+)
+SELECT doc_new, doc_match,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_new = sa.doc_id
+JOIN sizes sb ON doc_match = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_x44_incrdedup",
+    oracle=_INCR_ORACLE,
+    doc=f"Incremental corpus dedup — the daily-ingest production "
+    f"pattern: an incoming batch (doc_id % {INCR_MOD} = 0 stands in "
+    "for today's crawl) is deduplicated against the already-indexed "
+    "corpus AND against earlier docs of its own batch (id order), "
+    f"emitting (doc_new, doc_match, jaccard >= {JACCARD_THRESHOLD}) "
+    "match pairs. Scale: this is the shape that makes continuous "
+    "curation affordable — the probe side is the BATCH's shingle "
+    "postings, so cost is proportional to the batch and the postings "
+    "it touches, never to corpus^2 (the full-corpus q_dedup_ngram "
+    "re-run this replaces grows quadratically in total size). At rest "
+    "the corpus shingle table is the persistent index: bucketed by "
+    "shingle (tests/test_bucketing.py pattern) the probe join is "
+    "co-located and shuffle-free on the corpus side; the batch's "
+    "verified survivors then append to the same index.",
+)
+def q_x44_incrdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    incoming = F.col("doc_id") % INCR_MOD == 0
+    x = sh.filter(incoming).alias("x")  # batch postings: the probe side
+    y = sh.alias("y")  # indexed corpus + the batch itself
+    common = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .filter(
+            (F.col("y.doc_id") % INCR_MOD != 0)
+            | (F.col("y.doc_id") < F.col("x.doc_id"))
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_new"),
+            F.col("y.doc_id").alias("doc_match"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_new") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_match") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_new",
+            "doc_match",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .transform(barrier_sort("doc_new", "doc_match"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming near-dup admission (batch-fold simulation of the
+# streaming/neardup_ingest.py pipeline)
+# --------------------------------------------------------------------------
+
+ST6_BATCHES = 4  # id-ordered ranges, matching the file-stream ordering
+
+_ST6_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), dropped AS (
+  SELECT DISTINCT x.doc_id AS d
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND y.doc_id < x.doc_id
+  JOIN sizes sa ON x.doc_id = sa.doc_id
+  JOIN sizes sb ON y.doc_id = sb.doc_id
+  GROUP BY x.doc_id, y.doc_id, sa.n, sb.n
+  HAVING COUNT(*) * 1.0 / (sa.n + sb.n - COUNT(*)) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT d FROM dropped)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_st6_neardup",
+    oracle=_ST6_ORACLE,
+    doc="Streaming near-dup ADMISSION (ST family): docs arrive in "
+    f"{ST6_BATCHES} id-ordered micro-batches; a doc is admitted iff no "
+    f"EARLIER doc (any prior batch, or a smaller id in its own batch) "
+    f"is a near-dup at exact Jaccard >= {JACCARD_THRESHOLD}. The fold "
+    "here simulates the true streaming pipeline "
+    "(streaming/neardup_ingest.py: file-source stream + foreachBatch "
+    "with batchId-tagged exactly-once writes, equivalence pinned in "
+    "tests/test_stream_ingest.py); because batches are id-ordered "
+    "ranges, the (batch, id) arrival order equals plain doc_id order "
+    "and the oracle is one NOT-EXISTS pass. State = shingle postings "
+    "of ALL seen docs (the any-earlier rule: a doc matching only a "
+    "dropped dup is the same chain and must drop too — also what "
+    "keeps the rule one SQL pass instead of an order-recursive "
+    "greedy). Scale: per-batch cost is the q_x44 probe-join shape — "
+    "batch postings vs the persistent index, never corpus^2.",
+)
+def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.neardup_ingest import _match_earlier
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    step = hi // ST6_BATCHES + 1
+    admitted: DataFrame | None = None
+    state_sh: DataFrame | None = None
+    for b in range(ST6_BATCHES):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+        )
+        batch_sh = shingles(batch)
+        dropped = _match_earlier(batch_sh, state_sh)
+        keep = batch.join(
+            dropped, batch.doc_id == dropped.d, "left_anti"
+        ).select("doc_id")
+        admitted = keep if admitted is None else admitted.unionByName(keep)
+        state_sh = (
+            batch_sh if state_sh is None else state_sh.unionByName(batch_sh)
+        )
+        # fold hygiene: checkpoint the growing state lineage per batch
+        # (the true stream persists it as parquet; localCheckpoint is
+        # the in-session equivalent that keeps the plan from nesting
+        # B joins deep)
+        state_sh = state_sh.localCheckpoint()
+    assert admitted is not None
+    return admitted.transform(barrier_sort("doc_id"))

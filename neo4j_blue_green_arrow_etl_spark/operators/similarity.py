@@ -1170,3 +1170,139 @@ def q_x39_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", F.round("sim", 6).alias("sim"), "rank")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composite: coarse partition pruning + compressed-domain ranking
+# --------------------------------------------------------------------------
+
+IVFPQ_REFINE = 32  # exact re-rank pool = TOP_K * IVFPQ_REFINE
+
+
+@register(
+    "q_sim_ivfpq",
+    oracle=None,  # data-dependent centroids/codebooks; recall vs q_x2
+    # is asserted in tests and measured at sf0.1 in RECALL_r6.
+    doc=f"IVF-PQ composite ANN top-{TOP_K} — the production shape that "
+    "composes both approximations: the query probes its "
+    f"{IVF_PROBES}/{IVF_CELLS} nearest coarse cells (IVF: prunes "
+    "~3/4 of the data before anything is scored), the PROBED vectors "
+    f"are ranked in the compressed domain ({PQ_M}x{PQ_K} PQ codes, "
+    "ADC table lookups — a pure JVM aggregate with the table inlined "
+    f"as a plan literal), the best {TOP_K * IVFPQ_REFINE} re-rank "
+    "exactly. Scale: at rest the codes and cell live as columns of a "
+    "cell-partitioned table (build_ivfpq_index), so a query reads "
+    "probes/cells of the CODES bytes (~32x smaller than raw vectors) "
+    "and touches raw embeddings only for the constant-size re-rank "
+    "pool — the faiss IVFADC layout re-expressed as partition pruning "
+    "+ columnar projection. Codes quantize the normalized vectors "
+    "directly (not per-cell residuals); the deeper re-rank pool "
+    "covers the small ADC precision loss, and recall vs the exact "
+    "scan is pinned >= 0.9 in tests.",
+)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cmat = ivf_centroids(e)
+    cb = pq_codebooks(e)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    probe = _probe_cells(cmat, qrow.embedding)
+    # probed cells first: the expensive encode pass touches only the
+    # pruned fraction (at rest this is precomputed; see the index pair)
+    cand = ivf_assign(spark, e, cmat).filter(F.col("cell").isin(probe))
+    codes = pq_encode(
+        spark, cand.select("vec_id", "embedding"), cb
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+    tab = _adc_table(cb, qrow.embedding)
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in tab]
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            lambda c, m: F.element_at(F.element_at(tab_lit, m), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pool_ids = (
+        codes.select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(TOP_K * IVFPQ_REFINE)
+        .select("vec_id")
+    )
+    pool = e.join(F.broadcast(pool_ids), "vec_id")
+    return _rerank(spark, pool, qrow.embedding, QUERY_VEC_ID)
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the IVF-PQ index AT REST: one parquet table
+    partitioned by coarse cell whose rows carry BOTH the PQ codes and
+    the raw embedding; centroids and codebooks ride alongside as
+    underscore-prefixed JSON (ignored by partition discovery). A query
+    then (a) prunes unprobed cell partitions at the scan, (b) ranks by
+    ADC reading ONLY the codes column (columnar projection: the
+    embedding bytes stay on disk), and (c) re-reads raw embeddings for
+    the constant-size re-rank pool via an id semi-join."""
+    import json
+    from pathlib import Path
+
+    e = _emb(spark, sf_dir)
+    cmat = ivf_centroids(e)
+    cb = pq_codebooks(e)
+    assigned = ivf_assign(spark, e, cmat)
+    codes = pq_encode(spark, e.select("vec_id", "embedding"), cb)
+    assigned.join(codes, "vec_id").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(index_path)
+    Path(index_path, "_ivf_centroids.json").write_text(json.dumps(cmat.tolist()))
+    Path(index_path, "_pq_codebooks.json").write_text(json.dumps(cb.tolist()))
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    probes: int = IVF_PROBES,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a built IVF-PQ index: partition-pruned ADC
+    scan over the codes column, exact re-rank of the top pool only."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    cmat = np.asarray(
+        json.loads(Path(index_path, "_ivf_centroids.json").read_text())
+    )
+    cb = np.asarray(
+        json.loads(Path(index_path, "_pq_codebooks.json").read_text())
+    )
+    probe = _probe_cells(cmat, query_vec, probes)
+    tab = _adc_table(cb, query_vec)
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in tab]
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            lambda c, m: F.element_at(F.element_at(tab_lit, m), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_id)
+    pool_ids = (
+        idx.select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(TOP_K * IVFPQ_REFINE)
+        .select("vec_id")
+    )
+    pool = idx.join(F.broadcast(pool_ids), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    return _rerank(spark, pool, query_vec, None)

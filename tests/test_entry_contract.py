@@ -18,6 +18,7 @@ ROWS_ONLY = {
     "q_sim_lsh",
     "q_sim_ivf",
     "q_sim_pq",
+    "q_sim_ivfpq",
     "q_cap03_sim_ivf",
     "q_cap10_sim_lsh",
 }

@@ -36,6 +36,7 @@ ARROW_PYTHON_OK = {
     "q_sim_ivf",
     "q_sim_lsh",  # Arrow-batched all-tables projection (lsh_signatures)
     "q_sim_pq",  # Arrow-batched encode pass (codes assignment)
+    "q_sim_ivfpq",  # IVF assign + PQ encode passes (both Arrow-batched)
     "q_x21_kmeans",  # Arrow-batched nearest-centroid assignment pass
     "q_x22_semdedup",  # same assignment pass feeding the pair join
     "q_sim_neardup",
@@ -53,6 +54,7 @@ ONE_ROW_BROADCAST_OK = {
     "q_sim_lsh",
     "q_sim_ivf",
     "q_sim_pq",
+    "q_sim_ivfpq",  # query vector re-rank crossJoin, one broadcast row
     "q_x6_batchann",
     "q_x10_idf",
     # per-round plan only: the dangling-mass aggregate (ONE row) is

@@ -58,7 +58,7 @@ def main() -> None:
         r.vec_id for r in REGISTRY["q_x2"].spark(spark, args.sf_dir).collect()
     ]
     ann = {}
-    for q in ("q_sim_lsh", "q_sim_ivf", "q_sim_pq"):
+    for q in ("q_sim_lsh", "q_sim_ivf", "q_sim_pq", "q_sim_ivfpq"):
         ids = [r.vec_id for r in REGISTRY[q].spark(spark, args.sf_dir).collect()]
         ann[q] = (
             round(len(set(brute) & set(ids)) / len(brute), 3)
