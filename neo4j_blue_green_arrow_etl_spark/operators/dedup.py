@@ -717,7 +717,11 @@ def q_x24b_fuzzy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fuzzy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tok1, tok2, head) blocking projection; tok2 — the
     refined 2-token key — is null-safe for single-token docs (second
-    token coalesced to '') so blocking joins never drop rows."""
+    token coalesced to ''), via ``F.get`` rather than ``getItem``:
+    under Spark 4's default ANSI mode an out-of-bounds getItem THROWS
+    (ArrayIndexOutOfBoundsException) instead of returning NULL, so a
+    one-word document would crash the whole query (pinned by
+    tests/test_skew.py::test_capped_fuzzy_single_token_docs_not_dropped)."""
     toks = F.split(F.col("text"), " ")
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -725,7 +729,7 @@ def _fuzzy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             toks.getItem(0),
             F.lit(" "),
-            F.coalesce(toks.getItem(1), F.lit("")),
+            F.coalesce(F.get(toks, 1), F.lit("")),
         ).alias("tok2"),
         F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
     )

@@ -370,3 +370,37 @@ def test_capped_fuzzy_recall_via_refinement(spark, capped_block_docs):
     got = fuzzy_block_pairs_capped(d).filter(F.col("doc_b") < 600)
     assert sub_pairs.exceptAll(got).isEmpty()
     assert sub_pairs.count() > 0
+
+
+def test_capped_fuzzy_single_token_docs_not_dropped(spark):
+    """tok2 (the refined 2-token blocking key) is null-safe: a one-word
+    document must still participate in blocking — a NULL key would
+    silently drop it from every equi-join tier."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        fuzzy_block_pairs_capped,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "solo extra words here")],
+        "doc_id long, text string",
+    )
+    # build the blocking projection exactly as _fuzzy_input does, from
+    # the in-memory frame (bypassing only the parquet reader): F.get is
+    # the null-safe accessor — getItem(1) THROWS under Spark 4 ANSI
+    # mode for a one-token doc
+    toks = F.split(F.col("text"), " ")
+    frame = docs.select(
+        "doc_id",
+        toks.getItem(0).alias("tok1"),
+        F.concat(
+            toks.getItem(0), F.lit(" "), F.coalesce(F.get(toks, 1), F.lit(""))
+        ).alias("tok2"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    assert frame.filter(F.col("tok2").isNull()).count() == 0
+    pairs = {
+        (r.doc_a, r.doc_b) for r in fuzzy_block_pairs_capped(frame).collect()
+    }
+    # the one-word docs block on tok1="solo" and are identical heads;
+    # doc 3 shares the block but its head is 17 edits away (> max 10)
+    assert pairs == {(1, 2)}
