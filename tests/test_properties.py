@@ -768,3 +768,102 @@ def test_lsh_candidates_match_reference_when_uncapped(spark, rows):
             for b in ds[i + 1 :]:
                 want.add((a, b))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Capped fuzzy blocking (r6): tiered plan == declared predicate
+# ---------------------------------------------------------------------------
+
+# dense collisions: 3 first tokens x 3 second tokens x small bodies
+# force blocks over/under the cap, sub-blocks over/under the cap, and
+# pathological both-tokens-shared groups — far denser than real text
+_fuzzy_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # first token
+        st.integers(0, 2),  # second token
+        st.integers(0, 3),  # body variant (controls head distance)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _python_capped_pairs(rows, cap, max_dist):
+    """Independent pure-Python reference of the declared cap predicate:
+    pairs (a < b) sharing tok1 with lev(head) <= max_dist, kept iff
+    block_n <= cap OR a == block rep OR (same tok2 AND (sub_n <= cap
+    OR a == sub rep))."""
+
+    def lev(s, t):
+        m, n = len(s), len(t)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (s[i - 1] != t[j - 1]),
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    docs = []
+    for i, (t1, t2, body) in enumerate(rows):
+        text = f"w{t1} v{t2} body{'x' * body} tail{i % 2}"
+        docs.append((i, text.split(" ")[0], f"w{t1} v{t2}", text[:40]))
+    n1, rep1, n2, rep2 = {}, {}, {}, {}
+    for i, tok1, tok2, head in docs:
+        n1[tok1] = n1.get(tok1, 0) + 1
+        rep1.setdefault(tok1, i)
+        n2[(tok1, tok2)] = n2.get((tok1, tok2), 0) + 1
+        rep2.setdefault((tok1, tok2), i)
+    out = set()
+    for a, t1a, t2a, ha in docs:
+        for b, t1b, t2b, hb in docs:
+            if a >= b or t1a != t1b:
+                continue
+            if lev(ha, hb) > max_dist:
+                continue
+            if (
+                n1[t1a] <= cap
+                or a == rep1[t1a]
+                or (t2a == t2b and (n2[(t1a, t2a)] <= cap or a == rep2[(t1a, t2a)]))
+            ):
+                out.add((a, b))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_fuzzy_corpus)
+def test_capped_fuzzy_pairs_match_python_reference(spark, rows):
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        FUZZY_BLOCK_CAP,
+        FUZZY_MAX_DIST,
+        fuzzy_block_pairs_capped,
+    )
+
+    want = _python_capped_pairs(rows, FUZZY_BLOCK_CAP, FUZZY_MAX_DIST)
+    if rows:
+        docs = spark.createDataFrame(
+            [
+                (i, f"w{t1} v{t2} body{'x' * body} tail{i % 2}")
+                for i, (t1, t2, body) in enumerate(rows)
+            ],
+            "doc_id long, text string",
+        )
+    else:
+        docs = spark.createDataFrame([], "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    frame = docs.select(
+        "doc_id",
+        toks.getItem(0).alias("tok1"),
+        F.concat(
+            toks.getItem(0), F.lit(" "), F.coalesce(F.get(toks, 1), F.lit(""))
+        ).alias("tok2"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in fuzzy_block_pairs_capped(frame).collect()
+    }
+    assert got == want
