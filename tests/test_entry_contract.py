@@ -120,3 +120,24 @@ def test_local_sweep_artifact_covers_entire_registry():
     failed = sorted(n for n, r in queries.items() if r["status"] == "fail")
     assert not failed, f"sweep artifact records failures: {failed}"
     assert data["summary"]["fail"] == 0
+
+
+def test_driver_rotation_targets_all_resolve():
+    """Every driver-window rotation alias must resolve to a live
+    registry query: a renamed/removed target degrades to an import
+    warning (so the package still imports) and THIS test is where the
+    failure surfaces loudly."""
+    from neo4j_blue_green_arrow_etl_spark.operators import (
+        _DRIVER_ROTATION,
+        REGISTRY,
+    )
+
+    missing = {
+        alias: target
+        for alias, target in _DRIVER_ROTATION.items()
+        if target not in REGISTRY or alias not in REGISTRY
+    }
+    assert not missing, f"rotation aliases with dead targets: {missing}"
+    for alias, target in _DRIVER_ROTATION.items():
+        assert REGISTRY[alias].alias_of == target
+        assert REGISTRY[alias].spark is REGISTRY[target].spark
