@@ -391,3 +391,75 @@ def q_x31b_erclusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     ).transform(barrier_sort("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline (oracle-gated capstone)
+# ---------------------------------------------------------------------------
+
+_CURATE_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE.replace("ORDER BY 1, 2", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> LEAST(node, MIN(r))
+),
+s AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR(len(list_distinct(string_split(text, ' '))) /
+                    len(string_split(text, ' ')) * 1000) AS INT) AS qbin
+  FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM dropped)
+),
+t AS (SELECT CAST(FLOOR(SUM(n_chars) * 0.6) AS BIGINT) AS budget FROM s),
+o AS (SELECT s.*, SUM(n_chars) OVER (ORDER BY qbin DESC, doc_id) AS rs
+      FROM s)
+SELECT doc_id, qbin, CAST(n_chars AS BIGINT) AS n_chars
+FROM o, t WHERE rs <= budget ORDER BY doc_id
+"""
+
+
+@register(
+    "q_x45_curate",
+    oracle=_CURATE_ORACLE,
+    doc="Composed curation capstone, ORACLE-GATED end to end: near-dup "
+    "pairs (q_dedup_ngram's exact tier, so the whole composition stays "
+    "SQL-checkable) -> large-star/small-star connected components -> "
+    "drop non-canonical members -> token-budget selection over the "
+    "survivors (q_x42's histogram-cutoff engine via "
+    "token_budget_select). This registers the MULTI-STAGE plan a real "
+    "curation run executes — dedup shuffle feeding an iterative CC "
+    "whose labels anti-join the corpus into the budget histogram — as "
+    "one correctness-gated query; the production-scale twin swaps the "
+    "pair stage for MinHash-LSH (tools/bench_curation.py measures that "
+    "form at x100: 500k docs in 30.2 s). Scale: each stage is its "
+    "standalone query's proven shape; the dropped set is duplicate "
+    "mass (small vs corpus), so the survivor anti-join broadcasts.",
+)
+def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _BUDGET_BINS, token_budget_select
+    from .graph import connected_components_star
+
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    dropped = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    words = F.split(F.col("text"), " ")
+    qbin = F.floor(
+        F.size(F.array_distinct(words)) / F.size(words) * _BUDGET_BINS
+    ).cast("int")
+    survivors = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "n_chars", qbin.alias("qbin"))
+    )
+    return token_budget_select(survivors).orderBy("doc_id")

@@ -55,6 +55,7 @@ ONE_ROW_BROADCAST_OK = {
     "q_sim_ivf",
     "q_sim_pq",
     "q_sim_ivfpq",  # query vector re-rank crossJoin, one broadcast row
+    "q_x45_curate",  # q_x42's one-row budget-total crossJoin, composed
     "q_x6_batchann",
     "q_x10_idf",
     # per-round plan only: the dangling-mass aggregate (ONE row) is
