@@ -791,6 +791,13 @@ ORDER BY 1, 2
 )
 def q_x44_incrdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # OWNERSHIP (cf. lsh_band_candidates): the cache is intentionally
+    # left alive — the returned plan is lazy and reads `sh` from four
+    # subplans (probe side, corpus side, both size joins); unpersisting
+    # here would evict it before execution. Long-lived sessions release
+    # it the same way as every other dedup cache: bench.py calls
+    # spark.catalog.clearCache() after each timed query, and the
+    # CacheManager dedupes identical lineages across repeated calls.
     sh = shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     incoming = F.col("doc_id") % INCR_MOD == 0

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .curation import _BUDGET_BINS
 from .dedup import (
     _FUZZY_CAPPED_PAIRS_SQL,
     _NGRAM_ORACLE,
@@ -415,7 +416,7 @@ dropped AS (
 s AS (
   SELECT doc_id, n_chars,
          CAST(FLOOR(len(list_distinct(string_split(text, ' '))) /
-                    len(string_split(text, ' ')) * 1000) AS INT) AS qbin
+                    len(string_split(text, ' ')) * {_BUDGET_BINS}) AS INT) AS qbin
   FROM documents
   WHERE doc_id NOT IN (SELECT node FROM dropped)
 ),
@@ -441,11 +442,17 @@ FROM o, t WHERE rs <= budget ORDER BY doc_id
     "one correctness-gated query; the production-scale twin swaps the "
     "pair stage for MinHash-LSH (tools/bench_curation.py measures that "
     "form at x100: 500k docs in 30.2 s). Scale: each stage is its "
-    "standalone query's proven shape; the dropped set is duplicate "
-    "mass (small vs corpus), so the survivor anti-join broadcasts.",
+    "standalone query's proven shape; the survivor anti-join carries NO "
+    "broadcast hint — on a clean corpus the dropped set is small and "
+    "AQE broadcasts it at runtime, but on a majority-duplicate crawl "
+    "(the repo's own adversarial x100 run drops 495k of 500k docs) a "
+    "forced broadcast of most doc_ids is an executor-memory killer, so "
+    "the strategy is left to AQE's measured size (pinned by "
+    "tests/test_pipeline_ops.py::"
+    "test_curate_anti_join_not_forced_broadcast).",
 )
 def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .curation import _BUDGET_BINS, token_budget_select
+    from .curation import token_budget_select
     from .graph import connected_components_star
 
     pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
@@ -459,7 +466,7 @@ def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     survivors = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(dropped, "doc_id", "left_anti")
         .select("doc_id", "n_chars", qbin.alias("qbin"))
     )
     return token_budget_select(survivors).orderBy("doc_id")

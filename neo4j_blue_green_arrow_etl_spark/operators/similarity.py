@@ -730,8 +730,8 @@ def pq_encode(spark: SparkSession, e: DataFrame, cb) -> DataFrame:
 
 def _adc_table(cb, qvec):
     """(PQ_M, PQ_K) table of squared distances from the query's
-    subvectors to every codebook entry — 128 floats, a literal in the
-    plan, NOT a data-path broadcast."""
+    subvectors to every codebook entry — M x K floats (currently
+    PQ_M * PQ_K), a literal in the plan, NOT a data-path broadcast."""
     import numpy as np
 
     q = np.asarray(qvec, dtype=np.float64)

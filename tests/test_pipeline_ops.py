@@ -206,3 +206,32 @@ def test_erclusters_consistent_with_fuzzy_pairs(spark):
         assert c == min(members)
     canon = {r.doc_id for r in rows if r.is_canonical}
     assert canon == set(by_comp)
+
+
+def test_curate_anti_join_not_forced_broadcast(spark):
+    """ADVICE r6: q_x45's survivor anti-join must NOT hard-code a
+    broadcast hint — the adversarial x100 bench drops 495k of 500k
+    docs, so on a majority-duplicate corpus a forced broadcast of the
+    dropped set is a near-corpus-size executor-memory bomb. AQE is
+    free to CHOOSE broadcast at runtime when the set measures small
+    (expected at test SF); what this pins is the absence of the
+    ResolvedHint in the logical plan, i.e. the choice stays AQE's."""
+    df = REGISTRY["q_x45_curate"].spark(spark, SF_ORACLE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the composed plan legitimately contains one-row broadcast hints
+    # (token_budget_select's scalar budget crossJoin), so the check is
+    # scoped to the LeftAnti join's RIGHT child: a reintroduced
+    # F.broadcast(dropped) resolves to a ResolvedHint immediately
+    # under the anti-join.
+    lines = analyzed.splitlines()
+    anti = [i for i, ln in enumerate(lines) if "Join LeftAnti" in ln]
+    assert anti, analyzed  # plan shape changed? test must be updated
+    for i in anti:
+        depth = lines[i].index("Join LeftAnti")
+        for ln in lines[i + 1 :]:
+            if len(ln) > depth and ln[depth : depth + 2] == "+-":
+                assert "ResolvedHint" not in ln, ln
+                break
+    # and the composed result still produces rows (value equality is
+    # the driver's oracle gate)
+    assert df.count() > 0

@@ -159,16 +159,17 @@ def main() -> None:
 
     # 3+4. GATE + SELECT: survivors (anti-join against dropped) flow
     #      into the quality-histogram budget cutoff — one composed plan,
-    #      forced by a single count at the end. The dropped set is tiny
-    #      vs the corpus (duplicate mass), so the anti-join broadcasts.
+    #      forced by a single count at the end. No broadcast hint: in
+    #      the adversarial neardup mode the dropped set is ~99% of the
+    #      corpus, so the join strategy is left to AQE's measured size.
     t0 = time.time()
     words = F.split(F.col("text"), " ")
     qbin = F.floor(
         F.size(F.array_distinct(words)) / F.size(words) * _BUDGET_BINS
     ).cast("int")
-    survivors = docs.join(
-        F.broadcast(dropped), "doc_id", "left_anti"
-    ).select("doc_id", "n_chars", qbin.alias("qbin"))
+    survivors = docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "n_chars", qbin.alias("qbin")
+    )
     selected = token_budget_select(survivors, frac=frac)
     sel = selected.agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
