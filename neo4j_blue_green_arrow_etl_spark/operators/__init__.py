@@ -26,24 +26,26 @@ from .relational import REGISTRY, QuerySpec
 # re-registers one representative of such a family under an
 # early-alphabet name — same callable, same oracle, flagged alias_of so
 # bench.py times nothing twice and coverage counts exclude them.
-# Round-6 rotation: families green under the r4/r5 driver windows
-# (TPC-H, SMJ, plain windows, streaming dedup, temporal, exact dedup,
-# curation selection) rotate OUT; families that have NEVER had a
-# driver-side row rotate IN — iterative graph (q_g*), similarity ANN
-# (q_sim_*, rows-only: hash-seeded), text quality, the ER capstone,
-# and this round's new oracle-gated capped fuzzy twin. Subquery, UDTF
-# and multimodal caps are kept for continuity.
+# Round-7 rotation (VERDICT r6 task 3): families green under the
+# r4/r5/r6 driver windows (iterative graph, IVF/LSH ANN, text quality,
+# ER capstone, subquery, UDTF, multimodal, capped fuzzy) rotate OUT;
+# in rotate the families that have NEVER had a driver-side row — the
+# r6-new operators (incremental dedup, streaming near-dup admission
+# fold, composed curation capstone), the capped ER capstone
+# (q_x24b hands off to q_x31b), the two never-driver-checked ANN
+# variants (PQ and IVF-PQ, rows-only: hash-seeded), and one
+# representative each of temporal, events, and data-quality.
 _DRIVER_ROTATION = {
-    "q_cap01_g5_pagerank": "q_g5_pagerank",  # iterative graph family
-    "q_cap02_g8_kcore": "q_g8_kcore",  # iterative peel (k-core)
-    "q_cap03_sim_ivf": "q_sim_ivf",  # ANN IVF (rows-only)
-    "q_cap04_text_quality": "q_text_quality",  # text quality scoring
-    "q_cap05_x31_erclusters": "q_x31_erclusters",  # ER capstone
-    "q_cap06_sq7_q20": "q_sq7_q20",  # nested subquery family
-    "q_cap07_udtf_tokens": "q_udtf_tokens",  # UDTF surface
-    "q_cap08_mm_frames": "q_mm_frames",  # multimodal frame sampling
-    "q_cap09_x24b_fuzzy_capped": "q_x24b_fuzzy_capped",  # r6 capped ER
-    "q_cap10_sim_lsh": "q_sim_lsh",  # ANN LSH (rows-only)
+    "q_cap01_x44_incrdedup": "q_x44_incrdedup",  # r6 incremental dedup
+    "q_cap02_st6_neardup": "q_st6_neardup",  # r6 streaming admission
+    "q_cap03_x45_curate": "q_x45_curate",  # r6 composed capstone
+    "q_cap04_x31b_erclusters_capped": "q_x31b_erclusters_capped",
+    "q_cap05_sim_pq": "q_sim_pq",  # ANN PQ (rows-only)
+    "q_cap06_sim_ivfpq": "q_sim_ivfpq",  # ANN IVF-PQ (rows-only)
+    "q_cap07_ts1_gapfill": "q_ts1_gapfill",  # temporal family
+    "q_cap08_ev1_funnel": "q_ev1_funnel",  # event-analytics family
+    "q_cap09_dq1_expectations": "q_dq1_expectations",  # data quality
+    "q_cap10_prof1": "q_prof1",  # profiling family
 }
 for _alias, _target in _DRIVER_ROTATION.items():
     _spec = REGISTRY.get(_target)

@@ -10,8 +10,8 @@ import __spark_entry__ as entrymod
 from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
 
 # Hash-seeded approximate queries with no SQL-expressible oracle —
-# plus the driver-window rotation aliases of two of them (an alias
-# inherits its target's oracle, including its absence).
+# plus the driver-window rotation aliases of the two rotated in this
+# round (an alias inherits its target's oracle, including its absence).
 ROWS_ONLY = {
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -19,8 +19,8 @@ ROWS_ONLY = {
     "q_sim_ivf",
     "q_sim_pq",
     "q_sim_ivfpq",
-    "q_cap03_sim_ivf",
-    "q_cap10_sim_lsh",
+    "q_cap05_sim_pq",
+    "q_cap06_sim_ivfpq",
 }
 
 
