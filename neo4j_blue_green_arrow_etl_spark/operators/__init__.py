@@ -4,6 +4,7 @@ query (SURVEY.md §2.12 + north-star extensions) into ``REGISTRY``."""
 from . import (  # noqa: F401
     curation,
     dedup,
+    dedup_index,
     graph,
     multimodal,
     pandas_surface,

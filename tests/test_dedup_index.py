@@ -1,0 +1,159 @@
+"""Persisted bucketed shingle index (operators/dedup_index.py): the
+at-rest probe-join layout for incremental/streaming dedup. Pins the
+three claims the module makes: (1) the probe join is co-located on the
+index side — zero shingle Exchange for the corpus; (2) the indexed
+probe is byte-identical to the recompute form; (3) batch appends are
+per-partition and crash replays overwrite, not duplicate — across a
+catalog-loss restart."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+    append_index_batch,
+    build_dedup_index,
+    ensure_index_table,
+    neardup_match_pairs,
+    postings_with_sizes,
+    probe_dedup_index,
+)
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_index_side_join_is_shuffle_free(spark, tmp_path):
+    """The whole point of the bucketed layout: the corpus index scan
+    must arrive at the shingle equi-join already hash-partitioned
+    (Bucketed: true), so the ONLY shingle Exchange in the probe join
+    is the small batch side."""
+    table = build_dedup_index(spark, SF_SMOKE, str(tmp_path / "idx"))
+    batch = _docs(spark, SF_SMOKE).filter(F.col("doc_id") % 10 == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = neardup_match_pairs(
+            postings_with_sizes(batch),
+            spark.table(table).select("doc_id", "shingle", "n"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "dedup_shingle_index" in ln
+    ]
+    assert scan_lines and all("Bucketed: true" in ln for ln in scan_lines), plan
+    shingle_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(shingle" in ln
+    ]
+    assert len(shingle_exchanges) == 1, plan  # batch side only
+
+
+def test_indexed_probe_equals_recompute(spark):
+    """q_x44b (index probe) and q_x44 (full recompute) share one
+    oracle; their results must be row-identical."""
+    a = sorted(
+        map(tuple, REGISTRY["q_x44_incrdedup"].spark(spark, SF_ORACLE).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            REGISTRY["q_x44b_incrdedup_indexed"].spark(spark, SF_ORACLE).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0  # fixture actually exercises matches
+
+
+def test_append_replay_and_catalog_restart(spark, tmp_path):
+    """Exactly-once at the table layer: a replayed batch overwrites
+    ONLY its own partition; dropping the catalog entry (what a process
+    restart does to the in-memory catalog) and re-ensuring recovers
+    every batch from disk."""
+    path = str(tmp_path / "state_idx")
+    table = ensure_index_table(spark, path)
+    docs = _docs(spark, SF_SMOKE).limit(40).select("doc_id", "text")
+    b0 = postings_with_sizes(docs.filter("doc_id % 2 = 0"))
+    b1 = postings_with_sizes(docs.filter("doc_id % 2 = 1"))
+    append_index_batch(spark, table, b0, 0)
+    append_index_batch(spark, table, b1, 1)
+    full = spark.table(table).count()
+    assert full == b0.count() + b1.count()
+
+    # crash replay of batch 1 with a SUBSET (simulates a partial prior
+    # attempt being corrected): partition replaced, batch 0 untouched
+    b1_sub = postings_with_sizes(
+        docs.filter("doc_id % 2 = 1").limit(5)
+    )
+    append_index_batch(spark, table, b1_sub, 1)
+    t = spark.table(table)
+    assert t.filter("batch_id = 0").count() == b0.count()
+    assert t.filter("batch_id = 1").count() == b1_sub.count()
+
+    # catalog restart: metadata is gone, data is not
+    spark.sql(f"DROP TABLE {table}")
+    table2 = ensure_index_table(spark, path)
+    assert table2 == table
+    t2 = spark.table(table2)
+    assert t2.count() == b0.count() + b1_sub.count()
+    # any-earlier pruning predicate still partition-prunes
+    assert t2.filter("batch_id < 1").count() == b0.count()
+
+
+def test_probe_dedup_index_matches_earlier_rule(spark, tmp_path):
+    """probe_dedup_index must match batch docs against BOTH the index
+    and earlier docs of the batch itself (id order), mirroring
+    q_x44's semantics on a corpus with known duplicate structure."""
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta "),
+            F.when(F.col("id") % 3 < 2, F.lit("shared tail"))
+            .otherwise(F.concat(F.lit("unique nr "), F.col("id").cast("string"))),
+        ).alias("text"),
+    )
+    # corpus = ids not divisible by 4; batch = ids divisible by 4
+    path = str(tmp_path / "probe_idx")
+    table = ensure_index_table(spark, path)
+    append_index_batch(
+        spark,
+        table,
+        postings_with_sizes(docs.filter("doc_id % 4 != 0")),
+        0,
+    )
+    batch = docs.filter("doc_id % 4 = 0")
+    got = {
+        (r.doc_new, r.doc_match)
+        for r in probe_dedup_index(spark, batch, table).collect()
+    }
+    # Brute-force reference: batch doc d matches e iff e is a corpus
+    # doc or an earlier batch doc and exact 3-gram Jaccard >= 0.5.
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    sets = {
+        d: {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+        for d, w in texts.items()
+    }
+    want = set()
+    for d in sets:
+        if d % 4 != 0:
+            continue
+        for e in sets:
+            if e == d or (e % 4 == 0 and e >= d):
+                continue
+            inter = len(sets[d] & sets[e])
+            if inter / (len(sets[d]) + len(sets[e]) - inter) >= JACCARD_THRESHOLD:
+                want.add((d, e))
+    assert got == want
+    assert want  # fixture exercises both index and intra-batch matches
+    assert any(e % 4 == 0 for _, e in want)  # intra-batch pair present
