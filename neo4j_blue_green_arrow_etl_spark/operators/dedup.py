@@ -876,43 +876,42 @@ ORDER BY doc_id
     f"{ST6_BATCHES} id-ordered micro-batches; a doc is admitted iff no "
     f"EARLIER doc (any prior batch, or a smaller id in its own batch) "
     f"is a near-dup at exact Jaccard >= {JACCARD_THRESHOLD}. The fold "
-    "here simulates the true streaming pipeline "
-    "(streaming/neardup_ingest.py: file-source stream + foreachBatch "
-    "with batchId-tagged exactly-once writes, equivalence pinned in "
+    "drives the TRUE per-batch pipeline "
+    "(streaming/neardup_ingest.admit_batch: bucketed persistent state "
+    "table + batchId-named exactly-once admitted files — only the "
+    "readStream shell is elided; stream equivalence pinned in "
     "tests/test_stream_ingest.py); because batches are id-ordered "
     "ranges, the (batch, id) arrival order equals plain doc_id order "
     "and the oracle is one NOT-EXISTS pass. State = shingle postings "
     "of ALL seen docs (the any-earlier rule: a doc matching only a "
     "dropped dup is the same chain and must drop too — also what "
     "keeps the rule one SQL pass instead of an order-recursive "
-    "greedy). Scale: per-batch cost is the q_x44 probe-join shape — "
-    "batch postings vs the persistent index, never corpus^2.",
+    "greedy). Scale: per-batch SHUFFLE cost is O(batch postings) — "
+    "the state side of the probe join scans the bucketed table in "
+    "place (Bucketed: true, no Exchange; operators/dedup_index.py), "
+    "so accumulating state adds linear co-located IO, not "
+    "ever-growing reshuffles (the r6 form's measured 0.95-exponent "
+    "per-batch cost).",
 )
 def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.neardup_ingest import _match_earlier
+    import tempfile
 
+    from ..streaming.neardup_ingest import admit_batch, admitted_ids
+
+    # fresh work dir per invocation: concurrent sweeps/benches on the
+    # same sf_dir must not race on one state table; the admitted files
+    # stay on disk (small) because the returned plan reads them lazily
+    work = tempfile.mkdtemp(prefix="spark_graft_st6_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     step = hi // ST6_BATCHES + 1
-    admitted: DataFrame | None = None
-    state_sh: DataFrame | None = None
     for b in range(ST6_BATCHES):
         batch = docs.filter(
             (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
         )
-        batch_sh = shingles(batch)
-        dropped = _match_earlier(batch_sh, state_sh)
-        keep = batch.join(
-            dropped, batch.doc_id == dropped.d, "left_anti"
-        ).select("doc_id")
-        admitted = keep if admitted is None else admitted.unionByName(keep)
-        state_sh = (
-            batch_sh if state_sh is None else state_sh.unionByName(batch_sh)
-        )
-        # fold hygiene: checkpoint the growing state lineage per batch
-        # (the true stream persists it as parquet; localCheckpoint is
-        # the in-session equivalent that keeps the plan from nesting
-        # B joins deep)
-        state_sh = state_sh.localCheckpoint()
-    assert admitted is not None
-    return admitted.transform(barrier_sort("doc_id"))
+        admit_batch(spark, batch, f"{work}/state", f"{work}/out", b)
+    return (
+        admitted_ids(spark, f"{work}/out")
+        .select("doc_id")
+        .transform(barrier_sort("doc_id"))
+    )

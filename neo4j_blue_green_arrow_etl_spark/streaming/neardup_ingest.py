@@ -4,23 +4,31 @@ JACCARD_THRESHOLD) of any EARLIER document — the continuous form of
 operators.dedup.q_x44_incrdedup, and the shape a 100 TB pipeline runs
 on its live crawl feed.
 
-Design:
+Design (r7: state is the BUCKETED index, not per-batch parquet globs):
 
-- The dedup STATE is the shingle-postings table of previously seen
-  docs, persisted as parquet under ``state_dir`` — the same "corpus
-  index" q_x44 probes, grown batch by batch. State size is
-  O(distinct shingles of seen docs), partitioned/bucketable by shingle
-  at scale; nothing is held on the driver.
-- Each micro-batch runs the q_x44 probe join: batch shingles vs state
-  postings (plus earlier docs of the SAME batch, doc_id order), exact
-  Jaccard verify, NOT-EXISTS -> admitted.
-- foreachBatch writes are made EXACTLY-ONCE the same way
-  streaming/ingest.py does it: every output file carries the batchId
-  (``admitted-b<id>.parquet`` / ``state-b<id>.parquet``), so a replayed
-  batch OVERWRITES its own files instead of duplicating rows. A batch
-  that crashed mid-write re-runs with the same id and re-derives the
-  same admissions because its inputs (prior-batch state files) are
-  immutable.
+- The dedup STATE is operators.dedup_index's persisted postings table:
+  one external parquet table under ``state_dir``, CLUSTERED BY
+  (shingle) INTO N BUCKETS and partitioned by batch_id, rows
+  (doc_id, shingle, n). Nothing is held on the driver; across session
+  restarts the deterministic DDL re-registers the same files.
+- Each micro-batch runs the co-located probe join: batch postings vs
+  ``batch_id < current`` partitions of the state table. The state
+  side arrives at the shingle equi-join already hash-partitioned
+  (Bucketed: true — the scan is the shuffle), so per-batch SHUFFLE
+  cost is O(batch postings) regardless of how much state has
+  accumulated; state contributes only a linear co-located scan. The
+  r6 form re-shuffled the full glob-read state every batch — the
+  worst scaling datapoint of that round (exponent ~0.95 with a 57.9 s
+  x16 batch); this is the fix the q_x44 docstring promised.
+- EXACTLY-ONCE: admitted ids keep the batchId-in-filename overwrite
+  scheme (``admitted-b<id>.parquet``); state writes go through
+  append_index_batch, whose dynamic partition overwrite replaces ONLY
+  the replayed batch's partition. The ``batch_id < current`` read
+  filter doubles as the exclusion of this batch's own partial prior
+  attempt, so a replay re-derives identical admissions from immutable
+  prior partitions — including after a crash BETWEEN the admitted
+  write and the state write (tests/test_stream_ingest.py pins both
+  orders).
 
 Admission rule (deterministic, SQL-expressible — the q_st6_neardup
 oracle): doc d is admitted iff NO doc e with order key (batch(e),
@@ -28,7 +36,8 @@ e.doc_id) < (batch(d), d.doc_id) has Jaccard(d, e) >= threshold. Note
 "any earlier doc", not "any earlier ADMITTED doc": the greedy
 admitted-only variant is order-recursive (not one SQL pass) and drops
 fewer docs; near-dup chains collapse to their FIRST element either
-way, which is what dedup pipelines keep.
+way, which is what dedup pipelines keep. State therefore indexes
+EVERY seen doc's postings, admitted or dropped.
 """
 
 from __future__ import annotations
@@ -38,59 +47,29 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import JACCARD_THRESHOLD, shingles
+from ..operators.dedup_index import (
+    append_index_batch,
+    ensure_index_table,
+    neardup_match_pairs,
+    postings_with_sizes,
+)
 
 DOCS_STREAM_COLS = ("doc_id", "text")
 
 
-def _match_earlier(
-    batch_sh: DataFrame, state_sh: DataFrame | None
+def dropped_doc_ids(
+    batch_post: DataFrame, state_post: DataFrame
 ) -> DataFrame:
-    """doc_ids of batch docs near-dup-matched by state postings or by
-    an earlier (smaller doc_id) doc of the same batch."""
-    sizes_b = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = batch_sh.alias("x")
-    candidates = []
-    if state_sh is not None:
-        y = state_sh.alias("y")
-        sizes_s = state_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        common_s = (
-            x.join(y, F.col("x.shingle") == F.col("y.shingle"))
-            .groupBy(
-                F.col("x.doc_id").alias("d"), F.col("y.doc_id").alias("e")
-            )
-            .agg(F.count("*").alias("c"))
-        )
-        sa, sb = sizes_b.alias("sa"), sizes_s.alias("sb")
-        jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-        candidates.append(
-            common_s.join(sa, F.col("d") == F.col("sa.doc_id"))
-            .join(sb, F.col("e") == F.col("sb.doc_id"))
-            .filter(jac >= JACCARD_THRESHOLD)
-            .select("d")
-        )
-    z = batch_sh.alias("z")
-    common_b = (
-        x.join(
-            z,
-            (F.col("x.shingle") == F.col("z.shingle"))
-            & (F.col("z.doc_id") < F.col("x.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("d"), F.col("z.doc_id").alias("e"))
-        .agg(F.count("*").alias("c"))
-    )
-    sa, sb = sizes_b.alias("sa"), sizes_b.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    candidates.append(
-        common_b.join(sa, F.col("d") == F.col("sa.doc_id"))
-        .join(sb, F.col("e") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d")
-    )
-    out = candidates[0]
-    for c in candidates[1:]:
-        out = out.unionByName(c)
-    return out.distinct()
+    """doc_ids (column ``d``) of batch docs near-dup-matched by state
+    postings or by an earlier (smaller doc_id) doc of the same batch.
+    Both inputs carry (doc_id, shingle, n)."""
+    vs_state = neardup_match_pairs(batch_post, state_post).select("d")
+    vs_self = neardup_match_pairs(
+        batch_post,
+        batch_post,
+        pair_filter=F.col("y.doc_id") < F.col("x.doc_id"),
+    ).select("d")
+    return vs_state.unionByName(vs_self).distinct()
 
 
 def admit_batch(
@@ -100,37 +79,34 @@ def admit_batch(
     out_dir: str,
     batch_id: int,
 ) -> None:
-    """One exactly-once micro-batch: admit non-near-dup docs, append
-    their doc_ids to ``out_dir`` and their shingle postings to
-    ``state_dir`` — every file named by batchId so replays overwrite
-    rather than duplicate."""
+    """One exactly-once micro-batch: admit non-near-dup docs, write
+    their doc_ids to ``out_dir`` (batchId-named file, replay
+    overwrites) and this batch's postings to the bucketed state
+    table's own ``batch_id`` partition (replay overwrites just that
+    partition)."""
+    table = ensure_index_table(spark, state_dir)
     batch_docs = batch_docs.select(*DOCS_STREAM_COLS)
-    batch_sh = shingles(batch_docs).localCheckpoint()
-    state_files = sorted(Path(state_dir).glob("state-b*.parquet"))
-    # this batch's own (possibly partial) prior attempt is NOT state
-    state_files = [
-        p for p in state_files if p.stem != f"state-b{batch_id}"
-    ]
-    state_sh = (
-        spark.read.parquet(*[str(p) for p in state_files])
-        if state_files
-        else None
+    # localCheckpoint: the postings feed three consumers (two match
+    # joins + the state write); a checkpoint also cuts the streaming
+    # source out of the reused plan
+    batch_post = postings_with_sizes(batch_docs).localCheckpoint()
+    # strictly-earlier partitions only: enforces arrival order AND
+    # excludes this batch's own (possibly partial) prior attempt on
+    # replay — partition-pruned at the scan
+    state_post = (
+        spark.table(table)
+        .filter(F.col("batch_id") < batch_id)
+        .select("doc_id", "shingle", "n")
     )
-    dropped = _match_earlier(batch_sh, state_sh)
-    admitted = batch_docs.join(dropped, batch_docs.doc_id == dropped.d, "left_anti")
+    dropped = dropped_doc_ids(batch_post, state_post)
+    admitted = batch_docs.join(
+        dropped, batch_docs.doc_id == dropped.d, "left_anti"
+    )
     Path(out_dir).mkdir(parents=True, exist_ok=True)
-    Path(state_dir).mkdir(parents=True, exist_ok=True)
     admitted.select("doc_id").write.mode("overwrite").parquet(
         f"{out_dir}/admitted-b{batch_id}.parquet"
     )
-    # State indexes EVERY seen doc's postings (admitted or dropped) —
-    # the any-earlier rule: a doc that matches only a dropped dup is
-    # itself a dup of the same chain and must drop too. This is also
-    # what makes the rule one SQL pass (the oracle) instead of an
-    # order-recursive greedy.
-    batch_sh.write.mode("overwrite").parquet(
-        f"{state_dir}/state-b{batch_id}.parquet"
-    )
+    append_index_batch(spark, table, batch_post, batch_id)
 
 
 def stream_neardup_ingest(

@@ -203,3 +203,128 @@ def test_stream_neardup_replay_is_idempotent(spark, tmp_path):
     admit_batch(spark, b1, state, out, 1)
     second = sorted(r.doc_id for r in admitted_ids(spark, out).collect())
     assert first == second
+
+
+def test_crash_between_admitted_and_state_writes_recovers(spark, tmp_path):
+    """VERDICT r6 task 6: kill the batch BETWEEN its two writes
+    (admitted file written, state partition not). The replay must
+    re-derive the SAME admissions from the immutable prior-batch
+    state — the batch_id < current read filter makes the partial
+    attempt invisible — and the final corpus state must equal the
+    never-crashed run's."""
+    import pytest
+
+    from neo4j_blue_green_arrow_etl_spark.operators import dedup_index
+    from neo4j_blue_green_arrow_etl_spark.streaming import neardup_ingest
+    from neo4j_blue_green_arrow_etl_spark.streaming.neardup_ingest import (
+        admit_batch,
+        admitted_ids,
+    )
+
+    docs = _neardup_docs(spark)
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    b0 = docs.filter("doc_id < 10")
+    b1 = docs.filter("doc_id >= 10 and doc_id < 20")
+    admit_batch(spark, b0, state, out, 0)
+
+    real_append = dedup_index.append_index_batch
+
+    def crash_append(*a, **k):
+        raise RuntimeError("injected crash between admitted and state write")
+
+    # admit_batch resolves append_index_batch from ITS module namespace
+    neardup_ingest.append_index_batch = crash_append
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            admit_batch(spark, b1, state, out, 1)
+    finally:
+        neardup_ingest.append_index_batch = real_append
+
+    # admitted-b1 exists, state partition 1 does not
+    assert (tmp_path / "out" / "admitted-b1.parquet").exists()
+    table = dedup_index.ensure_index_table(spark, state)
+    assert spark.table(table).filter("batch_id = 1").count() == 0
+
+    crashed_partial = sorted(
+        r.doc_id for r in admitted_ids(spark, out).collect()
+    )
+    # replay batch 1 (checkpoint never committed it)
+    admit_batch(spark, b1, state, out, 1)
+    after_replay = sorted(r.doc_id for r in admitted_ids(spark, out).collect())
+    assert after_replay == crashed_partial  # replay changed nothing visible
+    assert spark.table(table).filter("batch_id = 1").count() > 0
+
+    # and it all equals a clean run from scratch
+    state2, out2 = str(tmp_path / "state2"), str(tmp_path / "out2")
+    admit_batch(spark, b0, state2, out2, 0)
+    admit_batch(spark, b1, state2, out2, 1)
+    clean = sorted(r.doc_id for r in admitted_ids(spark, out2).collect())
+    assert after_replay == clean
+    t1 = spark.table(table)
+    t2 = spark.table(dedup_index.ensure_index_table(spark, state2))
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_stream_restart_with_checkpoint_after_midbatch_crash(spark, tmp_path):
+    """A stream whose foreachBatch dies mid-batch must, on restart with
+    the SAME checkpoint, replay that batch and continue — the final
+    admitted set equals the batch rule over all arrivals, with no
+    duplicate admitted files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.streaming import neardup_ingest
+    from neo4j_blue_green_arrow_etl_spark.streaming.neardup_ingest import (
+        admitted_ids,
+        stream_neardup_ingest,
+    )
+
+    docs = _neardup_docs(spark)
+    src = tmp_path / "docs_in"
+    for i in range(4):
+        docs.filter(
+            (F.col("doc_id") >= i * 10) & (F.col("doc_id") < (i + 1) * 10)
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"part{i}"))
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_admit = neardup_ingest.admit_batch
+    calls = {"n": 0}
+
+    def flaky_admit(spark_, batch_docs, state_dir, out_dir, batch_id):
+        calls["n"] += 1
+        if batch_id == 1 and calls["n"] <= 2:
+            # crash AFTER the admitted write, BEFORE the state write
+            # (worst case: visible output exists, state+checkpoint lost)
+            table = neardup_ingest.ensure_index_table(spark_, state_dir)
+            bd = batch_docs.select(*neardup_ingest.DOCS_STREAM_COLS)
+            bp = neardup_ingest.postings_with_sizes(bd).localCheckpoint()
+            sp = (
+                spark_.table(table)
+                .filter(F.col("batch_id") < batch_id)
+                .select("doc_id", "shingle", "n")
+            )
+            dropped = neardup_ingest.dropped_doc_ids(bp, sp)
+            adm = bd.join(dropped, bd.doc_id == dropped.d, "left_anti")
+            from pathlib import Path as _P
+
+            _P(out_dir).mkdir(parents=True, exist_ok=True)
+            adm.select("doc_id").write.mode("overwrite").parquet(
+                f"{out_dir}/admitted-b{batch_id}.parquet"
+            )
+            raise RuntimeError("injected mid-batch crash")
+        return real_admit(spark_, batch_docs, state_dir, out_dir, batch_id)
+
+    neardup_ingest.admit_batch = flaky_admit
+    try:
+        with pytest.raises(Exception):
+            stream_neardup_ingest(spark, f"{src}/*", state, out, ckpt)
+    finally:
+        neardup_ingest.admit_batch = real_admit
+
+    # restart with the same checkpoint: batch 1 replays, 2..3 proceed
+    stream_neardup_ingest(spark, f"{src}/*", state, out, ckpt)
+    got = sorted(r.doc_id for r in admitted_ids(spark, out).collect())
+    assert got == _expected_admitted(spark, docs)
