@@ -41,10 +41,18 @@ SIMHASH_BITS = 64
 # enumerating every member-member pair, so a Hamming<=6 pair inside a
 # hot bucket where neither doc is the rep can be missed — the recall
 # floor below is pinned empirically, not by the pigeonhole argument.
-# Measured on the shingle feature space this radius captures ~83% of
-# the exact-Jaccard>=0.5 truth pairs (RECALL_r5), vs 19% for the old
-# radius-3 single-token fingerprint.
-SIMHASH_MAX_HAMMING = 6
+# Radius choice (r7): the 28 two-band probe keys REACH 254/256 of the
+# exact-Jaccard>=0.5 truth pairs at sf0.1 (a 2-band collision exists),
+# so the Hamming filter — not candidate generation — was the recall
+# limiter: radius 6 captured 0.84 (every miss measured at Hamming
+# 7-11), radius 10 captures 0.984 with false positives still
+# impossible (exact-Jaccard verify). Capture is pigeonhole-GUARANTEED
+# only to Hamming <= 6 (6 flipped bits touch <= 6 of 8 bands, leaving
+# a probed 2-band key intact); 7-10 ride the empirical tendency of
+# near-dup bit flips to cluster within bands. Cost: a wider radius
+# admits more candidates into the Jaccard verify — measured within
+# the <= 5 s budget at sf0.1 (BENCH_LOCAL_r7).
+SIMHASH_MAX_HAMMING = 10
 SIMHASH_BANDS = 8  # 8-bit bands; probed as 28 two-band 16-bit keys
 # LSH buckets above this size switch from all-pairs to star candidates
 # (every member vs the bucket's min-id representative) — see
@@ -360,16 +368,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{SHINGLE_N}-gram shingle feature space as the exact oracle: "
     "per-bit majority vote over hashed shingles, candidates from all "
     f"C({SIMHASH_BANDS},2)=28 two-band 16-bit probe keys (Manku-style "
-    f"rotation probing: any Hamming-<= {SIMHASH_MAX_HAMMING} pair "
-    "leaves >=2 of the 8 bands untouched, so >=1 probed band pair "
-    "matches — exact pigeonhole guarantee), Hamming-filtered via "
+    "rotation probing: pigeonhole-exact capture up to Hamming 6 — six "
+    "flipped bits leave >=2 of the 8 bands untouched, so >=1 probed "
+    f"band pair matches; the {SIMHASH_MAX_HAMMING}-bit filter radius "
+    "beyond that rides measured band-collision behavior, 254/256 "
+    "truth pairs reachable at sf0.1), Hamming-filtered via "
     "bit_count(xor), then VERIFIED with exact Jaccard >= "
     f"{JACCARD_THRESHOLD} so emitted pairs are a strict subset of the "
-    "truth set (0 false positives; recall is the Hamming-radius "
-    "capture rate, measured >=0.8 in RECALL_r5). Scale: fingerprint "
-    "is one groupBy; 28 fixed-width probe keys per doc; bucket-capped "
-    "candidate join (lsh_band_candidates); verify touches only "
-    "candidate pairs.",
+    "truth set (0 false positives; recall 0.96-0.98 across SFs, "
+    "RECALL_r7 — up from 0.84 at the old radius 6). Scale: "
+    "fingerprint is one groupBy; 28 fixed-width probe keys per doc; "
+    "bucket-capped candidate join (lsh_band_candidates); verify "
+    "touches only candidate pairs.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hashed-shingle table is shared by the vote aggregation AND the

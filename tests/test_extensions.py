@@ -36,11 +36,12 @@ def test_minhash_recall_vs_exact_oracle(spark):
 
 
 def test_simhash_recall_floor_and_no_false_positives(spark):
-    """VERDICT r4 task 1: simhash is a verified candidate tier over the
-    SAME shingle space as the exact oracle — emitted pairs must be a
-    strict subset of the exact-Jaccard truth (0 false positives) and
-    the Hamming-radius capture rate must clear a pinned >=0.6 recall
-    floor (measured 0.80 at sf0.001, 0.84 at sf0.1 — RECALL_r5)."""
+    """VERDICT r4 task 1 + r6 task 4: simhash is a verified candidate
+    tier over the SAME shingle space as the exact oracle — emitted
+    pairs must be a strict subset of the exact-Jaccard truth (0 false
+    positives) and the Hamming-radius capture rate must clear a pinned
+    >=0.9 recall floor (radius 10: measured 0.964 at sf0.001, 0.984
+    at sf0.1 — RECALL_r7)."""
     from neo4j_blue_green_arrow_etl_spark.operators.dedup import SIMHASH_MAX_HAMMING
 
     df = REGISTRY["q_dedup_simhash"].spark(spark, SF_SMOKE)
@@ -55,7 +56,7 @@ def test_simhash_recall_floor_and_no_false_positives(spark):
     assert approx <= exact  # no false positives after verification
     if exact:
         recall = len(approx & exact) / len(exact)
-        assert recall >= 0.6, f"simhash recall {recall:.2f} below floor"
+        assert recall >= 0.9, f"simhash recall {recall:.2f} below floor"
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):
