@@ -74,6 +74,13 @@ PROBES = [
     # --factors 1,...,32) extends the capped dedup/ANN tier to the
     # factors where bucket/block caps actually pay off.
     "q_x24b_fuzzy_capped",
+    # r7: the indexed incremental-dedup probe — its recompute twin
+    # q_x44_incrdedup and the streaming fold q_st6_neardup are probed
+    # in the dedicated probe-vs-recompute run (SCALE_PROBE_INDEX_r7:
+    # --queries q_x44_incrdedup,q_x44b_incrdedup_indexed,q_st6_neardup
+    # --tables documents --factors 1,2,4,8,16), as are the composed
+    # capstones q_x31b_erclusters_capped / q_x45_curate (r6 task 5).
+    "q_x44b_incrdedup_indexed",
 ]
 KEY_STRIDE = 100_000_000
 
