@@ -164,8 +164,18 @@ def neardup_match_pairs(
     partitioning — no Exchange), set sizes ride the candidate groupBy
     as first() aggregates, and only docs sharing >= 1 shingle ever
     meet (no cartesian). ``pair_filter`` adds a post-join predicate on
-    the aliased sides (e.g. id-order for intra-batch matching)."""
-    x = x_post.alias("x")
+    the aliased sides (e.g. id-order for intra-batch matching).
+
+    The probe side carries a SHUFFLE_HASH hint: without it Catalyst
+    picks sort-merge, and because an incrementally-grown bucket holds
+    one file PER BATCH, Spark cannot trust the per-file sort order —
+    so SMJ re-SORTS the ENTIRE accumulated state on every probe,
+    which measured SLOWER at x16 than recomputing the postings from
+    raw text (SCALE_PROBE_INDEX_r7, smj variant). Hash-building the
+    small probe side instead streams the state buckets with no sort
+    and no shuffle — the per-probe state cost is one linear co-located
+    scan, full stop."""
+    x = x_post.hint("shuffle_hash").alias("x")
     y = y_post.alias("y")
     joined = x.join(y, F.col("x.shingle") == F.col("y.shingle"))
     if pair_filter is not None:

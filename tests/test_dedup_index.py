@@ -54,6 +54,12 @@ def test_index_side_join_is_shuffle_free(spark, tmp_path):
         if "Exchange hashpartitioning(shingle" in ln
     ]
     assert len(shingle_exchanges) == 1, plan  # batch side only
+    # and no sort either: the SHUFFLE_HASH hint streams the state
+    # buckets — a SortMergeJoin here would re-sort the entire
+    # accumulated state on EVERY probe (multi-file buckets forfeit the
+    # on-disk sort), which measured slower than recomputing at x16
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_indexed_probe_equals_recompute(spark):

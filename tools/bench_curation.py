@@ -32,6 +32,7 @@ puts all 32 task slots in one JVM).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -124,6 +125,11 @@ def main() -> None:
     )
     from neo4j_blue_green_arrow_etl_spark.session import get_spark
 
+    # x100 adversarial verifies ~27M near-dup pairs; the default 8g
+    # driver heap (fine for every per-query bench) OOMed here once GC
+    # locker + parquet read-ahead stacked on 32 task threads — size
+    # the one tool that runs 100x data accordingly
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("bench_curation")
     work = build_scaled_docs(spark, scale, mode) if scale > 1 else sf_dir
     docs = spark.read.parquet(f"{work}/documents.parquet")

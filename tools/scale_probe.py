@@ -85,11 +85,33 @@ PROBES = [
 KEY_STRIDE = 100_000_000
 
 
-def build_scaled(spark, factor: int, tables: list[str] | None = None) -> str:
+def build_scaled(
+    spark,
+    factor: int,
+    tables: list[str] | None = None,
+    text_mode: str = "suffix",
+) -> str:
+    """text_mode governs how replica TEXT diverges:
+
+    - "suffix" (default): append " r{i}" — replicas stay EXACT-distinct
+      but remain NEAR-duplicates of each other (only trailing shingles
+      change), so true near-dup pair volume grows ~quadratically with
+      the factor. This is the duplicate-ADVERSARIAL stress tree: probes
+      of Jaccard-tier operators measure output-proportional verify
+      work, not input scaling.
+    - "interleave": weave an "r{i}" token between every word — every
+      3-gram shingle of every replica contains the replica tag, so
+      cross-replica Jaccard is ZERO and duplicate structure stays
+      PROPORTIONAL to corpus size (each replica carries one copy of
+      the base tree's dup structure). This is the
+      constant-duplicate-rate growth tree — the exponent that answers
+      "what happens when the corpus grows" rather than "what happens
+      when one dup chain goes hot".
+    """
     from pyspark.sql import functions as F
 
     tables = tables or list(TABLES)
-    out = f"{WORK}/x{factor}"
+    out = f"{WORK}/x{factor}" + ("_disjoint" if text_mode == "interleave" else "")
     # per-table markers: a deep-factor run that needs only documents +
     # embeddings must not pay for (or depend on) lineitem/orders builds
     pending = [t for t in tables if not Path(out, f"_READY_{t}").exists()]
@@ -104,11 +126,20 @@ def build_scaled(spark, factor: int, tables: list[str] | None = None) -> str:
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
             for t in texts:
-                # distinct content per replica: keeps dedup/minhash
-                # structure proportional instead of all-duplicates
-                rep = rep.withColumn(
-                    t, F.concat(F.col(t), F.lit(f" r{i}"))
-                )
+                if text_mode == "interleave" and i > 0:
+                    rep = rep.withColumn(
+                        t,
+                        F.concat(
+                            F.lit(f"r{i} "),
+                            F.regexp_replace(F.col(t), " ", f" r{i} "),
+                        ),
+                    )
+                else:
+                    # exact-distinct content per replica (but still
+                    # near-dup across replicas — see docstring)
+                    rep = rep.withColumn(
+                        t, F.concat(F.col(t), F.lit(f" r{i}"))
+                    )
             if table == "embeddings" and i > 0:
                 # deterministic per-replica perturbation: replicas are
                 # near (not exact) duplicates, so LSH/IVF bucket and
@@ -150,6 +181,14 @@ def main() -> None:
         help="comma-separated registry names to probe (default: the "
         "built-in one-per-cost-family set)",
     )
+    ap.add_argument(
+        "--text-mode",
+        default="suffix",
+        choices=["suffix", "interleave"],
+        help="replica text divergence: suffix = near-dup-adversarial "
+        "stress tree (default); interleave = zero cross-replica "
+        "Jaccard, duplicate structure proportional to corpus size",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     probes = args.queries.split(",") if args.queries else PROBES
@@ -164,7 +203,7 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {q: {} for q in probes}
     for factor in factors:
-        sf_dir = build_scaled(spark, factor, tables)
+        sf_dir = build_scaled(spark, factor, tables, args.text_mode)
         for q in probes:
             # min over repeats: the first run pays cold page-cache and
             # codegen cost that would otherwise masquerade as compute
@@ -199,6 +238,7 @@ def main() -> None:
     payload = {
         "base_sf_dir": BASE_SF,
         "factors": factors,
+        "text_mode": args.text_mode,
         "secs": results,
         "scaling_exponent_warm": slopes,
         "note": "exponent ~1.0 = linear time growth on fixed local[32] "
