@@ -37,10 +37,23 @@ Why bucketing is the right at-rest shape at 100 TB:
   re-issues the deterministic DDL + RECOVER PARTITIONS at startup —
   the data, being plain bucketed parquet, is the durable artifact.
 
-Shingles are kept as STRINGS here (not xxhash64 like the minhash
-tier) so the indexed probe stays exactly DuckDB-expressible:
-q_x44b_incrdedup_indexed is fully oracle-gated against the SAME SQL
-as q_x44_incrdedup — byte-identical results, different physical plan.
+Shingles are stored HASHED (xxhash64 -> BIGINT), like the minhash
+tier: the index's bytes ARE the per-probe cost (every ingest scans it
+once), and an 8-byte key column both shrinks the at-rest table ~4x vs
+raw 3-gram strings and makes the equi-join compare longs instead of
+strings. This matters on the measured path: the first r7 build stored
+strings and its x32 probe LOST to full recompute (45.9s vs 31.9s,
+SCALE_PROBE narrative in SCALING.md) because reading the exploded
+string postings off disk out-costs re-shingling the raw text — the
+shuffle the bucketing saves is the win at cluster scale, but the scan
+bytes must not give it back. Correctness is unaffected: hashing is
+row-wise over already-distinct (doc_id, shingle) rows, so every
+Jaccard count is identical unless two distinct 3-grams collide in 64
+bits (expected collisions ~= s^2/2^65; at 10^7 distinct shingles that
+is ~3e-6 — and the sf0.01 oracle gate would surface one
+deterministically). q_x44b_incrdedup_indexed stays fully oracle-gated
+against the SAME string-exact SQL as q_x44_incrdedup — byte-identical
+results, different physical plan and at-rest layout.
 
 Reference parity: the reference has no dedup engine (it is a load
 orchestrator); this family extends the training-data-pipeline
@@ -65,6 +78,10 @@ from .relational import barrier_sort, register
 # it means rebuilding the index (as with any bucketed layout).
 DEDUP_INDEX_BUCKETS = 32
 
+# at-rest layout version (goes into the default index path): v2 = the
+# xxhash64 BIGINT shingle key (v1 stored raw 3-gram strings)
+_SCHEMA_TAG = "i64v2"
+
 _POSTINGS_COLS = ("doc_id", "shingle", "n")
 
 
@@ -76,9 +93,11 @@ def postings_with_sizes(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     sh = shingles(docs)
+    # hash AFTER the per-doc distinct (row-wise, count-preserving);
+    # see module docstring for the collision/size argument
     return sh.select(
         "doc_id",
-        "shingle",
+        F.xxhash64("shingle").alias("shingle"),
         F.count("*")
         .over(Window.partitionBy("doc_id"))
         .cast("int")
@@ -112,7 +131,7 @@ def ensure_index_table(
     Path(index_path).mkdir(parents=True, exist_ok=True)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {table} "
-        "(doc_id BIGINT, shingle STRING, n INT, batch_id INT) "
+        "(doc_id BIGINT, shingle BIGINT, n INT, batch_id INT) "
         "USING parquet PARTITIONED BY (batch_id) "
         f"CLUSTERED BY (shingle) SORTED BY (shingle) "
         f"INTO {buckets} BUCKETS "
@@ -240,7 +259,10 @@ def probe_dedup_index(
 
 
 def _default_index_path(sf_dir: str) -> str:
-    digest = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    # the schema tag versions the at-rest layout: bumping it makes a
+    # live machine's stale indexes (older schema) unreachable instead
+    # of colliding with the new DDL at the same location
+    digest = hashlib.md5(f"{sf_dir}:{_SCHEMA_TAG}".encode()).hexdigest()[:12]
     return f"/tmp/spark_graft_dedup_index/{digest}"
 
 
@@ -251,12 +273,12 @@ def _default_index_path(sf_dir: str) -> str:
     "shingle index — the at-rest twin of q_x44_incrdedup, gated by "
     "the SAME oracle (byte-identical results, different physical "
     "plan). First call per sf_dir builds the index "
-    "(build_dedup_index: one bucketed write, amortized across every "
-    "subsequent ingest); the probe itself shuffles only the batch "
-    "postings — the corpus side scans in place (Bucketed: true, no "
-    "Exchange), which is what makes daily ingest affordable when the "
-    "corpus is 1000x the batch. INDEX_PROBE_r7.json measures "
-    "probe-vs-recompute at x1-x16.",
+    "(build_dedup_index: one bucketed write of xxhash64 postings, "
+    "amortized across every subsequent ingest); the probe itself "
+    "shuffles only the batch postings — the corpus side scans in "
+    "place (Bucketed: true, no Exchange), which is what makes daily "
+    "ingest affordable when the corpus is 1000x the batch. "
+    "SCALE_PROBE_INDEX_r7.json measures probe-vs-recompute to x32.",
 )
 def q_x44b_incrdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = _default_index_path(sf_dir)
