@@ -141,6 +141,10 @@ def ensure_index_table(
     # files may have changed under an already-registered name (another
     # process appended a batch): drop any stale cached listing
     spark.sql(f"REFRESH TABLE {table}")
+    # a compaction interrupted mid-protocol leaves a manifest; finish
+    # (or abort) it BEFORE handing the table to readers, so no caller
+    # ever observes folded rows alongside their source partitions
+    _recover_compaction(spark, table, index_path)
     return table
 
 
@@ -159,15 +163,129 @@ def append_index_batch(
     out = postings.select(*_POSTINGS_COLS).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _insert_dynamic(out, table)
+    spark.sql(f"REFRESH TABLE {table}")
+
+
+def _insert_dynamic(out: DataFrame, table: str) -> None:
+    """insertInto(table) with dynamic partition overwrite, set on the
+    DATAFRAME'S OWN session. Two sharp edges force this shape: the
+    DataFrameWriter option('partitionOverwriteMode',...) is ignored by
+    catalog-table insertInto (only path writes honor it), and inside
+    foreachBatch the batch DataFrame is bound to a CLONED session —
+    setting the conf on the outer session leaves the clone in static
+    mode, where a partition overwrite TRUNCATES THE WHOLE TABLE
+    (observed: the stream's last append erased all prior state).
+    insertInto resolves positionally: ``out`` columns must match the
+    DDL (doc_id, shingle, n, batch_id) exactly."""
+    sess = out.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = sess.conf.get(key, "STATIC")
+    sess.conf.set(key, "dynamic")
     try:
-        # insertInto resolves POSITIONALLY: column order above matches
-        # the DDL (doc_id, shingle, n, batch_id) exactly
         out.write.mode("overwrite").insertInto(table)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sess.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# Compaction: fold sealed batch partitions into one
+# ---------------------------------------------------------------------------
+#
+# Every ingest appends one partition holding `buckets` files, so after
+# B ingests each bucket's postings are smeared over B small files —
+# the classic small-files decay: listing cost grows O(B x buckets),
+# scan tasks lose locality, and the per-file SORTED BY order stops
+# covering the bucket (why the probe join needs SHUFFLE_HASH instead
+# of a sort-merge). Compaction rewrites all SEALED batches (ids <=
+# a watermark the stream will never replay) into ONE partition with
+# one file per bucket, restoring O(buckets) files without touching
+# the exactly-once story of the live tail.
+#
+# Crash protocol (no metastore transactions over plain parquet, so
+# recovery is made DETERMINISTIC instead of the swap atomic):
+#   1. manifest {"through": w, "rows": n} written to the index root
+#   2. consolidated rows (all batch_id <= w, relabeled w) committed to
+#      partition w via dynamic-overwrite insertInto (per-partition
+#      staging + rename; a crash mid-job leaves partition w unchanged)
+#   3. source partition DIRECTORIES batch_id < w deleted (the table is
+#      EXTERNAL: DROP PARTITION alone would leave files for a later
+#      RECOVER PARTITIONS to resurrect)
+#   4. manifest removed
+# ensure_index_table() runs _recover_compaction() on every open: a
+# manifest with partition w's row count == n means step 2 committed —
+# finish steps 3-4; any other state means it did not — abort by
+# removing the manifest (source partitions are still intact).
+# Step 2's count check cannot false-positive: the old partition w can
+# only equal n when batches < w contribute zero rows, in which case
+# folding is a no-op anyway.
+
+_COMPACT_MANIFEST = "_COMPACT_MANIFEST"  # "_"-prefix: invisible to scans
+
+
+def compact_index(
+    spark: SparkSession, index_path: str, through_batch: int
+) -> None:
+    """Fold every partition with ``batch_id <= through_batch`` into the
+    single partition ``through_batch``. The caller must only pass a
+    SEALED watermark (a batch id the stream can never replay — in
+    streaming/neardup_ingest.py, anything below the batch currently
+    being processed): replaying a folded batch would recreate its
+    partition alongside its rows in the fold. Idempotent — compacting
+    an already-compacted range rewrites the same rows."""
+    import json
+
+    table = ensure_index_table(spark, index_path)  # finishes pending folds
+    src = spark.table(table).filter(F.col("batch_id") <= through_batch)
+    # localCheckpoint breaks lineage: the write below OVERWRITES a
+    # partition this plan reads (Spark forbids self-overwrite reads).
+    # A compaction necessarily rewrites its bytes somewhere; block
+    # storage here plays the staging-dir role a cluster FS would.
+    consolidated = (
+        src.select(*_POSTINGS_COLS)
+        .withColumn("batch_id", F.lit(through_batch))
+        .localCheckpoint()
+    )
+    n = consolidated.count()
+    manifest = Path(index_path, _COMPACT_MANIFEST)
+    manifest.write_text(json.dumps({"through": through_batch, "rows": n}))
+    _insert_dynamic(consolidated, table)
     spark.sql(f"REFRESH TABLE {table}")
+    _recover_compaction(spark, table, index_path)
+    consolidated.unpersist()
+
+
+def _recover_compaction(
+    spark: SparkSession, table: str, index_path: str
+) -> None:
+    """Finish (or abort) an interrupted compaction — see protocol
+    above. Local-FS directory ops here; a cluster deployment swaps in
+    the Hadoop FileSystem API, the protocol is unchanged."""
+    import json
+    import shutil
+
+    manifest = Path(index_path, _COMPACT_MANIFEST)
+    if not manifest.exists():
+        return
+    meta = json.loads(manifest.read_text())
+    w, n = int(meta["through"]), int(meta["rows"])
+    committed = (
+        spark.table(table).filter(F.col("batch_id") == w).count() == n
+    )
+    if committed:
+        for part in Path(index_path).glob("batch_id=*"):
+            pid = int(part.name.split("=", 1)[1])
+            if pid < w:
+                shutil.rmtree(part)
+                # the table is EXTERNAL so this is metadata-only (the
+                # files are already gone); RECOVER only ADDS partitions
+                # and would leave a dangling catalog entry otherwise
+                spark.sql(
+                    f"ALTER TABLE {table} DROP IF EXISTS "
+                    f"PARTITION (batch_id={pid})"
+                )
+        spark.sql(f"REFRESH TABLE {table}")
+    manifest.unlink()
 
 
 def neardup_match_pairs(
@@ -291,6 +409,45 @@ def q_x44b_incrdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = ensure_index_table(spark, index_path)
     else:
         table = build_dedup_index(spark, sf_dir, index_path)
+        marker.write_text(stamp)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    return probe_dedup_index(spark, batch, table).transform(
+        barrier_sort("doc_new", "doc_match")
+    )
+
+
+Q44C_BUILD_BATCHES = 4  # ingests simulated before the compaction
+
+
+@register(
+    "q_x44c_incrdedup_compacted",
+    oracle=_INCR_ORACLE,
+    doc="Incremental corpus dedup against a COMPACTED index — same "
+    f"oracle as q_x44/q_x44b (byte-identical results): the corpus is "
+    f"ingested as {Q44C_BUILD_BATCHES} separate batch appends (each "
+    "leaving one file per bucket, the small-files decay a real "
+    "index accrues), then compact_index folds the sealed batches "
+    "into ONE partition with one file per bucket before the probe. "
+    "Gates the full maintenance lifecycle — append, fold, "
+    "crash-recoverable swap (tests/test_dedup_index.py), probe — "
+    "not just the happy-path build.",
+)
+def q_x44c_incrdedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_path = _default_index_path(sf_dir) + "_cmp"
+    marker = Path(index_path, "_BUILT_FOR")
+    docs = _docs(spark, sf_dir)
+    stamp = f"{sf_dir}:{docs.count()}"
+    if marker.exists() and marker.read_text() == stamp:
+        table = ensure_index_table(spark, index_path)
+    else:
+        table = ensure_index_table(spark, index_path)
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != 0)
+        for b in range(Q44C_BUILD_BATCHES):
+            part = corpus.filter(
+                F.col("doc_id") % Q44C_BUILD_BATCHES == b
+            )
+            append_index_batch(spark, table, postings_with_sizes(part), b)
+        compact_index(spark, index_path, Q44C_BUILD_BATCHES - 1)
         marker.write_text(stamp)
     batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     return probe_dedup_index(spark, batch, table).transform(

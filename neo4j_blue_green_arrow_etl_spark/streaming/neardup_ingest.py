@@ -115,9 +115,18 @@ def stream_neardup_ingest(
     state_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> None:
     """Drain a documents file-stream (one file per micro-batch) through
-    the near-dup admission pipeline with availableNow semantics."""
+    the near-dup admission pipeline with availableNow semantics.
+
+    ``compact_every=k`` folds the state table's sealed partitions
+    (ids < the batch about to run) every k batches — long-running
+    ingest otherwise accrues one partition of ``buckets`` small files
+    PER BATCH (dedup_index.compact_index). Compacting before the
+    in-flight batch touches only ids the checkpoint has committed, so
+    a replay can never target a folded partition; a replay OF the
+    compaction itself is idempotent (same fold, rewritten)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     schema = StructType(
@@ -133,6 +142,10 @@ def stream_neardup_ingest(
     )
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id >= compact_every and batch_id % compact_every == 0:
+            from ..operators.dedup_index import compact_index
+
+            compact_index(spark, state_dir, batch_id - 1)
         admit_batch(spark, batch_df, state_dir, out_dir, batch_id)
 
     q = (

@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
 from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+    _COMPACT_MANIFEST,
     append_index_batch,
     build_dedup_index,
+    compact_index,
     ensure_index_table,
     neardup_match_pairs,
     postings_with_sizes,
@@ -111,6 +113,117 @@ def test_append_replay_and_catalog_restart(spark, tmp_path):
     assert t2.count() == b0.count() + b1_sub.count()
     # any-earlier pruning predicate still partition-prunes
     assert t2.filter("batch_id < 1").count() == b0.count()
+
+
+def test_compact_folds_partitions_preserving_results(spark, tmp_path):
+    """compact_index must be invisible to readers: same rows, same
+    probe matches — but one partition and ONE file per bucket where
+    there was one per (batch, bucket)."""
+    from pathlib import Path as P
+
+    path = str(tmp_path / "cidx")
+    table = ensure_index_table(spark, path)
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    for b in range(3):
+        append_index_batch(
+            spark, table, postings_with_sizes(docs.filter(f"doc_id % 3 = {b}")), b
+        )
+    batch = _docs(spark, SF_SMOKE).filter("doc_id % 10 = 0")
+    before_rows = sorted(map(tuple, spark.table(table).collect()))
+    before_probe = sorted(
+        map(tuple, probe_dedup_index(spark, batch, table).collect())
+    )
+    files_before = len(list(P(path).glob("batch_id=*/part-*")))
+
+    compact_index(spark, path, 2)
+
+    after = spark.table(table)
+    # every surviving row sits in the fold partition
+    assert after.filter("batch_id != 2").count() == 0
+    assert sorted(
+        map(tuple, after.select("doc_id", "shingle", "n").collect())
+    ) == sorted((r[0], r[1], r[2]) for r in before_rows)
+    after_probe = sorted(
+        map(tuple, probe_dedup_index(spark, batch, table).collect())
+    )
+    assert after_probe == before_probe
+    files_after = len(list(P(path).glob("batch_id=*/part-*")))
+    assert files_after < files_before  # 3 batches x buckets -> 1 x buckets
+    assert not P(path, _COMPACT_MANIFEST).exists()
+    # a later ingest lands on top of the fold unharmed
+    append_index_batch(
+        spark, table, postings_with_sizes(docs.limit(5)), 3
+    )
+    assert after.filter("batch_id = 3").count() > 0
+
+
+def test_compact_crash_recovery_both_branches(spark, tmp_path):
+    """The manifest protocol: (a) crash BEFORE the fold committed ->
+    recovery aborts, sources intact; (b) crash AFTER the fold
+    committed but before source deletion -> recovery finishes the
+    deletes. Both via the same ensure_index_table() entry point a
+    restarted process uses."""
+    import json
+    from pathlib import Path as P
+
+    path = str(tmp_path / "ridx")
+    table = ensure_index_table(spark, path)
+    docs = _docs(spark, SF_SMOKE).limit(60).select("doc_id", "text")
+    for b in range(2):
+        append_index_batch(
+            spark, table, postings_with_sizes(docs.filter(f"doc_id % 2 = {b}")), b
+        )
+    total = spark.table(table).count()
+    p1 = spark.table(table).filter("batch_id = 1").count()
+
+    # (a) manifest written, fold NOT committed (rows can't match)
+    P(path, _COMPACT_MANIFEST).write_text(
+        json.dumps({"through": 1, "rows": total + 999})
+    )
+    table = ensure_index_table(spark, path)
+    assert not P(path, _COMPACT_MANIFEST).exists()
+    assert spark.table(table).count() == total  # nothing lost
+    assert spark.table(table).filter("batch_id = 0").count() > 0
+
+    # (b) fold committed (partition 1 := all rows), deletes crashed
+    folded = (
+        spark.table(table)
+        .selectExpr("doc_id", "shingle", "n")
+        .localCheckpoint()
+    )
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _insert_dynamic,
+    )
+
+    _insert_dynamic(
+        folded.selectExpr("doc_id", "shingle", "n", "1 as batch_id"), table
+    )
+    spark.sql(f"REFRESH TABLE {table}")
+    P(path, _COMPACT_MANIFEST).write_text(
+        json.dumps({"through": 1, "rows": total})
+    )
+    # partition 0 still on disk next to its copy inside partition 1:
+    # the exact duplicate window recovery exists to close
+    assert spark.table(table).count() == total + (total - p1)
+    table = ensure_index_table(spark, path)
+    assert not P(path, _COMPACT_MANIFEST).exists()
+    assert spark.table(table).count() == total
+    assert spark.table(table).filter("batch_id = 0").count() == 0
+
+
+def test_compacted_probe_equals_recompute(spark):
+    """q_x44c (append x4 -> compact -> probe) shares q_x44's oracle;
+    results must be row-identical."""
+    a = sorted(
+        map(tuple, REGISTRY["q_x44_incrdedup"].spark(spark, SF_ORACLE).collect())
+    )
+    c = sorted(
+        map(
+            tuple,
+            REGISTRY["q_x44c_incrdedup_compacted"].spark(spark, SF_ORACLE).collect(),
+        )
+    )
+    assert a == c and len(a) > 0
 
 
 def test_probe_dedup_index_matches_earlier_rule(spark, tmp_path):

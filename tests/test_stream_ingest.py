@@ -184,6 +184,47 @@ def test_stream_neardup_ingest_matches_batch_rule(spark, tmp_path):
     assert 0 < len(got) < 40
 
 
+def test_stream_neardup_with_periodic_compaction(spark, tmp_path):
+    """compact_every folds sealed state partitions mid-stream; the
+    admissions must equal the uncompacted run's, and the state table
+    must end with fewer partitions than batches."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        ensure_index_table,
+    )
+    from neo4j_blue_green_arrow_etl_spark.streaming.neardup_ingest import (
+        admitted_ids,
+        stream_neardup_ingest,
+    )
+
+    docs = _neardup_docs(spark)
+    src = tmp_path / "docs_in"
+    for i in range(4):
+        docs.filter(
+            (F.col("doc_id") >= i * 10) & (F.col("doc_id") < (i + 1) * 10)
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"part{i}"))
+    stream_neardup_ingest(
+        spark,
+        f"{src}/*",
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    got = sorted(r.doc_id for r in admitted_ids(spark, str(tmp_path / "out")).collect())
+    assert got == _expected_admitted(spark, docs)
+    table = ensure_index_table(spark, str(tmp_path / "state"))
+    parts = {
+        r[0]
+        for r in spark.table(table).select("batch_id").distinct().collect()
+    }
+    assert len(parts) < 4  # batches 0..2 folded at least once
+    # all postings survived the folds
+    n_docs = docs.count()
+    assert spark.table(table).select("doc_id").distinct().count() == n_docs
+
+
 def test_stream_neardup_replay_is_idempotent(spark, tmp_path):
     """Re-running a batch with the same batchId (the crash-replay path)
     must overwrite its own files — same admissions, no duplicates."""
