@@ -250,10 +250,18 @@ ORDER BY 1, 2
     f"{JACCARD_THRESHOLD}). Scale: join on shared shingle (not cartesian); "
     "docs with no common shingle never meet. Worst case quadratic in a hot "
     "shingle bucket — the MinHash-LSH variant below is the 100 TB path; "
-    "this is the recall-1.0 oracle.",
+    "this is the recall-1.0 oracle. The join key is the shingle's "
+    "xxhash64 (fixed 8-byte shuffle keys; identical pair counts absent "
+    "a 64-bit collision — the r7 disjoint-tree probe measured the "
+    "string-keyed form 9x slower at x2 on high-entropy text, where "
+    "shingle strings dominate the self-join shuffle).",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(_docs(spark, sf_dir)).cache()
+    sh = (
+        shingles(_docs(spark, sf_dir))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("x")
     b = sh.alias("y")
@@ -320,8 +328,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-join) only needs equality, so hashing once up front makes the
     # cached table two longs per row and every shuffle key fixed-width.
     # A 64-bit collision adds one phantom shared shingle to one pair —
-    # negligible against the 0.5 Jaccard threshold. q_dedup_ngram stays
-    # string-exact (it IS the oracle); this is the scale path.
+    # negligible against the 0.5 Jaccard threshold. Since r7 every
+    # shingle equi-join in the repo (incl. q_dedup_ngram) uses this.
     sh = (
         shingles(_docs(spark, sf_dir))
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
@@ -808,7 +816,12 @@ def q_x44_incrdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it the same way as every other dedup cache: bench.py calls
     # spark.catalog.clearCache() after each timed query, and the
     # CacheManager dedupes identical lineages across repeated calls.
-    sh = shingles(docs).cache()
+    # Hashed join keys, cf. q_dedup_ngram: two longs per cached row.
+    sh = (
+        shingles(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     incoming = F.col("doc_id") % INCR_MOD == 0
     x = sh.filter(incoming).alias("x")  # batch postings: the probe side

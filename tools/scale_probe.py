@@ -99,19 +99,30 @@ def build_scaled(
       the factor. This is the duplicate-ADVERSARIAL stress tree: probes
       of Jaccard-tier operators measure output-proportional verify
       work, not input scaling.
-    - "interleave": weave an "r{i}" token between every word — every
-      3-gram shingle of every replica contains the replica tag, so
-      cross-replica Jaccard is ZERO and duplicate structure stays
-      PROPORTIONAL to corpus size (each replica carries one copy of
-      the base tree's dup structure). This is the
-      constant-duplicate-rate growth tree — the exponent that answers
-      "what happens when the corpus grows" rather than "what happens
-      when one dup chain goes hot".
+    - "tagwords": suffix every word with the replica tag
+      ("w1_r1 w2_r1 ...") — the replica's 3-gram structure is
+      ISOMORPHIC to the base tree's (pairwise Jaccard within a
+      replica is exactly the base value) while cross-replica Jaccard
+      is ZERO, so duplicate structure stays PROPORTIONAL to corpus
+      size. This is the constant-duplicate-rate growth tree — the
+      exponent that answers "what happens when the corpus grows"
+      rather than "what happens when one dup chain goes hot".
+    - "interleave": weave an "r{i}" token BETWEEN words. Also zero
+      cross-replica Jaccard, but the woven grams (r{i}, w, r{i}) are
+      shared by ANY two docs of a replica sharing ONE word — every
+      replica becomes a hot-shingle block of near-replica size. This
+      is the HOT-KEY adversarial tree for exact Jaccard tiers
+      (candidate volume quadratic by construction; measured: q_x45
+      9x at x2 vs tagwords); keep it for stressing cap/df-bound
+      tiers, not for growth exponents of exact ones.
     """
     from pyspark.sql import functions as F
 
     tables = tables or list(TABLES)
-    out = f"{WORK}/x{factor}" + ("_disjoint" if text_mode == "interleave" else "")
+    suffix = {"suffix": "", "interleave": "_disjoint", "tagwords": "_tagwords"}[
+        text_mode
+    ]
+    out = f"{WORK}/x{factor}{suffix}"
     # per-table markers: a deep-factor run that needs only documents +
     # embeddings must not pay for (or depend on) lineitem/orders builds
     pending = [t for t in tables if not Path(out, f"_READY_{t}").exists()]
@@ -126,7 +137,12 @@ def build_scaled(
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
             for t in texts:
-                if text_mode == "interleave" and i > 0:
+                if text_mode == "tagwords" and i > 0:
+                    rep = rep.withColumn(
+                        t,
+                        F.regexp_replace(F.col(t), r"(\S+)", f"$1_r{i}"),
+                    )
+                elif text_mode == "interleave" and i > 0:
                     rep = rep.withColumn(
                         t,
                         F.concat(
@@ -184,10 +200,12 @@ def main() -> None:
     ap.add_argument(
         "--text-mode",
         default="suffix",
-        choices=["suffix", "interleave"],
+        choices=["suffix", "tagwords", "interleave"],
         help="replica text divergence: suffix = near-dup-adversarial "
-        "stress tree (default); interleave = zero cross-replica "
-        "Jaccard, duplicate structure proportional to corpus size",
+        "stress tree (default); tagwords = zero cross-replica Jaccard "
+        "with base-isomorphic shingle structure (the proportional "
+        "growth tree); interleave = hot-shingle adversarial tree "
+        "(quadratic exact-tier candidates by construction)",
     )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
