@@ -90,6 +90,7 @@ def build_scaled(
     factor: int,
     tables: list[str] | None = None,
     text_mode: str = "suffix",
+    fixed_batch: bool = False,
 ) -> str:
     """text_mode governs how replica TEXT diverges:
 
@@ -122,6 +123,8 @@ def build_scaled(
     suffix = {"suffix": "", "interleave": "_disjoint", "tagwords": "_tagwords"}[
         text_mode
     ]
+    if fixed_batch:
+        suffix += "_fixedbatch"
     out = f"{WORK}/x{factor}{suffix}"
     # per-table markers: a deep-factor run that needs only documents +
     # embeddings must not pay for (or depend on) lineitem/orders builds
@@ -136,6 +139,18 @@ def build_scaled(
             rep = src
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+            if fixed_batch and table == "documents" and i > 0:
+                # daily-ingest shape: the CORPUS grows with the factor
+                # while the incoming batch stays the base tree's batch.
+                # q_x44*'s batch convention is doc_id % 10 == 0
+                # (operators/dedup.INCR_MOD); KEY_STRIDE is a multiple
+                # of 10, so dropping the batch residue from every
+                # replica leaves exactly the base batch probing a
+                # corpus ~0.9 x factor larger — the batch<<corpus
+                # regime the persisted index exists for (the plain
+                # trees scale the batch WITH the corpus, so quadratic
+                # verify work swamps the index-vs-recompute delta).
+                rep = rep.filter(F.col("doc_id") % 10 != 0)
             for t in texts:
                 if text_mode == "tagwords" and i > 0:
                     rep = rep.withColumn(
@@ -207,6 +222,15 @@ def main() -> None:
         "growth tree); interleave = hot-shingle adversarial tree "
         "(quadratic exact-tier candidates by construction)",
     )
+    ap.add_argument(
+        "--fixed-batch",
+        action="store_true",
+        help="hold the q_x44* incoming batch at the BASE tree's batch "
+        "(drop the doc_id%%10==0 residue from every replica) so the "
+        "probe measures a fixed daily ingest against a corpus growing "
+        "with the factor — the batch<<corpus regime the persisted "
+        "index exists for",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     probes = args.queries.split(",") if args.queries else PROBES
@@ -221,7 +245,9 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {q: {} for q in probes}
     for factor in factors:
-        sf_dir = build_scaled(spark, factor, tables, args.text_mode)
+        sf_dir = build_scaled(
+            spark, factor, tables, args.text_mode, args.fixed_batch
+        )
         for q in probes:
             # min over repeats: the first run pays cold page-cache and
             # codegen cost that would otherwise masquerade as compute
@@ -256,6 +282,7 @@ def main() -> None:
     payload = {
         "base_sf_dir": BASE_SF,
         "factors": factors,
+        "fixed_batch": args.fixed_batch,
         "text_mode": args.text_mode,
         "secs": results,
         "scaling_exponent_warm": slopes,
