@@ -43,17 +43,25 @@ once), and an 8-byte key column both shrinks the at-rest table ~4x vs
 raw 3-gram strings and makes the equi-join compare longs instead of
 strings. This matters on the measured path: the first r7 build stored
 strings and its x32 probe LOST to full recompute (45.9s vs 31.9s,
-SCALE_PROBE narrative in SCALING.md) because reading the exploded
+SCALE_PROBE_INDEX_STRKEY_r7.json) because reading the exploded
 string postings off disk out-costs re-shingling the raw text — the
 shuffle the bucketing saves is the win at cluster scale, but the scan
-bytes must not give it back. Correctness is unaffected: hashing is
-row-wise over already-distinct (doc_id, shingle) rows, so every
-Jaccard count is identical unless two distinct 3-grams collide in 64
-bits (expected collisions ~= s^2/2^65; at 10^7 distinct shingles that
-is ~3e-6 — and the sf0.01 oracle gate would surface one
-deterministically). q_x44b_incrdedup_indexed stays fully oracle-gated
-against the SAME string-exact SQL as q_x44_incrdedup — byte-identical
-results, different physical plan and at-rest layout.
+bytes must not give it back. Measured regimes after the fix
+(SCALING.md r7): fixed daily batch vs growing corpus — the regime the
+index exists for — probe exponent 0.188 vs recompute's 0.385 (1.93s
+vs 3.06s at x32 corpus); proportional growth (tagwords tree) — flat
+to x32 with indexed/compacted ahead; batch-scales-with-corpus
+duplicate-adversarial (suffix tree) — recompute ahead at x32, because
+quadratic verify volume dominates and freshly shuffled in-memory
+postings beat re-reading ANY at-rest layout. Correctness is
+unaffected: hashing is row-wise over already-distinct (doc_id,
+shingle) rows, so every Jaccard count is identical unless two
+distinct 3-grams collide in 64 bits (expected collisions ~= s^2/2^65;
+at 10^7 distinct shingles that is ~3e-6 — and the sf0.01 oracle gate
+would surface one deterministically). q_x44b_incrdedup_indexed stays
+fully oracle-gated against the SAME string-exact SQL as
+q_x44_incrdedup — byte-identical results, different physical plan and
+at-rest layout.
 
 Reference parity: the reference has no dedup engine (it is a load
 orchestrator); this family extends the training-data-pipeline
