@@ -384,6 +384,78 @@ def probe_dedup_index(
     )
 
 
+def probe_dedup_index_pruned(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_path: str,
+    buckets: int = DEDUP_INDEX_BUCKETS,
+) -> DataFrame:
+    """probe_dedup_index with BUCKET-FILE PRUNING: read only the index
+    buckets the batch's shingles hash into, instead of scanning the
+    whole table.
+
+    Why it exists: the co-located probe join still SCANS the full
+    corpus index linearly (SCALE_PROBE_FIXEDBATCH_r7 measures that
+    slope). On a production index with O(10^3-10^4) buckets, a small
+    daily batch's distinct shingles hash into a SUBSET of buckets —
+    file-level pruning makes the per-ingest scan O(touched buckets),
+    not O(corpus). Spark has no dynamic bucket pruning (only literal
+    predicates prune buckets), so this composes it manually:
+    bucket_id = pmod(hash(shingle), buckets) — F.hash IS the Murmur3
+    the bucketed writer uses, pinned by
+    tests/test_dedup_index.py::test_file_hash_matches_bucket_id —
+    collect the batch's touched set (<= `buckets` ints, bounded
+    driver traffic), then read only those part files. The trade:
+    path-read postings lose the catalog's bucketing metadata, so the
+    join shuffles BOTH sides — right when batch << corpus, shuffling
+    two small slices beats map-scanning the whole table; when the
+    batch touches most buckets (our 10%-of-corpus test batch over 32
+    buckets does), use probe_dedup_index's co-located scan instead.
+    Results are row-identical to probe_dedup_index (same test)."""
+    batch_post = postings_with_sizes(
+        batch_docs.select("doc_id", "text")
+    ).localCheckpoint()
+    touched = {
+        r[0]
+        for r in batch_post.select(
+            F.pmod(F.hash("shingle"), F.lit(buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    files = [
+        str(f)
+        for f in Path(index_path).glob("batch_id=*/part-*")
+        if _bucket_of(f.name) in touched
+    ]
+    state = (
+        spark.read.schema("doc_id BIGINT, shingle BIGINT, n INT")
+        .parquet(*files)
+        if files
+        else spark.createDataFrame(
+            [], "doc_id BIGINT, shingle BIGINT, n INT"
+        )
+    )
+    vs_index = neardup_match_pairs(batch_post, state)
+    vs_batch = neardup_match_pairs(
+        batch_post,
+        batch_post,
+        pair_filter=F.col("y.doc_id") < F.col("x.doc_id"),
+    )
+    return vs_index.unionByName(vs_batch).select(
+        F.col("d").alias("doc_new"),
+        F.col("e").alias("doc_match"),
+        "jaccard",
+    )
+
+
+def _bucket_of(file_name: str) -> int:
+    """Bucket id encoded in a bucketed part file's name: the _NNNNN
+    suffix after the task id (part-00000-<uuid>_00017.c000...)."""
+    stem = file_name.split(".")[0]
+    return int(stem.rsplit("_", 1)[1])
+
+
 def _default_index_path(sf_dir: str) -> str:
     # the schema tag versions the at-rest layout: bumping it makes a
     # live machine's stale indexes (older schema) unreachable instead

@@ -226,6 +226,75 @@ def test_compacted_probe_equals_recompute(spark):
     assert a == c and len(a) > 0
 
 
+def test_file_hash_matches_bucket_id(spark, tmp_path):
+    """Pins the assumption bucket-file pruning stands on: F.hash (the
+    Murmur3 expression) pmod numBuckets equals the bucket id encoded
+    in each bucketed part file's name."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _bucket_of,
+    )
+
+    path = str(tmp_path / "hidx")
+    table = ensure_index_table(spark, path)
+    docs = _docs(spark, SF_SMOKE).limit(80).select("doc_id", "text")
+    append_index_batch(spark, table, postings_with_sizes(docs), 0)
+    from pathlib import Path as P
+
+    checked = 0
+    for f in P(path).glob("batch_id=*/part-*"):
+        rows = (
+            spark.read.schema("doc_id BIGINT, shingle BIGINT, n INT")
+            .parquet(str(f))
+            .select(F.pmod(F.hash("shingle"), F.lit(32)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        assert {r.b for r in rows} <= {_bucket_of(f.name)}, f.name
+        checked += 1
+    assert checked > 1
+
+
+def test_pruned_probe_equals_full_probe(spark, tmp_path):
+    """A small batch over a wide (256-bucket) index must read only the
+    buckets its shingles hash into, and return exactly the full
+    probe's matches."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        probe_dedup_index_pruned,
+    )
+
+    path = str(tmp_path / "pidx")
+    table = ensure_index_table(spark, path, buckets=256)
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    append_index_batch(
+        spark, table, postings_with_sizes(docs.filter("doc_id % 10 != 0")), 0
+    )
+    batch = docs.filter("doc_id % 10 = 0").limit(3)
+    full = sorted(
+        map(tuple, probe_dedup_index(spark, batch, table).collect())
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            probe_dedup_index_pruned(spark, batch, path, buckets=256).collect(),
+        )
+    )
+    assert pruned == full
+    assert full  # fixture exercises real matches
+    # the batch's shingles must NOT touch every bucket at this width
+    touched = {
+        r[0]
+        for r in postings_with_sizes(batch)
+        .select(F.pmod(F.hash("shingle"), F.lit(256)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(touched) < 256
+
+
 def test_probe_dedup_index_matches_earlier_rule(spark, tmp_path):
     """probe_dedup_index must match batch docs against BOTH the index
     and earlier docs of the batch itself (id order), mirroring
