@@ -27,20 +27,21 @@ from .relational import REGISTRY, QuerySpec
 # re-registers one representative of such a family under an
 # early-alphabet name — same callable, same oracle, flagged alias_of so
 # bench.py times nothing twice and coverage counts exclude them.
-# Round-7 rotation (VERDICT r6 task 3): families green under the
-# r4/r5/r6 driver windows (iterative graph, IVF/LSH ANN, text quality,
-# ER capstone, subquery, UDTF, multimodal, capped fuzzy) rotate OUT;
-# in rotate the families that have NEVER had a driver-side row — the
-# r6-new operators (incremental dedup, streaming near-dup admission
-# fold, composed curation capstone), the capped ER capstone
-# (q_x24b hands off to q_x31b), the two never-driver-checked ANN
-# variants (PQ and IVF-PQ, rows-only: hash-seeded), and one
-# representative each of temporal, events, and data-quality.
+# Round-7 rotation (VERDICT r6 task 3, refreshed late-r7): slots 01/04
+# hand off to the r7-NEW index ops — q_x44 and q_x31b both got their
+# driver-side row in CORRECTNESS_r06 through these aliases, while the
+# indexed/compacted probes (new this round, same oracle as q_x44 but
+# entirely different physical path: persisted bucketed table, fold
+# swap) have never been driver-gated. q_st6/q_x45 keep their slots:
+# both changed materially this round (hashed state keys, hashed exact
+# tier). The rest of the window is unchanged from the r7 rotation —
+# ANN PQ/IVF-PQ (rows-only) plus one representative each of temporal,
+# events, data-quality, and profiling.
 _DRIVER_ROTATION = {
-    "q_cap01_x44_incrdedup": "q_x44_incrdedup",  # r6 incremental dedup
-    "q_cap02_st6_neardup": "q_st6_neardup",  # r6 streaming admission
-    "q_cap03_x45_curate": "q_x45_curate",  # r6 composed capstone
-    "q_cap04_x31b_erclusters_capped": "q_x31b_erclusters_capped",
+    "q_cap01_x44b_indexed": "q_x44b_incrdedup_indexed",  # r7 at-rest probe
+    "q_cap02_st6_neardup": "q_st6_neardup",  # streaming admission (r7 state)
+    "q_cap03_x45_curate": "q_x45_curate",  # composed capstone (r7 hashed tier)
+    "q_cap04_x44c_compacted": "q_x44c_incrdedup_compacted",  # r7 fold
     "q_cap05_sim_pq": "q_sim_pq",  # ANN PQ (rows-only)
     "q_cap06_sim_ivfpq": "q_sim_ivfpq",  # ANN IVF-PQ (rows-only)
     "q_cap07_ts1_gapfill": "q_ts1_gapfill",  # temporal family
