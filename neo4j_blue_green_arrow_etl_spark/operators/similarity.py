@@ -1252,11 +1252,63 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None
     cb = pq_codebooks(e)
     assigned = ivf_assign(spark, e, cmat)
     codes = pq_encode(spark, e.select("vec_id", "embedding"), cb)
-    assigned.join(codes, "vec_id").write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(index_path)
+    # (cell, batch_id) partitioning: batch_id=0 is the trained build;
+    # append_ivfpq_batch adds later ingests as their own sub-partitions
+    # so a crash replay overwrites only its own files (cf. the dedup
+    # index's exactly-once story). Readers filter on cell alone — the
+    # extra partition level is transparent to cell pruning.
+    assigned.join(codes, "vec_id").withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("cell", "batch_id").mode("overwrite").parquet(
+        index_path
+    )
     Path(index_path, "_ivf_centroids.json").write_text(json.dumps(cmat.tolist()))
     Path(index_path, "_pq_codebooks.json").write_text(json.dumps(cb.tolist()))
+
+
+def append_ivfpq_batch(
+    spark: SparkSession,
+    index_path: str,
+    new_embeddings: DataFrame,
+    batch_id: int,
+) -> None:
+    """Ingest NEW vectors into an existing IVF-PQ index without
+    retraining: assign to the EXISTING coarse centroids, encode with
+    the EXISTING codebooks, write one (cell, batch_id) sub-partition
+    per touched cell — the daily-embedding-ingest pattern (the at-rest
+    twin of the dedup index's append_index_batch). Dynamic partition
+    overwrite makes a crash replay of the same batch_id overwrite only
+    its own files; prior batches and the trained build are immutable.
+
+    Not retraining is the POINT, not a shortcut: centroids/codebooks
+    are the query-side contract (every stored code is only decodable
+    against the codebook that produced it), so an append must reuse
+    them, and quantization drift after heavy ingest is a rebuild
+    policy decision measured by recall probes, not something an
+    append should silently trigger. new_embeddings: (vec_id,
+    embedding) with vec_ids disjoint from the index's."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    cmat = np.asarray(
+        json.loads(Path(index_path, "_ivf_centroids.json").read_text())
+    )
+    cb = np.asarray(
+        json.loads(Path(index_path, "_pq_codebooks.json").read_text())
+    )
+    e = new_embeddings.select("vec_id", "embedding")
+    assigned = ivf_assign(spark, e, cmat)
+    codes = pq_encode(spark, e, cb)
+    out = assigned.join(codes, "vec_id").withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    # per-write option works for PATH writes (unlike catalog insertInto
+    # — see dedup_index._insert_dynamic for that case)
+    out.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "cell", "batch_id"
+    ).mode("overwrite").parquet(index_path)
 
 
 def query_ivfpq_index(

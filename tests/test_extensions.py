@@ -553,6 +553,45 @@ def test_ivfpq_index_roundtrip(spark, tmp_path):
     assert overlap >= 0.9, f"indexed IVF-PQ recall@5 {overlap:.2f} too low"
 
 
+def test_ivfpq_append_ingests_new_vectors_exactly_once(spark, tmp_path):
+    """append_ivfpq_batch adds vectors to an existing index without
+    retraining: assigned to the EXISTING centroids, encoded with the
+    EXISTING codebooks, written as (cell, batch_id) sub-partitions so
+    a crash replay overwrites only its own files. Appended vectors
+    must be findable by query_ivfpq_index."""
+    from pathlib import Path
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        append_ivfpq_batch,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half_dir = tmp_path / "half"
+    e.filter("vec_id % 2 = 0").write.parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "ivfpq_incr")
+    build_ivfpq_index(spark, str(half_dir), idx)
+    n_build = spark.read.parquet(idx).count()
+
+    newv = e.filter("vec_id % 2 = 1").select("vec_id", "embedding")
+    append_ivfpq_batch(spark, idx, newv, 1)
+    total = spark.read.parquet(idx).count()
+    assert total == e.count() and total > n_build
+    assert list(Path(idx).glob("cell=*/batch_id=1"))
+
+    # crash replay of the same batch: dynamic overwrite, no duplicates
+    append_ivfpq_batch(spark, idx, newv, 1)
+    assert spark.read.parquet(idx).count() == total
+
+    # an appended vector is findable through the normal query path
+    q = e.filter("vec_id = 1").first()
+    ids = [r.vec_id for r in query_ivfpq_index(spark, idx, q.embedding).collect()]
+    assert 1 in ids
+
+
 def test_incrdedup_consistent_with_full_dedup(spark):
     """q_x44_incrdedup must agree with the full-corpus ngram truth:
     every emitted (new, match) pair appears (in some orientation) in
