@@ -20,7 +20,7 @@ Design for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .relational import barrier_sort, register
@@ -188,17 +188,20 @@ def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document, computed
-    with pure array expressions (no Python on the data path).
+def shingle_array(text_col: str = "text") -> Column:
+    """Array column of a document's DISTINCT word 3-grams — pure array
+    expressions, map-only (no Python, no shuffle).
 
     Built as zip_with over shifted copies of the word array — a single
     pass with per-element concat. (The first version sliced+joined the
     array once PER POSITION: O(len²) allocations inside an interpreted
     higher-order function, ~2.8 s of the 5 s minhash total at sf0.1;
     this form is ~4x faster and matches the oracle's strict
-    3-consecutive-words semantics for sub-3-word docs.)"""
-    assert n == 3, "shingle builder is specialized for 3-grams"
+    3-consecutive-words semantics for sub-3-word docs.) Exposing the
+    ARRAY (not just its explosion) lets postings_with_sizes compute
+    the per-doc set size as F.size() — a map-side column — instead of
+    a count-over-window, whose partitionBy(doc_id) shuffle was pure
+    overhead on every micro-batch ingest."""
     words = F.split(F.col(text_col), " ")
     sz = F.size(words)
     w2 = F.slice(words, 2, F.greatest(sz - 1, F.lit(0)))
@@ -210,9 +213,19 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataF
     )
     # zip_with pads the shorter side with NULL -> trailing partial grams;
     # a true 3-gram contains exactly 2 spaces
+    return F.filter(
+        F.array_distinct(grams),
+        lambda g: F.size(F.split(g, " ")) == 3,
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document; see
+    shingle_array for the construction."""
+    assert n == 3, "shingle builder is specialized for 3-grams"
     return df.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    ).filter(F.size(F.split(F.col("shingle"), " ")) == 3)
+        "doc_id", F.explode(shingle_array(text_col)).alias("shingle")
+    )
 
 
 _NGRAM_ORACLE = f"""
@@ -759,7 +772,14 @@ def _fuzzy_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCR_MOD = 10  # doc_id % INCR_MOD == 0 -> doc belongs to the incoming batch
 
-_INCR_ORACLE = f"""
+
+def _incr_oracle(mod: int) -> str:
+    """The incremental-dedup oracle, parameterized on the batch
+    modulus: q_x44/q_x44b/q_x44c use INCR_MOD (a 10%-of-corpus batch);
+    q_x44d_incrdedup_pruned uses a much sparser modulus so the batch's
+    shingles genuinely touch a SUBSET of a wide index's buckets and
+    the pruned route actually exercises."""
+    return f"""
 WITH words AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS w,
@@ -775,8 +795,8 @@ WITH words AS (
 ), common AS (
   SELECT x.doc_id AS doc_new, y.doc_id AS doc_match, COUNT(*) AS c
   FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
-  WHERE x.doc_id % {INCR_MOD} = 0
-    AND (y.doc_id % {INCR_MOD} <> 0 OR y.doc_id < x.doc_id)
+  WHERE x.doc_id % {mod} = 0
+    AND (y.doc_id % {mod} <> 0 OR y.doc_id < x.doc_id)
   GROUP BY 1, 2
 )
 SELECT doc_new, doc_match,
@@ -787,6 +807,9 @@ JOIN sizes sb ON doc_match = sb.doc_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 ORDER BY 1, 2
 """
+
+
+_INCR_ORACLE = _incr_oracle(INCR_MOD)
 
 
 @register(
@@ -917,14 +940,20 @@ ORDER BY doc_id
     "per-batch cost).",
 )
 def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming.neardup_ingest import admit_batch, admitted_ids
 
     # fresh work dir per invocation: concurrent sweeps/benches on the
     # same sf_dir must not race on one state table; the admitted files
-    # stay on disk (small) because the returned plan reads them lazily
+    # stay on disk because the returned plan reads them lazily, so
+    # cleanup is deferred to PROCESS EXIT (atexit) — every bench/sweep
+    # run removes its own state dirs instead of accreting full-corpus
+    # postings in /tmp across runs
     work = tempfile.mkdtemp(prefix="spark_graft_st6_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     step = hi // ST6_BATCHES + 1

@@ -105,8 +105,12 @@ def test_append_replay_and_catalog_restart(spark, tmp_path):
     assert t.filter("batch_id = 0").count() == b0.count()
     assert t.filter("batch_id = 1").count() == b1_sub.count()
 
-    # catalog restart: metadata is gone, data is not
+    # catalog restart: metadata is gone, data is not. A real restart
+    # begins with an empty ensure cache; simulate that too.
     spark.sql(f"DROP TABLE {table}")
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import _ENSURED
+
+    _ENSURED.clear()
     table2 = ensure_index_table(spark, path)
     assert table2 == table
     t2 = spark.table(table2)
@@ -138,8 +142,14 @@ def test_compact_folds_partitions_preserving_results(spark, tmp_path):
     compact_index(spark, path, 2)
 
     after = spark.table(table)
-    # every surviving row sits in the fold partition
-    assert after.filter("batch_id != 2").count() == 0
+    # every surviving row sits in ONE fold partition — a fresh
+    # NEGATIVE generation id, never a live source partition (dynamic
+    # overwrite deletes its target dir before committing, so folding
+    # into a live id would have a data-loss crash window)
+    fold_ids = {
+        r[0] for r in after.select("batch_id").distinct().collect()
+    }
+    assert len(fold_ids) == 1 and next(iter(fold_ids)) < 0, fold_ids
     assert sorted(
         map(tuple, after.select("doc_id", "shingle", "n").collect())
     ) == sorted((r[0], r[1], r[2]) for r in before_rows)
@@ -174,18 +184,21 @@ def test_compact_crash_recovery_both_branches(spark, tmp_path):
             spark, table, postings_with_sizes(docs.filter(f"doc_id % 2 = {b}")), b
         )
     total = spark.table(table).count()
-    p1 = spark.table(table).filter("batch_id = 1").count()
 
-    # (a) manifest written, fold NOT committed (rows can't match)
+    # (a) manifest written, fold NOT committed (rows can't match):
+    # recovery must abort with EVERY source partition intact —
+    # including partition 1 == through_batch, which the fold target
+    # (a fresh negative id) must never alias
     P(path, _COMPACT_MANIFEST).write_text(
-        json.dumps({"through": 1, "rows": total + 999})
+        json.dumps({"through": 1, "target": -1, "rows": total + 999})
     )
     table = ensure_index_table(spark, path)
     assert not P(path, _COMPACT_MANIFEST).exists()
     assert spark.table(table).count() == total  # nothing lost
     assert spark.table(table).filter("batch_id = 0").count() > 0
+    assert spark.table(table).filter("batch_id = 1").count() > 0
 
-    # (b) fold committed (partition 1 := all rows), deletes crashed
+    # (b) fold committed (partition -1 := all rows), deletes crashed
     folded = (
         spark.table(table)
         .selectExpr("doc_id", "shingle", "n")
@@ -196,19 +209,60 @@ def test_compact_crash_recovery_both_branches(spark, tmp_path):
     )
 
     _insert_dynamic(
-        folded.selectExpr("doc_id", "shingle", "n", "1 as batch_id"), table
+        folded.selectExpr("doc_id", "shingle", "n", "-1 as batch_id"), table
     )
     spark.sql(f"REFRESH TABLE {table}")
     P(path, _COMPACT_MANIFEST).write_text(
-        json.dumps({"through": 1, "rows": total})
+        json.dumps({"through": 1, "target": -1, "rows": total})
     )
-    # partition 0 still on disk next to its copy inside partition 1:
-    # the exact duplicate window recovery exists to close
-    assert spark.table(table).count() == total + (total - p1)
+    # partitions 0/1 still on disk next to their copies inside the
+    # fold: the exact duplicate window recovery exists to close
+    assert spark.table(table).count() == 2 * total
     table = ensure_index_table(spark, path)
     assert not P(path, _COMPACT_MANIFEST).exists()
     assert spark.table(table).count() == total
-    assert spark.table(table).filter("batch_id = 0").count() == 0
+    assert spark.table(table).filter("batch_id >= 0").count() == 0
+
+
+def test_compact_abort_discards_partial_fold_target(spark, tmp_path):
+    """Crash DURING the fold write can leave a partial target
+    partition (count != manifest rows). Recovery must abort by
+    discarding the partial target — it never held live data — and
+    keep every source partition."""
+    import json
+    from pathlib import Path as P
+
+    path = str(tmp_path / "aidx")
+    table = ensure_index_table(spark, path)
+    docs = _docs(spark, SF_SMOKE).limit(60).select("doc_id", "text")
+    for b in range(2):
+        append_index_batch(
+            spark, table, postings_with_sizes(docs.filter(f"doc_id % 2 = {b}")), b
+        )
+    total = spark.table(table).count()
+
+    # simulate a partial fold: SOME rows landed in target -1
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _insert_dynamic,
+    )
+
+    partial = (
+        spark.table(table)
+        .limit(7)
+        .selectExpr("doc_id", "shingle", "n", "-1 as batch_id")
+        .localCheckpoint()
+    )
+    _insert_dynamic(partial, table)
+    spark.sql(f"REFRESH TABLE {table}")
+    P(path, _COMPACT_MANIFEST).write_text(
+        json.dumps({"through": 1, "target": -1, "rows": total})
+    )
+    table = ensure_index_table(spark, path)
+    assert not P(path, _COMPACT_MANIFEST).exists()
+    t = spark.table(table)
+    assert t.filter("batch_id = -1").count() == 0  # partial discarded
+    assert t.count() == total  # sources untouched
+    assert not list(P(path).glob("batch_id=-1"))
 
 
 def test_compacted_probe_equals_recompute(spark):
@@ -345,3 +399,120 @@ def test_probe_dedup_index_matches_earlier_rule(spark, tmp_path):
     assert got == want
     assert want  # fixture exercises both index and intra-batch matches
     assert any(e % 4 == 0 for _, e in want)  # intra-batch pair present
+
+
+def test_pruned_probe_bucket_count_from_sidecar(spark, tmp_path):
+    """The bucket count is the INDEX's property, not the caller's: a
+    caller-supplied count that contradicts the _BUCKETS sidecar must
+    raise (wrong pmod ids silently drop files otherwise), and with no
+    count supplied the sidecar value is used."""
+    import pytest
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        index_bucket_count,
+        probe_dedup_index_pruned,
+    )
+
+    path = str(tmp_path / "sidx")
+    ensure_index_table(spark, path, buckets=64)
+    docs = _docs(spark, SF_SMOKE).limit(20).select("doc_id", "text")
+    append_index_batch(spark, table := ensure_index_table(spark, path, 64),
+                       postings_with_sizes(docs.filter("doc_id % 2 = 0")), 0)
+    assert index_bucket_count(path) == 64
+    batch = docs.filter("doc_id % 2 = 1").limit(2)
+    with pytest.raises(ValueError, match="64 buckets"):
+        probe_dedup_index_pruned(spark, batch, path, buckets=32)
+    # sidecar-driven read works and matches the full probe
+    full = sorted(map(tuple, probe_dedup_index(spark, batch, table).collect()))
+    pruned = sorted(
+        map(tuple, probe_dedup_index_pruned(spark, batch, path).collect())
+    )
+    assert pruned == full
+    # an index that was never ensured has no sidecar: refuse to guess
+    with pytest.raises(ValueError, match="sidecar"):
+        index_bucket_count(str(tmp_path / "nonexistent"))
+
+
+def test_pruned_probe_recovers_pending_compaction_first(spark, tmp_path):
+    """ADVICE r7: a crash between the fold commit and the source
+    deletes leaves BOTH on disk; a path-glob probe that skipped
+    recovery would read the postings twice, doubling the pair count c
+    while n stays fixed — spurious matches. The pruned probe must
+    finish the pending fold before enumerating part files."""
+    import json
+    from pathlib import Path as P
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _insert_dynamic,
+        probe_dedup_index_pruned,
+    )
+
+    path = str(tmp_path / "recidx")
+    table = ensure_index_table(spark, path)
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    for b in range(2):
+        append_index_batch(
+            spark, table,
+            postings_with_sizes(docs.filter(f"doc_id % 10 != 0 and doc_id % 2 = {b}")),
+            b,
+        )
+    batch = docs.filter("doc_id % 10 = 0")
+    clean = sorted(
+        map(tuple, probe_dedup_index(spark, batch, table).collect())
+    )
+    assert clean  # fixture has matches
+
+    # committed fold at -1, source deletes crashed: duplicates on disk
+    total = spark.table(table).count()
+    folded = (
+        spark.table(table)
+        .selectExpr("doc_id", "shingle", "n", "-1 as batch_id")
+        .localCheckpoint()
+    )
+    _insert_dynamic(folded, table)
+    spark.sql(f"REFRESH TABLE {table}")
+    P(path, _COMPACT_MANIFEST).write_text(
+        json.dumps({"through": 1, "target": -1, "rows": total})
+    )
+    assert len(list(P(path).glob("batch_id=*"))) == 3  # dup window open
+
+    pruned = sorted(
+        map(tuple, probe_dedup_index_pruned(spark, batch, path).collect())
+    )
+    assert pruned == clean  # recovery ran: no double-counted postings
+    assert not P(path, _COMPACT_MANIFEST).exists()
+
+
+def test_auto_probe_routes_both_branches(spark, tmp_path):
+    """probe_dedup_index_auto must take the PRUNED path for a batch
+    touching few buckets and the co-located FULL path for one touching
+    most — and return the full probe's rows either way."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        AUTO_PRUNE_THRESHOLD,
+        _touched_buckets,
+        probe_dedup_index_auto,
+    )
+
+    path = str(tmp_path / "autoidx")
+    table = ensure_index_table(spark, path, buckets=512)
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    append_index_batch(
+        spark, table, postings_with_sizes(docs.filter("doc_id % 10 != 0")), 0
+    )
+    small = docs.filter("doc_id % 10 = 0").limit(2)
+    big = docs.filter("doc_id % 10 = 0")
+    # pin which branch each batch takes (the routing predicate itself)
+    small_touched = _touched_buckets(postings_with_sizes(small), 512)
+    big_touched = _touched_buckets(postings_with_sizes(big), 512)
+    assert len(small_touched) <= AUTO_PRUNE_THRESHOLD * 512, len(small_touched)
+    assert len(big_touched) > AUTO_PRUNE_THRESHOLD * 512, len(big_touched)
+    for batch in (small, big):
+        want = sorted(
+            map(tuple, probe_dedup_index(spark, batch, table).collect())
+        )
+        got = sorted(
+            map(tuple, probe_dedup_index_auto(spark, batch, path).collect())
+        )
+        assert got == want
