@@ -1292,6 +1292,9 @@ def append_ivfpq_batch(
 
     import numpy as np
 
+    # finish/abort any interrupted compaction BEFORE writing: an open
+    # fold window has sources and fold rows both on disk
+    _recover_ivfpq_compaction(spark, index_path)
     cmat = np.asarray(
         json.loads(Path(index_path, "_ivf_centroids.json").read_text())
     )
@@ -1311,6 +1314,109 @@ def append_ivfpq_batch(
     ).mode("overwrite").parquet(index_path)
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ index compaction — the ANN twin of dedup_index.compact_index
+# ---------------------------------------------------------------------------
+#
+# Daily append_ivfpq_batch ingests accrue one (cell, batch_id)
+# sub-partition per touched cell per batch: after B ingests a cell's
+# codes are smeared over up to B small files — the same small-files
+# decay the dedup index's compaction exists for (listing O(B x cells),
+# scan tasks lose locality). compact_ivfpq_index folds every SEALED
+# batch (ids <= a watermark the ingest will never replay) into ONE
+# fresh fold partition with one file per cell.
+#
+# Crash protocol (same shape as dedup_index's, §Crash protocol there):
+#   1. manifest {"through": w, "target": t, "rows": n} at the index
+#      root, t a fresh NEGATIVE generation id below every id on disk —
+#      never a partition live queries depend on, so no crash window
+#      can lose committed rows
+#   2. consolidated rows (batch_id <= w, relabeled t) committed via
+#      dynamic-partition-overwrite path write
+#   3. source sub-partition dirs (batch_id <= w, != t) deleted
+#   4. manifest removed
+# _recover_ivfpq_compaction runs at every open (append/query): fold
+# row count == n means step 2 committed -> finish 3-4; anything else
+# -> abort by discarding whatever landed in t. Queries filter on
+# `cell` only, so fold ids are transparent to cell pruning; ingest
+# batch ids are >= 0 by contract.
+
+_IVFPQ_MANIFEST = "_COMPACT_MANIFEST"  # "_"-prefix: invisible to scans
+
+
+def _ivfpq_batch_dirs(index_path: str):
+    from pathlib import Path
+
+    for p in Path(index_path).glob("cell=*/batch_id=*"):
+        yield p, int(p.name.split("=", 1)[1])
+
+
+def compact_ivfpq_index(
+    spark: SparkSession, index_path: str, through_batch: int
+) -> None:
+    """Fold every (cell, batch_id <= through_batch) sub-partition —
+    previous fold generations included — into one fresh fold
+    generation with ONE file per cell. Callers must pass a SEALED
+    watermark (a batch id that can never be replayed); idempotent —
+    re-compacting rewrites the same rows into the next generation."""
+    import json
+    from pathlib import Path
+
+    _recover_ivfpq_compaction(spark, index_path)  # finish pending folds
+    ids = [b for _, b in _ivfpq_batch_dirs(index_path)]
+    target = min([0, *ids]) - 1
+    src = spark.read.parquet(index_path).filter(
+        F.col("batch_id") <= through_batch
+    )
+    # repartition by cell -> each cell lands wholly in one task -> the
+    # partitionBy write emits exactly one file per cell (the point of
+    # the fold); localCheckpoint breaks lineage so the write does not
+    # read the tree it is rewriting
+    consolidated = (
+        src.withColumn("batch_id", F.lit(target))
+        .repartition("cell")
+        .localCheckpoint()
+    )
+    n = consolidated.count()
+    Path(index_path, _IVFPQ_MANIFEST).write_text(
+        json.dumps({"through": through_batch, "target": target, "rows": n})
+    )
+    consolidated.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "cell", "batch_id"
+    ).mode("overwrite").parquet(index_path)
+    _recover_ivfpq_compaction(spark, index_path)
+    consolidated.unpersist()
+
+
+def _recover_ivfpq_compaction(spark: SparkSession, index_path: str) -> None:
+    """Finish (or abort) an interrupted IVF-PQ compaction — protocol
+    above. Runs at every index open; one stat call when idle."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    manifest = Path(index_path, _IVFPQ_MANIFEST)
+    if not manifest.exists():
+        return
+    meta = json.loads(manifest.read_text())
+    w, t, n = int(meta["through"]), int(meta["target"]), int(meta["rows"])
+    fold_dirs = [p for p, b in _ivfpq_batch_dirs(index_path) if b == t]
+    committed = bool(fold_dirs) and (
+        spark.read.parquet(index_path)
+        .filter(F.col("batch_id") == t)
+        .count()
+        == n
+    )
+    for p, b in list(_ivfpq_batch_dirs(index_path)):
+        if committed:
+            if b <= w and b != t:
+                shutil.rmtree(p)  # finish: remove folded sources
+        elif b == t:
+            # abort: t never held live data — discard the partial fold
+            shutil.rmtree(p)
+    manifest.unlink()
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     index_path: str,
@@ -1325,6 +1431,11 @@ def query_ivfpq_index(
 
     import numpy as np
 
+    # a crash between a fold's commit and its source deletes would
+    # otherwise leave every folded row on disk TWICE — ADC scores are
+    # per-row so duplicates distort nothing, but the pool dedup and
+    # the scan bytes should not depend on luck
+    _recover_ivfpq_compaction(spark, index_path)
     cmat = np.asarray(
         json.loads(Path(index_path, "_ivf_centroids.json").read_text())
     )

@@ -619,3 +619,130 @@ def test_incrdedup_consistent_with_full_dedup(spark):
         elif a % INCR_MOD == 0:  # a incoming, b indexed (b > a, not new)
             expected.add((min(a, b), max(a, b)))
     assert canon == expected
+
+
+def test_ivfpq_compaction_folds_preserving_results(spark, tmp_path):
+    """compact_ivfpq_index must be invisible to queries: same rows,
+    same ANN answers — but ONE fold generation with one file per cell
+    where there was one file per (cell, batch)."""
+    from pathlib import Path
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        _IVFPQ_MANIFEST,
+        append_ivfpq_batch,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half_dir = tmp_path / "half"
+    e.filter("vec_id % 3 = 0").write.parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "ivfpq_cmp")
+    build_ivfpq_index(spark, str(half_dir), idx)
+    append_ivfpq_batch(
+        spark, idx, e.filter("vec_id % 3 = 1").select("vec_id", "embedding"), 1
+    )
+    q = e.filter("vec_id = 7").first()
+    before = [r.vec_id for r in query_ivfpq_index(spark, idx, q.embedding).collect()]
+    rows_before = spark.read.parquet(idx).count()
+    files_before = len(list(Path(idx).glob("cell=*/batch_id=*/part-*")))
+
+    compact_ivfpq_index(spark, idx, 1)
+
+    t = spark.read.parquet(idx)
+    assert t.count() == rows_before
+    ids = {r[0] for r in t.select("batch_id").distinct().collect()}
+    assert len(ids) == 1 and next(iter(ids)) < 0, ids  # fresh fold gen
+    after = [r.vec_id for r in query_ivfpq_index(spark, idx, q.embedding).collect()]
+    assert after == before
+    files_after = len(list(Path(idx).glob("cell=*/batch_id=*/part-*")))
+    assert files_after < files_before
+    # one file per cell
+    for cell in Path(idx).glob("cell=*"):
+        assert len(list(cell.glob("batch_id=*/part-*"))) == 1, cell
+    assert not Path(idx, _IVFPQ_MANIFEST).exists()
+    # a later ingest of NEW vectors lands on top of the fold unharmed;
+    # re-compaction folds fold+new into the NEXT generation
+    append_ivfpq_batch(
+        spark, idx, e.filter("vec_id % 3 = 2").select("vec_id", "embedding"), 3
+    )
+    assert spark.read.parquet(idx).count() == e.count()
+    compact_ivfpq_index(spark, idx, 3)
+    t2 = spark.read.parquet(idx)
+    ids2 = {r[0] for r in t2.select("batch_id").distinct().collect()}
+    assert ids2 == {next(iter(ids)) - 1}
+    assert t2.count() == e.count()
+
+
+def test_ivfpq_compaction_crash_recovery_both_branches(spark, tmp_path):
+    """Manifest protocol on the path-partitioned ANN index: (a) fold
+    not committed -> abort discards the partial fold, sources intact;
+    (b) fold committed, deletes crashed -> recovery finishes the
+    deletes. Both through the recovery hook every open runs."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        _IVFPQ_MANIFEST,
+        _recover_ivfpq_compaction,
+        append_ivfpq_batch,
+        build_ivfpq_index,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half_dir = tmp_path / "half"
+    e.filter("vec_id % 2 = 0").write.parquet(
+        str(half_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "ivfpq_crash")
+    build_ivfpq_index(spark, str(half_dir), idx)
+    append_ivfpq_batch(
+        spark, idx, e.filter("vec_id % 2 = 1").select("vec_id", "embedding"), 1
+    )
+    total = spark.read.parquet(idx).count()
+
+    # (a) manifest present, fold never committed: partial rows in -1
+    partial = (
+        spark.read.parquet(idx)
+        .limit(5)
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint()
+    )
+    partial.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "cell", "batch_id"
+    ).mode("overwrite").parquet(idx)
+    Path(idx, _IVFPQ_MANIFEST).write_text(
+        json.dumps({"through": 1, "target": -1, "rows": total})
+    )
+    _recover_ivfpq_compaction(spark, idx)
+    assert not Path(idx, _IVFPQ_MANIFEST).exists()
+    t = spark.read.parquet(idx)
+    assert t.count() == total  # sources intact, partial discarded
+    assert t.filter("batch_id = -1").count() == 0
+    assert t.filter("batch_id = 0").count() > 0
+    assert t.filter("batch_id = 1").count() > 0
+
+    # (b) fold committed (all rows relabeled -1), deletes crashed
+    folded = (
+        spark.read.parquet(idx)
+        .withColumn("batch_id", F.lit(-1))
+        .repartition("cell")
+        .localCheckpoint()
+    )
+    folded.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "cell", "batch_id"
+    ).mode("overwrite").parquet(idx)
+    Path(idx, _IVFPQ_MANIFEST).write_text(
+        json.dumps({"through": 1, "target": -1, "rows": total})
+    )
+    assert spark.read.parquet(idx).count() == 2 * total  # dup window
+    _recover_ivfpq_compaction(spark, idx)
+    assert not Path(idx, _IVFPQ_MANIFEST).exists()
+    t = spark.read.parquet(idx)
+    assert t.count() == total
+    assert t.filter("batch_id >= 0").count() == 0
