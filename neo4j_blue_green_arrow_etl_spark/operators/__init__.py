@@ -27,27 +27,30 @@ from .relational import REGISTRY, QuerySpec
 # re-registers one representative of such a family under an
 # early-alphabet name — same callable, same oracle, flagged alias_of so
 # bench.py times nothing twice and coverage counts exclude them.
-# Round-7 rotation (VERDICT r6 task 3, refreshed late-r7): slots 01/04
-# hand off to the r7-NEW index ops — q_x44 and q_x31b both got their
-# driver-side row in CORRECTNESS_r06 through these aliases, while the
-# indexed/compacted probes (new this round, same oracle as q_x44 but
-# entirely different physical path: persisted bucketed table, fold
-# swap) have never been driver-gated. q_st6/q_x45 keep their slots:
-# both changed materially this round (hashed state keys, hashed exact
-# tier). The rest of the window is unchanged from the r7 rotation —
-# ANN PQ/IVF-PQ (rows-only) plus one representative each of temporal,
-# events, data-quality, and profiling.
+# Round-8 rotation (VERDICT r7 task 7): slots 01-04 cover everything
+# that materially CHANGED this round — the new pruned/auto-routed probe
+# (q_x44d, never driver-gated), the reworked streaming admission
+# (fused single-agg probe + concurrent sinks), and the indexed/
+# compacted probes whose physical path changed under them (fused
+# candidate union; the compaction fold now targets a fresh negative
+# generation). Slot 10 keeps the composed capstone one more round for
+# the same reason (its dedup tiers sit on the changed probe). Slots
+# 05-09 go to families that have NEVER had a driver-side row in any
+# window: iterative graph (BFS, SSSP), multimodal (patches, segments),
+# and gaps-and-islands. Rotated out after green r7 rows: sim_pq /
+# sim_ivfpq (rows-only, checked r7), ts1/ev1/dq1/prof1 (green r7;
+# q_dq1/q_ev* also sort into the natural window today).
 _DRIVER_ROTATION = {
-    "q_cap01_x44b_indexed": "q_x44b_incrdedup_indexed",  # r7 at-rest probe
-    "q_cap02_st6_neardup": "q_st6_neardup",  # streaming admission (r7 state)
-    "q_cap03_x45_curate": "q_x45_curate",  # composed capstone (r7 hashed tier)
-    "q_cap04_x44c_compacted": "q_x44c_incrdedup_compacted",  # r7 fold
-    "q_cap05_sim_pq": "q_sim_pq",  # ANN PQ (rows-only)
-    "q_cap06_sim_ivfpq": "q_sim_ivfpq",  # ANN IVF-PQ (rows-only)
-    "q_cap07_ts1_gapfill": "q_ts1_gapfill",  # temporal family
-    "q_cap08_ev1_funnel": "q_ev1_funnel",  # event-analytics family
-    "q_cap09_dq1_expectations": "q_dq1_expectations",  # data quality
-    "q_cap10_prof1": "q_prof1",  # profiling family
+    "q_cap01_x44d_pruned": "q_x44d_incrdedup_pruned",  # NEW r8: auto/pruned probe
+    "q_cap02_st6_neardup": "q_st6_neardup",  # r8: fused probe + parallel sinks
+    "q_cap03_x44b_indexed": "q_x44b_incrdedup_indexed",  # r8: fused candidates
+    "q_cap04_x44c_compacted": "q_x44c_incrdedup_compacted",  # r8: new fold target
+    "q_cap05_g6_bfs": "q_g6_bfs",  # iterative graph, never driver-checked
+    "q_cap06_g10_sssp": "q_g10_sssp",  # iterative graph, never driver-checked
+    "q_cap07_mm_patches": "q_mm_patches",  # multimodal, never driver-checked
+    "q_cap08_mm_segments": "q_mm_segments",  # multimodal, never driver-checked
+    "q_cap09_w9_islands": "q_w9_islands",  # gaps-and-islands, never checked
+    "q_cap10_x45_curate": "q_x45_curate",  # composed capstone over changed tiers
 }
 for _alias, _target in _DRIVER_ROTATION.items():
     _spec = REGISTRY.get(_target)
