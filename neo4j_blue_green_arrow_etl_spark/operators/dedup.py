@@ -20,7 +20,7 @@ Design for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .relational import barrier_sort, register
@@ -188,20 +188,22 @@ def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle_array(text_col: str = "text") -> Column:
-    """Array column of a document's DISTINCT word 3-grams — pure array
-    expressions, map-only (no Python, no shuffle).
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document, computed
+    with pure array expressions (no Python on the data path).
 
     Built as zip_with over shifted copies of the word array — a single
     pass with per-element concat. (The first version sliced+joined the
     array once PER POSITION: O(len²) allocations inside an interpreted
     higher-order function, ~2.8 s of the 5 s minhash total at sf0.1;
     this form is ~4x faster and matches the oracle's strict
-    3-consecutive-words semantics for sub-3-word docs.) Exposing the
-    ARRAY (not just its explosion) lets postings_with_sizes compute
-    the per-doc set size as F.size() — a map-side column — instead of
-    a count-over-window, whose partitionBy(doc_id) shuffle was pure
-    overhead on every micro-batch ingest."""
+    3-consecutive-words semantics for sub-3-word docs.) The partial
+    grams are filtered AFTER the explode: a post-explode row filter
+    compiles into whole-stage codegen, where an in-array F.filter
+    lambda would run interpreted per element (an r8 experiment that
+    moved the filter array-side to expose the set size map-only
+    measured slower end-to-end and was reverted)."""
+    assert n == 3, "shingle builder is specialized for 3-grams"
     words = F.split(F.col(text_col), " ")
     sz = F.size(words)
     w2 = F.slice(words, 2, F.greatest(sz - 1, F.lit(0)))
@@ -213,19 +215,9 @@ def shingle_array(text_col: str = "text") -> Column:
     )
     # zip_with pads the shorter side with NULL -> trailing partial grams;
     # a true 3-gram contains exactly 2 spaces
-    return F.filter(
-        F.array_distinct(grams),
-        lambda g: F.size(F.split(g, " ")) == 3,
-    )
-
-
-def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document; see
-    shingle_array for the construction."""
-    assert n == 3, "shingle builder is specialized for 3-grams"
     return df.select(
-        "doc_id", F.explode(shingle_array(text_col)).alias("shingle")
-    )
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == 3)
 
 
 _NGRAM_ORACLE = f"""
@@ -957,11 +949,37 @@ def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     step = hi // ST6_BATCHES + 1
-    for b in range(ST6_BATCHES):
-        batch = docs.filter(
+    batches = [
+        docs.filter(
             (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
         )
-        admit_batch(spark, batch, f"{work}/state", f"{work}/out", b)
+        for b in range(ST6_BATCHES)
+    ]
+    # availableNow catch-up parallelism: every queued batch is already
+    # on disk, and the postings build is STATELESS (only the probe
+    # needs prior state), so shingle all queued batches as concurrent
+    # jobs up front — the per-batch serial chain keeps only the
+    # probe/sink work (admit_batch docstring)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.dedup_index import postings_with_sizes
+
+    with ThreadPoolExecutor(ST6_BATCHES) as pool:
+        posts = list(
+            pool.map(
+                lambda bd: postings_with_sizes(bd).localCheckpoint(),
+                batches,
+            )
+        )
+    for b in range(ST6_BATCHES):
+        admit_batch(
+            spark,
+            batches[b],
+            f"{work}/state",
+            f"{work}/out",
+            b,
+            batch_post=posts[b],
+        )
     return (
         admitted_ids(spark, f"{work}/out")
         .select("doc_id")

@@ -78,18 +78,28 @@ def admit_batch(
     state_dir: str,
     out_dir: str,
     batch_id: int,
+    batch_post: DataFrame | None = None,
 ) -> None:
     """One exactly-once micro-batch: admit non-near-dup docs, write
     their doc_ids to ``out_dir`` (batchId-named file, replay
     overwrites) and this batch's postings to the bucketed state
     table's own ``batch_id`` partition (replay overwrites just that
-    partition)."""
+    partition).
+
+    ``batch_post`` (materialized (doc_id, shingle, n) for exactly
+    ``batch_docs``) lets a BACKLOG driver precompute postings for
+    queued batches concurrently: the postings build is stateless —
+    only the PROBE needs prior batches' state — so in availableNow
+    catch-up, where every queued file is already on disk, shingling
+    batch k+1 while batch k's sinks run is free parallelism with
+    identical per-batch semantics (q_st6_neardup does this)."""
     table = ensure_index_table(spark, state_dir)
     batch_docs = batch_docs.select(*DOCS_STREAM_COLS)
-    # localCheckpoint: the postings feed three consumers (two match
-    # joins + the state write); a checkpoint also cuts the streaming
-    # source out of the reused plan
-    batch_post = postings_with_sizes(batch_docs).localCheckpoint()
+    if batch_post is None:
+        # localCheckpoint: the postings feed three consumers (two match
+        # joins + the state write); a checkpoint also cuts the
+        # streaming source out of the reused plan
+        batch_post = postings_with_sizes(batch_docs).localCheckpoint()
     # strictly-earlier partitions only: enforces arrival order AND
     # excludes this batch's own (possibly partial) prior attempt on
     # replay — partition-pruned at the scan
