@@ -681,6 +681,22 @@ def _default_index_path(sf_dir: str) -> str:
     return f"/tmp/spark_graft_dedup_index/{digest}"
 
 
+def reset_index(spark: SparkSession, index_path: str) -> None:
+    """Wipe an index (files + catalog entry + ensure cache) so a
+    REBUILD starts from nothing. Rebuild-by-append is not enough:
+    overwriting batch 0..k replaces those partitions, but a previous
+    compaction's fold generation (negative id) would survive and merge
+    STALE rows into the next fold — the rebuild branches of
+    q_x44b/c/d call this first."""
+    import shutil
+
+    shutil.rmtree(index_path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {index_table_name(index_path)}")
+    _ENSURED.pop(
+        (spark.sparkContext.applicationId, str(index_path)), None
+    )
+
+
 def _corpus_stamp(sf_dir: str) -> str:
     """Content fingerprint of the documents table, for the
     rebuild-iff-changed markers: path + every parquet data file's
@@ -723,6 +739,7 @@ def q_x44b_incrdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if marker.exists() and marker.read_text() == stamp:
         table = ensure_index_table(spark, index_path)
     else:
+        reset_index(spark, index_path)
         table = build_dedup_index(spark, sf_dir, index_path)
         marker.write_text(stamp)
     batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
@@ -755,6 +772,7 @@ def q_x44c_incrdedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if marker.exists() and marker.read_text() == stamp:
         table = ensure_index_table(spark, index_path)
     else:
+        reset_index(spark, index_path)  # a stale fold must not survive
         table = ensure_index_table(spark, index_path)
         corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != 0)
         for b in range(Q44C_BUILD_BATCHES):
@@ -778,15 +796,30 @@ def q_x44c_incrdedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same query gates the full-scan route — both SFs thereby
 # oracle-cover one routing branch each, and tests pin row-identity.
 PRUNED_MOD = 50
-PRUNED_BUCKETS = 2048
+
+
+def _pruned_buckets(n_docs: int) -> int:
+    """Index width for the q_x44d fixture, derived from corpus size.
+    The small (oracle-gate) corpus gets a deliberately OVER-wide 2048
+    buckets — the point there is the width RATIO (a 10-doc batch's
+    ~500 shingles touch ~0.2 of the buckets, which is what a daily
+    batch sees against a production-width index), so the auto router
+    demonstrably takes the pruned path under the driver's gate. The
+    larger bench corpus routes full regardless (its 100-doc batch
+    covers any width), so it gets a REALISTICALLY-sized 256 buckets:
+    2048 there would mean a 38 s one-time build (2048 un-coalesceable
+    bucket writer tasks) and 2048-file scans for nothing the fixture
+    is trying to show."""
+    return 2048 if n_docs <= 1000 else 256
 
 
 @register(
     "q_x44d_incrdedup_pruned",
     oracle=_incr_oracle(PRUNED_MOD),
     doc="Incremental corpus dedup through probe_dedup_index_auto over "
-    f"a {PRUNED_BUCKETS}-bucket index with a sparse (doc_id % "
-    f"{PRUNED_MOD} = 0) batch: the driver-gated form of BUCKET-FILE "
+    f"a WIDE (corpus-size-derived, _pruned_buckets) index with a "
+    f"sparse (doc_id % {PRUNED_MOD} = 0) batch: the driver-gated form "
+    "of BUCKET-FILE "
     "PRUNING, the O(touched-buckets) per-ingest scan a small daily "
     "batch earns on a production-width index (PRUNED_PROBE_r7 "
     "measured the crossover; the router picks pruned vs co-located "
@@ -800,7 +833,10 @@ def q_x44d_incrdedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     stamp = _corpus_stamp(sf_dir)
     if not (marker.exists() and marker.read_text() == stamp):
-        table = ensure_index_table(spark, index_path, PRUNED_BUCKETS)
+        reset_index(spark, index_path)  # width may change with corpus
+        table = ensure_index_table(
+            spark, index_path, _pruned_buckets(docs.count())
+        )
         corpus = docs.filter(F.col("doc_id") % PRUNED_MOD != 0)
         append_index_batch(spark, table, postings_with_sizes(corpus), 0)
         marker.write_text(stamp)
