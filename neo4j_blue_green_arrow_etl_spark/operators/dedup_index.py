@@ -562,7 +562,7 @@ def _probe_pruned(
     touched: set[int],
 ) -> DataFrame:
     """The pruned-probe core: path-read ONLY the part files whose
-    bucket id is in ``touched``, then the standard two match joins.
+    bucket id is in ``touched``, then the standard fused probe.
     Callers must have run ensure_index_table first (pending-compaction
     recovery — a half-folded tree would otherwise double-count
     postings and inflate Jaccard)."""

@@ -9,9 +9,10 @@ from pyspark.sql import DataFrame
 import __spark_entry__ as entrymod
 from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
 
-# Hash-seeded approximate queries with no SQL-expressible oracle —
-# plus the driver-window rotation aliases of the two rotated in this
-# round (an alias inherits its target's oracle, including its absence).
+# Hash-seeded approximate queries with no SQL-expressible oracle.
+# (A driver-window rotation alias inherits its target's oracle,
+# including its absence — the r8 window rotates only oracle-gated
+# targets, so no aliases appear here.)
 ROWS_ONLY = {
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -19,8 +20,6 @@ ROWS_ONLY = {
     "q_sim_ivf",
     "q_sim_pq",
     "q_sim_ivfpq",
-    "q_cap05_sim_pq",
-    "q_cap06_sim_ivfpq",
 }
 
 
