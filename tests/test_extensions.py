@@ -746,3 +746,93 @@ def test_ivfpq_compaction_crash_recovery_both_branches(spark, tmp_path):
     t = spark.read.parquet(idx)
     assert t.count() == total
     assert t.filter("batch_id >= 0").count() == 0
+
+
+def test_stream_embedding_ingest_exactly_once_with_compaction(spark, tmp_path):
+    """The ANN twin of the near-dup stream: a checkpointed file stream
+    appends embedding batches into a pre-trained IVF-PQ index with
+    periodic folds. Re-draining with the same checkpoint must change
+    nothing (exactly-once); queries must find appended vectors; the
+    fold must shrink the file count without changing rows."""
+    from pathlib import Path
+
+    import pytest
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from neo4j_blue_green_arrow_etl_spark.streaming.ann_ingest import (
+        stream_embedding_ingest,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    boot_dir = tmp_path / "boot"
+    e.filter("vec_id % 4 = 0").write.parquet(
+        str(boot_dir / "embeddings.parquet")
+    )
+    idx = str(tmp_path / "ann_stream_idx")
+
+    # a stream must refuse to run against an untrained index
+    with pytest.raises(ValueError, match="trained"):
+        stream_embedding_ingest(
+            spark, str(tmp_path / "in") + "/*", idx, str(tmp_path / "ck0")
+        )
+
+    build_ivfpq_index(spark, str(boot_dir), idx)
+    src = tmp_path / "in"
+    for i, b in enumerate((1, 2, 3)):
+        e.filter(f"vec_id % 4 = {b}").select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"part{i}"))
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_embedding_ingest(
+        spark, f"{src}/*", idx, ckpt, compact_every=2
+    )
+    t = spark.read.parquet(idx)
+    assert t.count() == e.count()
+    ids = {r[0] for r in t.select("batch_id").distinct().collect()}
+    assert min(ids) < 0  # a fold generation exists (compact_every hit)
+    assert len(ids) < 4  # 1 build + 3 appends folded at least once
+
+    # every appended vector is queryable through the normal path
+    q = e.filter("vec_id = 5").first()  # vec 5 arrived via the stream
+    got = [
+        r.vec_id
+        for r in query_ivfpq_index(spark, idx, q.embedding, exclude_id=5).collect()
+    ]
+    assert len(got) == 5
+
+    # exactly-once: re-draining the same checkpoint replays nothing
+    # (the checkpoint IS the exactly-once token — pointing a FRESH
+    # checkpoint at an already-ingested index is a different stream
+    # and would double-ingest by design, exactly like the dedup state)
+    rows_before = sorted(
+        map(tuple, t.select("vec_id", "batch_id").collect())
+    )
+    stream_embedding_ingest(spark, f"{src}/*", idx, ckpt, compact_every=2)
+    rows_after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx).select("vec_id", "batch_id").collect(),
+        )
+    )
+    assert rows_after == rows_before
+
+    # single-batch crash replay: re-run the LAST batch's foreachBatch
+    # body with its committed batch_id — dynamic overwrite replaces
+    # only its own (cell, batch_id) files, the row set is unchanged
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        append_ivfpq_batch,
+    )
+
+    last = e.filter("vec_id % 4 = 3").select("vec_id", "embedding")
+    append_ivfpq_batch(spark, idx, last, 3)  # stream batch 2 -> index 3
+    replay_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(idx).select("vec_id", "batch_id").collect(),
+        )
+    )
+    assert replay_rows == rows_before
