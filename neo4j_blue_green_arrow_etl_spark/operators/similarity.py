@@ -1469,3 +1469,70 @@ def query_ivfpq_index(
         "vec_id", "embedding"
     )
     return _rerank(spark, pool, query_vec, None)
+
+
+@register(
+    "q_st7_annstream_ingest",
+    oracle="SELECT vec_id FROM embeddings ORDER BY vec_id",
+    doc="Streaming ANN ingest, oracle-gated at the EXACTLY-ONCE layer: "
+    "train an IVF-PQ index on a bootstrap quarter of the embeddings, "
+    "drain the other three quarters through "
+    "streaming/ann_ingest.stream_embedding_ingest (checkpointed "
+    "availableNow file stream, one file per micro-batch, "
+    "compact_every=2 so a fold runs mid-stream), then return every "
+    "vec_id the at-rest index holds. The oracle is the full embeddings "
+    "id set — any dropped batch, replayed duplicate, or fold that "
+    "loses/doubles rows breaks the match. ANN RESULT quality is gated "
+    "separately (RECALL artifacts: top-5 overlap 1.0) because an "
+    "approximate top-k has no exact SQL oracle; ingest integrity "
+    "does, and this is it. The built index is cached per corpus "
+    "fingerprint (like q_x44b) so repeated invocations probe the "
+    "at-rest artifact instead of re-streaming.",
+)
+def q_st7_annstream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    # mirror _default_index_path's layout-versioned /tmp scheme, keyed
+    # by the EMBEDDINGS table fingerprint (text changes are irrelevant)
+
+    root = Path(sf_dir, "embeddings.parquet")
+    files = sorted(
+        (str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns)
+        for p in (root.rglob("*") if root.is_dir() else [root])
+        if p.is_file() and not p.name.startswith(("_", "."))
+    )
+    stamp = f"{sf_dir}:{hashlib.md5(repr(files).encode()).hexdigest()}"
+    digest = hashlib.md5(f"{sf_dir}:annstream_v1".encode()).hexdigest()[:12]
+    idx = f"/tmp/spark_graft_annstream/{digest}"
+    marker = Path(idx, "_BUILT_FOR")
+    if not (marker.exists() and marker.read_text() == stamp):
+        import atexit
+        import shutil
+
+        from ..streaming.ann_ingest import stream_embedding_ingest
+
+        shutil.rmtree(idx, ignore_errors=True)
+        e = _emb(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="spark_graft_st7_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        boot = f"{work}/boot"
+        e.filter(F.col("vec_id") % 4 == 0).write.parquet(
+            f"{boot}/embeddings.parquet"
+        )
+        build_ivfpq_index(spark, boot, idx)
+        src = f"{work}/in"
+        for i, b in enumerate((1, 2, 3)):
+            e.filter(F.col("vec_id") % 4 == b).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.parquet(f"{src}/part{i}")
+        stream_embedding_ingest(
+            spark, f"{src}/*", idx, f"{work}/ckpt", compact_every=2
+        )
+        marker.write_text(stamp)
+    return (
+        spark.read.parquet(idx)
+        .select("vec_id")
+        .transform(barrier_sort("vec_id"))
+    )
