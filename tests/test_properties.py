@@ -867,3 +867,72 @@ def test_capped_fuzzy_pairs_match_python_reference(spark, rows):
         (r.doc_a, r.doc_b) for r in fuzzy_block_pairs_capped(frame).collect()
     }
     assert got == want
+
+
+# tiny vocab + short docs: dense shingle collisions, sub-3-word docs
+# (no shingles at all), exact-duplicate texts, and batch/corpus overlap
+# in every example — the edge space the fixed fixtures can't cover
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["red", "blue", "ox", "elk"]), min_size=0, max_size=6),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_index_probe_matches_bruteforce_any_earlier_rule(spark, words_lists):
+    """probe_dedup_index AND probe_dedup_index_auto must equal a pure-
+    Python brute force of the incremental rule — batch doc d (odd ids)
+    matches e iff e is a corpus doc (even ids) or an earlier batch doc,
+    at exact 3-gram Jaccard >= threshold — on corpora dense with
+    collisions, exact duplicates, and shingle-less (<3-word) docs."""
+    import shutil
+    import tempfile
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        append_index_batch,
+        ensure_index_table,
+        postings_with_sizes,
+        probe_dedup_index,
+        probe_dedup_index_auto,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(words_lists)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    corpus = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+
+    work = tempfile.mkdtemp(prefix="spark_graft_prop_idx_")
+    try:
+        table = ensure_index_table(spark, work)
+        append_index_batch(spark, table, postings_with_sizes(corpus), 0)
+        got_table = sorted(
+            map(tuple, probe_dedup_index(spark, batch, table).collect())
+        )
+        got_auto = sorted(
+            map(tuple, probe_dedup_index_auto(spark, batch, work).collect())
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    sets = {
+        i: {tuple(ws[k : k + 3]) for k in range(len(ws) - 2)}
+        for i, ws in enumerate(words_lists)
+    }
+    want = []
+    for d, sd in sets.items():
+        if d % 2 == 0 or not sd:
+            continue
+        for e, se in sets.items():
+            if e == d or not se or (e % 2 == 1 and e >= d):
+                continue
+            inter = len(sd & se)
+            jac = inter / (len(sd) + len(se) - inter)
+            if jac >= JACCARD_THRESHOLD:
+                want.append((d, e, round(jac, 4)))
+    assert got_table == sorted(want)
+    assert got_auto == sorted(want)
