@@ -516,3 +516,44 @@ def test_auto_probe_routes_both_branches(spark, tmp_path):
             map(tuple, probe_dedup_index_auto(spark, batch, path).collect())
         )
         assert got == want
+
+
+def test_ensure_rejects_bucket_width_mismatch_and_reset_allows_rewidth(
+    spark, tmp_path
+):
+    """The DDL bucket count is structural: ensuring an existing index
+    at a different width must raise (a silent IF NOT EXISTS would keep
+    the old layout while the caller assumes the new one), and
+    reset_index is the sanctioned way to change width — it wipes
+    files, catalog entry, and the ensure cache together."""
+    import pytest
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _ENSURED,
+        index_bucket_count,
+        reset_index,
+    )
+
+    path = str(tmp_path / "widx")
+    table = ensure_index_table(spark, path, buckets=64)
+    docs = _docs(spark, SF_SMOKE).limit(10).select("doc_id", "text")
+    append_index_batch(spark, table, postings_with_sizes(docs), 0)
+    assert index_bucket_count(path) == 64
+
+    # a fresh session (empty cache) ensuring at the wrong width: raise
+    _ENSURED.clear()
+    with pytest.raises(ValueError, match="64"):
+        ensure_index_table(spark, path, buckets=32)
+
+    # reset + re-ensure at the new width: clean slate, new sidecar
+    reset_index(spark, path)
+    table2 = ensure_index_table(spark, path, buckets=32)
+    assert index_bucket_count(path) == 32
+    assert spark.table(table2).count() == 0
+    append_index_batch(spark, table2, postings_with_sizes(docs), 0)
+    from pathlib import Path as P
+
+    assert all(
+        int(f.name.split(".")[0].rsplit("_", 1)[1]) < 32
+        for f in P(path).glob("batch_id=*/part-*")
+    )
