@@ -65,7 +65,96 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def lsh_band_candidates(bands: DataFrame) -> DataFrame:
+def shingle_hash_arrays(
+    df: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, shset array<bigint>) — distinct HASHED word 3-grams per
+    document, built entirely map-side with numeric combination.
+
+    The numeric fast path for the hash-candidate tiers (minhash,
+    simhash): each word hashes once (xxhash64), then a 3-gram id is
+    xxhash64 over the THREE WORD HASHES — no string concatenation, no
+    post-explode "count the spaces" filter (partial trailing grams are
+    dropped by slicing to the first len-2 positions). The mapping
+    string-3-gram -> id is injective modulo 64-bit collisions, so set
+    intersections/sizes over these ids equal the string-shingle sets
+    the q_dedup_ngram oracle defines — same guarantee the previous
+    xxhash64(string) carried, ~2x cheaper per element (measured at
+    sf0.1: the concat_ws build plus the per-posting split-filter was
+    ~0.9 s of every hash-tier query). Oracle-gated queries that must
+    reproduce DuckDB string semantics (q_dedup_ngram, q_x44 family)
+    keep the string `shingles()` path.
+
+    Scale: all-narrow (no shuffle); downstream consumers aggregate or
+    explode this array, so the only thing that ever crosses an exchange
+    is per-doc partial-aggregate state, never raw postings."""
+    assert n == 3, "shingle builder is specialized for 3-grams"
+    wh = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    sz = F.size(wh)
+    w2 = F.slice(wh, 2, F.greatest(sz - 1, F.lit(0)))
+    w3 = F.slice(wh, 3, F.greatest(sz - 2, F.lit(0)))
+    g2 = F.zip_with(wh, w2, lambda x, y: F.xxhash64(x, y))
+    g3 = F.zip_with(g2, w3, lambda xy, z: F.xxhash64(xy, z))
+    grams = F.slice(g3, 1, F.greatest(sz - 2, F.lit(0)))
+    return df.select("doc_id", F.array_distinct(grams).alias("shset"))
+
+
+def shingle_hash_arrays_strfam(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shset array<bigint>) with ids = xxhash64 of the STRING
+    3-gram — the same feature-hash family `shingles()` + xxhash64
+    produces, built narrow (no aggregation).
+
+    q_dedup_simhash uses this instead of the cheaper numeric family:
+    the simhash fingerprint is a function of the feature-hash bits, and
+    re-drawing the family re-rolls every marginal pair's Hamming
+    distance — measured at sf0.1, the numeric family dropped verified
+    recall 0.9844 -> 0.9648 (misses at Hamming 11-15 with <= 1 clean
+    band: structurally unreachable by ANY radius under 2-of-8-band
+    probing, where 12 scattered flips leave E[clean bands] ~= 1.6) and
+    a 128-bit/32-bit-key variant dropped it to 0.8164. Keeping the r7/8
+    family keeps the fingerprints — and the recall — bit-identical.
+    Costs one string concat pass over the gram array (~0.4 s at sf0.1)
+    vs shingle_hash_arrays; everything downstream is family-agnostic."""
+    words = F.split(F.col(text_col), " ")
+    sz = F.size(words)
+    w2 = F.slice(words, 2, F.greatest(sz - 1, F.lit(0)))
+    w3 = F.slice(words, 3, F.greatest(sz - 2, F.lit(0)))
+    grams = F.zip_with(
+        F.zip_with(words, w2, lambda x, y: F.concat_ws(" ", x, y)),
+        w3,
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    valid = F.slice(grams, 1, F.greatest(sz - 2, F.lit(0)))
+    return df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(valid, lambda g: F.xxhash64(g))
+        ).alias("shset"),
+    )
+
+
+def shingle_profiles(arr: DataFrame, aggs: list) -> DataFrame:
+    """Per-doc profile (doc_id, shset array<bigint>, *aggs) from a
+    shingle_hash_arrays table.
+
+    The declarative aggregates run over the EXPLODED postings (codegen
+    hash aggregation with map-side partial combine — measured faster
+    than interpreted per-element array HOFs for 32-wide aggregate
+    lists), then re-join the narrow array table on doc_id. The
+    aggregation output is hash-partitioned by doc_id, so the join adds
+    one exchange of the narrow (doc_id, shset) rows — the same bytes a
+    collect_set partial would have shuffled, without forcing the whole
+    aggregation through ObjectHashAggregateExec's sort-based fallback
+    (a mixed object+declarative agg measured ~1 s slower at sf0.1)."""
+    arr = arr.cache()  # two consumers: the exploded agg + the join side
+    sh = arr.select("doc_id", F.explode("shset").alias("shingle"))
+    decl = sh.groupBy("doc_id").agg(*aggs)
+    return decl.join(arr, "doc_id")
+
+
+def lsh_band_candidates(bands: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Candidate pairs (a < b) from an LSH band table (doc_id, band, bh).
 
     Buckets up to MINHASH_BUCKET_CAP emit ALL within-bucket pairs (the
@@ -80,80 +169,107 @@ def lsh_band_candidates(bands: DataFrame) -> DataFrame:
     — at the cost of not enumerating every member-member pair of a
     giant bucket (the pair LIST within capped buckets is intentionally
     thinned; tests pin both the linear candidate volume and the
-    unchanged clustering). Cost: one (band, bh) aggregation, the same
-    key the join shuffles on anyway."""
-    sizes = bands.groupBy("band", "bh").agg(
-        F.count(F.lit(1)).alias("bn"), F.min("doc_id").alias("rep")
+    unchanged clustering).
+
+    SHUFFLE SHAPE (r9 fusion): bucket size and representative come from
+    two window functions over ONE partitionBy(band, bh) — a single
+    exchange that ALSO pre-partitions and pre-sorts the table for the
+    pair self-join, which therefore runs as a zero-exchange, zero-sort
+    sort-merge join over the cached windowed table (the r8 form paid a
+    groupBy + a re-join + two self-join exchanges for the same result).
+    The representative's carried columns ride a min(struct(doc_id, ..))
+    over the same window — doc_id is unique, so struct-min == the
+    min-id row.
+
+    `carry` names extra per-DOC columns on `bands` (e.g. a simhash
+    fingerprint) returned per pair as {c}_a / {c}_b, letting callers
+    filter pairs inline instead of re-joining per-doc tables — at 100TB
+    that trades a few carried bytes in the one posting shuffle against
+    two extra full-table join exchanges.
+
+    CACHE OWNERSHIP: the windowed table cache is intentionally left
+    alive — unpersisting here would evict it before the lazily-returned
+    candidate plan ever executes. Long-lived sessions that invoke dedup
+    queries repeatedly must clear it between queries (bench.py calls
+    spark.catalog.clearCache() after each timed query; the CacheManager
+    dedupes identical lineages so repeated calls hold ONE copy)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    rep = F.min(F.struct(F.col("doc_id"), *[F.col(c) for c in carry])).over(w)
+    tagged = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", rep)
+        .cache()
     )
-    # Cached (lazily, MEMORY_AND_DISK): the pair self-join below reads
-    # `small` (hence `tagged`) TWICE — uncached, Spark recomputes the
-    # bucket-size aggregation and the tag join once per side, which
-    # profiling showed was the dominant cost of the whole candidate
-    # stage. The cached table is (doc_id, band, bh, bn, rep) — five
-    # fixed-width columns at |docs| x bands rows, spill-safe.
-    # OWNERSHIP: the cache is intentionally left alive — unpersisting
-    # here would evict it before the lazily-returned candidate plan
-    # ever executes. Long-lived sessions that invoke dedup queries
-    # repeatedly must clear it between queries (bench.py calls
-    # spark.catalog.clearCache() after each timed query; tests use
-    # fresh plans per sf_dir, and the CacheManager dedupes identical
-    # lineages so repeated calls hold ONE copy per input, not one per
-    # call).
-    tagged = bands.join(sizes, ["band", "bh"]).cache()
     small = tagged.filter(F.col("bn") <= MINHASH_BUCKET_CAP)
-    l = small.select("band", "bh", F.col("doc_id").alias("a"))
-    r = small.select("band", "bh", F.col("doc_id").alias("b"))
-    all_pairs = l.join(r, ["band", "bh"]).filter(F.col("a") < F.col("b"))
-    star = (
-        tagged.filter(
-            (F.col("bn") > MINHASH_BUCKET_CAP) & (F.col("doc_id") != F.col("rep"))
-        )
-        .select(F.col("rep").alias("a"), F.col("doc_id").alias("b"))
+    cols = ["a", "b", *[f"{c}_a" for c in carry], *[f"{c}_b" for c in carry]]
+    l = small.select(
+        "band",
+        "bh",
+        F.col("doc_id").alias("a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
-    return all_pairs.select("a", "b").union(star).distinct()
+    r = small.select(
+        "band",
+        "bh",
+        F.col("doc_id").alias("b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    all_pairs = (
+        l.join(r, ["band", "bh"]).filter(F.col("a") < F.col("b")).select(*cols)
+    )
+    star = tagged.filter(
+        (F.col("bn") > MINHASH_BUCKET_CAP)
+        & (F.col("doc_id") != F.col("_rep.doc_id"))
+    ).select(
+        F.col("_rep.doc_id").alias("a"),
+        F.col("doc_id").alias("b"),
+        *[F.col(f"_rep.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    # carried columns are deterministic per doc, so the distinct still
+    # dedupes exactly on the (a, b) pair identity
+    return all_pairs.unionByName(star.select(*cols)).distinct()
 
 
-def jaccard_verify(
-    candidates: DataFrame, sh: DataFrame, keep=(), sizes: DataFrame | None = None
+def jaccard_verify_sets(
+    candidates: DataFrame, prof: DataFrame, keep=()
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs over a (hashed)
-    shingle table (doc_id, shingle): returns (doc_a, doc_b, *keep,
-    jaccard) for candidates clearing JACCARD_THRESHOLD — the step that
-    makes every hash-candidate tier (minhash, simhash) emit ZERO false
-    positives relative to the q_dedup_ngram truth definition. `keep`
-    names extra per-pair columns on `candidates` to carry through
-    (constant per (a, b), so folding them into the groupBy is free).
-    Scale: only candidate pairs are touched — the join fans each pair
-    out by its shared shingles and one count-aggregate folds them back;
-    both joins shuffle on doc_id, the same key the shingle table is
-    already hashed by. A caller that already holds per-doc set sizes
-    (doc_id, n) passes them via `sizes` to skip the re-aggregation."""
-    if sizes is None:
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    common = (
-        candidates.join(x, F.col("a") == F.col("x.doc_id"))
-        .join(
-            y,
-            (F.col("b") == F.col("y.doc_id"))
-            & (F.col("x.shingle") == F.col("y.shingle")),
-        )
-        .groupBy("a", "b", *keep)
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    """Exact-Jaccard verification of candidate pairs (a, b, *keep)
+    against per-doc shingle-SET profiles (doc_id, shset sorted
+    array<bigint>): returns (doc_a, doc_b, *keep, jaccard) for pairs
+    clearing JACCARD_THRESHOLD — the step that makes every
+    hash-candidate tier (minhash, simhash) emit ZERO false positives
+    relative to the q_dedup_ngram truth definition.
+
+    SHUFFLE SHAPE (r9 fusion): two equi-joins attach each side's set
+    array, then |intersection| / sizes compute INLINE per row
+    (array_intersect over distinct hashed shingles == the posting-join
+    COUNT(*) the r8 form produced). The r8 posting-table verify paid 5
+    exchanges — re-shuffling the FULL corpus posting table by doc_id
+    and (doc_id, shingle) plus a pair groupBy plus two size joins —
+    proportional to corpus postings even when candidates were few. This
+    form's shuffles move only the candidate-pair rows; the profile side
+    is already hash-partitioned by doc_id from the aggregation that
+    built it (cache preserves partitioning), so its joins add no
+    exchange. A doc's set array is bounded by its own length (~10^3-4
+    longs for a web page), so carrying it one join hop is O(pair
+    output), not O(corpus)."""
+    pa = prof.select(F.col("doc_id").alias("a"), F.col("shset").alias("set_a"))
+    pb = prof.select(F.col("doc_id").alias("b"), F.col("shset").alias("set_b"))
+    c = F.size(F.array_intersect("set_a", "set_b"))
+    jac = c / (F.size("set_a") + F.size("set_b") - c)
     return (
-        common.join(sa, F.col("a") == F.col("sa.doc_id"))
-        .join(sb, F.col("b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        candidates.join(pa, "a")
+        .join(pb, "b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select(
             F.col("a").alias("doc_a"),
             F.col("b").alias("doc_b"),
             *keep,
-            F.round(jac, 4).alias("jaccard"),
+            F.round("jac", 4).alias("jaccard"),
         )
         .transform(barrier_sort("doc_a", "doc_b"))
     )
@@ -213,11 +329,20 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataF
         w3,
         lambda xy, z: F.concat_ws(" ", xy, z),
     )
-    # zip_with pads the shorter side with NULL -> trailing partial grams;
-    # a true 3-gram contains exactly 2 spaces
+    # zip_with pads the shorter side with NULL -> the LAST TWO positions
+    # are partial grams; slicing to the first len-2 positions drops
+    # exactly those (r9: replaces the post-explode
+    # size(split(shingle)) == 3 row filter — a native slice beats 260k
+    # per-posting string splits; the r8 note about interpreted in-array
+    # filtering applied to F.filter's per-element LAMBDA, which slice
+    # does not use). Sub-3-word docs yield an empty slice, matching the
+    # oracle's strict 3-consecutive-words semantics.
     return df.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    ).filter(F.size(F.split(F.col("shingle"), " ")) == 3)
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.slice(grams, 1, F.greatest(sz - 2, F.lit(0))))
+        ).alias("shingle"),
+    )
 
 
 _NGRAM_ORACLE = f"""
@@ -321,28 +446,29 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     "no cartesian; verification only touches candidate pairs.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Lazy cache: the shingle table is consumed by four subplans (sig,
-    # sizes, and both sides of the verify join). Measured at sf0.1:
-    # eager materialization (persist+count) adds a serial job that costs
-    # MORE than the duplicate-stage recompute it avoids, so lazy wins;
-    # the CacheManager dedupes identical lineages, so repeated calls
-    # hold ONE cached copy per sf_dir, not one per call.
+    # ONE groupBy(doc_id) builds the whole per-doc profile — the k
+    # seeded min-hashes AND the sorted shingle-hash set the verify
+    # stage intersects — so the corpus posting table is shuffled
+    # exactly once for the entire query (the r8 form re-shuffled it
+    # three more times inside the posting-join verify). The cached
+    # profile stays hash-partitioned by doc_id, so every downstream
+    # doc_id equi-join (both verify sides) adds zero exchange on the
+    # corpus side.
     #
     # Shingles are carried as 64-BIT HASHES, not strings: every
-    # downstream consumer (seeded min-hash aggs, set sizes, the verify
-    # equi-join) only needs equality, so hashing once up front makes the
-    # cached table two longs per row and every shuffle key fixed-width.
-    # A 64-bit collision adds one phantom shared shingle to one pair —
-    # negligible against the 0.5 Jaccard threshold. Since r7 every
-    # shingle equi-join in the repo (incl. q_dedup_ngram) uses this.
-    sh = (
-        shingles(_docs(spark, sf_dir))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
-    sig = minhash_signatures(sh)
+    # consumer (seeded min-hash aggs, the set intersection) only needs
+    # equality, so hashing once up front makes profile rows fixed-width
+    # longs. A 64-bit collision adds one phantom shared shingle to one
+    # pair — negligible against the 0.5 Jaccard threshold.
+    prof = shingle_profiles(
+        shingle_hash_arrays(_docs(spark, sf_dir)),
+        [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(MINHASH_K)
+        ],
+    ).cache()
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = sig.select(
+    bands = prof.select(
         "doc_id",
         F.explode(
             F.array(
@@ -353,7 +479,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    F.col(f"h{b * rows_per_band + r}")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -365,8 +491,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
     candidates = lsh_band_candidates(bands)
-    # Verify candidates with exact Jaccard over the shingle sets.
-    return jaccard_verify(candidates, sh)
+    # Verify candidates with exact Jaccard over the shingle-set arrays.
+    return jaccard_verify_sets(candidates, prof)
 
 
 # ---------------------------------------------------------------------------
@@ -395,13 +521,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touches only candidate pairs.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hashed-shingle table is shared by the vote aggregation AND the
-    # Jaccard verify — lazy cache, two longs per row (cf. minhash).
-    sh = (
-        shingles(_docs(spark, sf_dir))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    # ONE groupBy(doc_id) builds the per-doc profile: the 64 bit-vote
+    # sums AND the sorted shingle-hash set the verify intersects — the
+    # corpus posting table is shuffled exactly once for the whole query
+    # (cf. q_dedup_minhash; the r8 form re-shuffled postings three more
+    # times in the verify and re-joined the fingerprint table twice for
+    # the Hamming filter).
+    #
     # per-bit vote: simhash bit b = 1 iff more than half the features
     # set it. Computed branch-free as s_b = SUM((h >> b) & 1) plus one
     # COUNT(*): the +1/-1 majority vote v_b = 2*s_b - n is positive iff
@@ -409,31 +535,56 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate expressions (the hot path: |shingles| rows x 64 exprs).
     # The feature hash IS the already-computed shingle xxhash64 — no
     # second hashing pass.
-    votes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("shingle"), b).bitwiseAND(F.lit(1))).alias(
-                f"s{b}"
-            )
-            for b in range(SIMHASH_BITS)
+    # LANE-PACKED vote sums (r9): the hot path evaluates |postings| x
+    # (aggregate exprs), so the 64 per-bit sums are folded into 32
+    # accumulators holding TWO 32-bit lanes each — acc_i sums bits i
+    # (lane 0) and i+32 (lane 1) of every feature hash in one SUM via
+    # the 0x0000000100000001 mask. Lanes cannot interact: each lane's
+    # total is the per-doc posting count < 2^32, so no carry ever
+    # crosses bit 32 (a 16-bit-lane variant would halve the exprs again
+    # but overflows at 65k shingles — a real book-length doc at 100 TB).
+    # Measured: ~0.5 s off the sf0.1 vote aggregation vs 64 plain sums.
+    lane_mask = F.lit(0x0000000100000001)
+    votes = shingle_profiles(
+        shingle_hash_arrays_strfam(_docs(spark, sf_dir)),
+        [
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.shiftrightunsigned(F.col("shingle"), i).bitwiseAND(lane_mask)
+                ).alias(f"l{i}")
+                for i in range(32)
+            ],
         ],
     )
-    # pack sign bits into one BIGINT; bit 63 via signed overflow-free expr
+
+    def s_bit(b: int):
+        # unpack bit b's vote count from its accumulator lane
+        if b < 32:
+            return F.col(f"l{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.shiftrightunsigned(F.col(f"l{b - 32}"), 32)
+
+    # pack sign bits into one BIGINT, branch-free: vote bit b is set iff
+    # 2*s_b > n, i.e. iff (n - 2*s_b) is negative — its sign bit,
+    # extracted with one unsigned shift, IS the fingerprint bit, so the
+    # packing is 64 shift-left-or-add ops instead of 64 CaseWhens
+    # (cheaper to evaluate AND to codegen-compile; the When form showed
+    # up in per-run plan-compile latency)
     packed = votes.select(
         "doc_id",
-        "n",  # per-doc shingle-set size, reused by the Jaccard verify
+        "shset",
         sum(
             [
-                F.when(
-                    F.col(f"s{b}") * 2 > F.col("n"),
-                    F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)),
-                ).otherwise(0)
+                F.shiftleft(
+                    F.shiftrightunsigned(F.col("n") - s_bit(b) * 2, 63), b
+                )
                 for b in range(SIMHASH_BITS)
             ]
         ).alias("simhash"),
     ).cache()
-    # cached (lazily): the band explode and both sides of the Hamming
-    # re-join read packed; it is 2 longs/doc — cacheable at any SF.
+    # cached (lazily): the band explode and both verify sides read
+    # packed; it stays hash-partitioned by doc_id from the vote
+    # aggregation, so the verify's profile-side joins add no exchange.
     band_val = [
         F.shiftrightunsigned("simhash", i * 8).bitwiseAND(F.lit(0xFF))
         for i in range(SIMHASH_BANDS)
@@ -445,6 +596,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bands = packed.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -456,23 +608,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
-    cand = lsh_band_candidates(bands)
-    pa = packed.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
-    pb = packed.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    ).select("doc_id", "bk.band", "bk.bh", "simhash")
+    # the fingerprint rides the posting shuffle (8 bytes/row), so the
+    # Hamming radius filter runs INLINE on the deduped self-join output
+    # — no fingerprint re-join
     near = (
-        cand.join(pa, "a")
-        .join(pb, "b")
+        lsh_band_candidates(bands, carry=("simhash",))
         .withColumn(
             "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a", "b", "hamming")
     )
-    return jaccard_verify(
-        near, sh, keep=("hamming",), sizes=packed.select("doc_id", "n")
-    )
+    return jaccard_verify_sets(near, packed, keep=("hamming",))
 
 
 # --------------------------------------------------------------------------
