@@ -139,15 +139,18 @@ def index_table_name(index_path: str) -> str:
     return f"dedup_shingle_index_{digest}"
 
 
-# ensure_index_table results, keyed by (applicationId, index_path):
-# the DDL + RECOVER PARTITIONS + REFRESH round-trips are idempotent
-# metadata ops, but RECOVER launches a listing job (~0.3 s of job
-# floor) — paid ONCE per session per index, not once per micro-batch.
-# (r7's per-batch ensure was the round's one perf weak: q_st6_neardup
-# 3.4->7.9 s from 4x repeated catalog round-trips.) A process restart
-# starts with an empty dict, so the re-registration contract is
-# unchanged; tests simulating restarts clear this cache.
-_ENSURED: dict[tuple[str, str], str] = {}
+# ensure_index_table results — (table_name, bucket_width) keyed by
+# (applicationId, index_path): the DDL + RECOVER PARTITIONS + REFRESH
+# round-trips are idempotent metadata ops, but RECOVER launches a
+# listing job (~0.3 s of job floor) — paid ONCE per session per index,
+# not once per micro-batch. (r7's per-batch ensure was the round's one
+# perf weak: q_st6_neardup 3.4->7.9 s from 4x repeated catalog
+# round-trips.) The width rides in the cache value so an explicit
+# ``buckets`` argument is validated on cache HITS too (ADVICE r8: the
+# hit path previously returned before the mismatch check). A process
+# restart starts with an empty dict, so the re-registration contract
+# is unchanged; tests simulating restarts clear this cache.
+_ENSURED: dict[tuple[str, str], tuple[str, int]] = {}
 
 # sidecar recording the bucket count the index was BUILT with ("_"
 # prefix: invisible to scans). The DDL count otherwise lives only in
@@ -174,11 +177,23 @@ def index_bucket_count(index_path: str) -> int:
 def ensure_index_table(
     spark: SparkSession,
     index_path: str,
-    buckets: int = DEDUP_INDEX_BUCKETS,
+    buckets: int | None = None,
 ) -> str:
     """Idempotently (re-)register the external bucketed postings table
     over ``index_path`` and recover any partitions already on disk.
     Returns the catalog table name.
+
+    ``buckets``: the width to CREATE a brand-new index with (defaults
+    to DEDUP_INDEX_BUCKETS); for an existing index it is VALIDATED
+    against the persisted ``_BUCKETS`` sidecar — on cache hits too —
+    never trusted. A directory that already holds part files but lost
+    its sidecar raises and demands reset_index: backfilling the
+    sidecar from the caller's argument would let index_bucket_count
+    confidently report a wrong width, and the pruned probe would then
+    silently drop part files (ADVICE r8 — the exact false-negative
+    mode the sidecar exists to prevent; the width cannot be derived
+    from file names either, since observed bucket ids only bound it
+    from below).
 
     Needed on every fresh session: the in-memory catalog holds no
     metadata across processes, but the DDL is deterministic and the
@@ -190,27 +205,42 @@ def ensure_index_table(
     not read a half-folded table), but it is a single file-exists
     check unless a manifest is actually pending."""
     key = (spark.sparkContext.applicationId, str(index_path))
-    table = _ENSURED.get(key)
-    if table is None:
+    cached = _ENSURED.get(key)
+    if cached is not None:
+        table, width = cached
+        if buckets is not None and buckets != width:
+            raise ValueError(
+                f"index at {index_path} was built with {width} "
+                f"buckets; ensure_index_table called with {buckets}"
+            )
+    else:
         table = index_table_name(index_path)
         fresh = not Path(index_path).exists()
         Path(index_path).mkdir(parents=True, exist_ok=True)
         sidecar = Path(index_path, _BUCKETS_FILE)
         if sidecar.exists():
-            on_disk = int(sidecar.read_text())
-            if on_disk != buckets:
+            width = int(sidecar.read_text())
+            if buckets is not None and width != buckets:
                 raise ValueError(
-                    f"index at {index_path} was built with {on_disk} "
+                    f"index at {index_path} was built with {width} "
                     f"buckets; ensure_index_table called with {buckets}"
                 )
+        elif next(Path(index_path).glob("batch_id=*/part-*"), None) is not None:
+            raise ValueError(
+                f"index at {index_path} holds part files but no "
+                f"{_BUCKETS_FILE} sidecar (pre-sidecar build or lost "
+                "sidecar): its true bucket width is unknowable — "
+                "reset_index and rebuild rather than guessing"
+            )
         else:
-            sidecar.write_text(str(buckets))
+            width = buckets if buckets is not None else DEDUP_INDEX_BUCKETS
+            sidecar.write_text(str(width))
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {table} "
             "(doc_id BIGINT, shingle BIGINT, n INT, batch_id INT) "
             "USING parquet PARTITIONED BY (batch_id) "
             f"CLUSTERED BY (shingle) SORTED BY (shingle) "
-            f"INTO {buckets} BUCKETS "
+            f"INTO {width} BUCKETS "
             f"LOCATION '{index_path}'"
         )
         if not fresh:
@@ -222,7 +252,7 @@ def ensure_index_table(
             # dir would otherwise pay them for nothing).
             spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
             spark.sql(f"REFRESH TABLE {table}")
-        _ENSURED[key] = table
+        _ENSURED[key] = (table, width)
     # a compaction interrupted mid-protocol leaves a manifest; finish
     # (or abort) it BEFORE handing the table to readers, so no caller
     # ever observes folded rows alongside their source partitions
@@ -349,6 +379,11 @@ def compact_index(
     table = ensure_index_table(spark, index_path)  # finishes pending folds
     target = _next_fold_id(index_path)
     src = spark.table(table).filter(F.col("batch_id") <= through_batch)
+    # tombstoned docs are PHYSICALLY dropped here: the fold rows are
+    # computed masked, so the manifest's row count already reflects the
+    # deletion and the crash protocol is byte-identical to the
+    # undeleted case (recovery never needs to know deletes happened)
+    src = mask_deleted(spark, src, index_path)
     # localCheckpoint breaks lineage: the write below mutates the
     # directory tree this plan reads. A compaction necessarily
     # rewrites its bytes somewhere; block storage here plays the
@@ -409,6 +444,79 @@ def _recover_compaction(
             _drop_partition(part, pid)
     spark.sql(f"REFRESH TABLE {table}")
     manifest.unlink()
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes: retract documents from the at-rest index
+# ---------------------------------------------------------------------------
+#
+# A real corpus retracts documents (re-crawls, takedowns, contested
+# content); the reference's retention analogue drops whole DATABASES
+# (reference orchestrator.py:386-424, covered by the catalog family) —
+# per-ROW deletion is the pipeline-side extension. Plain parquet has no
+# row deletes, so the standard LSM move applies: deletes are TOMBSTONE
+# rows in an append-only ``_TOMBSTONES/`` sidecar dir ("_" prefix:
+# invisible to table scans), MASKED out of every probe with a broadcast
+# anti-join on doc_id (no extra exchange — the state side's co-located
+# bucketed scan is preserved), and PHYSICALLY dropped by the existing
+# manifest-recoverable compaction fold (the consolidated rows are
+# computed tombstone-masked, so the crash protocol needs no new steps:
+# the fold count ``n`` already reflects the masked rows, and recovery
+# is byte-identical to the undeleted case).
+#
+# Contract: a deleted doc_id must not be re-ingested — ids are never
+# reused in this design (content-addressed / monotonically assigned),
+# so a tombstone is permanent and the sidecar never needs a
+# crash-fragile retirement rewrite. Tombstones that a fold has fully
+# applied keep masking nothing (harmless, 8 bytes/row); re-using an id
+# anyway requires reset_index + rebuild.
+
+_TOMBSTONES_DIR = "_TOMBSTONES"
+
+
+def delete_from_index(
+    spark: SparkSession, index_path: str, doc_ids
+) -> None:
+    """Tombstone-delete documents from the index at ``index_path``.
+
+    ``doc_ids``: an iterable of ids or a DataFrame with a ``doc_id``
+    column. Appends one parquet file of tombstone rows — Spark's file
+    commit makes the append atomic (a crashed write leaves only
+    uncommitted temporaries), and appends from concurrent sessions
+    compose because files are independent. Effective immediately for
+    every probe (masking reads the sidecar dir at plan time); space is
+    reclaimed by the next compact_index fold."""
+    if isinstance(doc_ids, DataFrame):
+        tomb = doc_ids.select(F.col("doc_id").cast("long"))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id BIGINT"
+        )
+    tomb.coalesce(1).write.mode("append").parquet(
+        str(Path(index_path, _TOMBSTONES_DIR))
+    )
+
+
+def _tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Tombstoned doc_ids, or None when the index has never seen a
+    delete (the fast path: one directory stat, no plan overhead)."""
+    tomb_dir = Path(index_path, _TOMBSTONES_DIR)
+    if not tomb_dir.exists():
+        return None
+    return spark.read.schema("doc_id BIGINT").parquet(str(tomb_dir))
+
+
+def mask_deleted(
+    spark: SparkSession, postings: DataFrame, index_path: str
+) -> DataFrame:
+    """Drop tombstoned docs' postings. Broadcast anti-join on doc_id:
+    the deleted set is small by nature (takedowns, not re-ingests), so
+    the mask adds no exchange and the state side's co-located bucketed
+    scan survives underneath it."""
+    tomb = _tombstones(spark, index_path)
+    if tomb is None:
+        return postings
+    return postings.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
 def _candidate_rows(
@@ -524,7 +632,10 @@ def build_dedup_index(
 
 
 def probe_dedup_index(
-    spark: SparkSession, batch_docs: DataFrame, table: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    table: str,
+    index_path: str | None = None,
 ) -> DataFrame:
     """(doc_new, doc_match, jaccard) — the incoming batch probed
     against the at-rest index AND against earlier (smaller doc_id)
@@ -532,11 +643,23 @@ def probe_dedup_index(
     the corpus side read from the bucketed table instead of
     recomputed. Per-probe shuffle cost is O(batch): the index scan is
     co-located (Bucketed: true, no Exchange — pinned by
-    tests/test_dedup_index.py)."""
+    tests/test_dedup_index.py). ``index_path``, when given, applies
+    the tombstone mask (mask_deleted) to the state side — retracted
+    docs never match.
+
+    PRECONDITION: the batch's doc_ids must be DISJOINT from the
+    index's (the ingest contract — every doc is indexed once).
+    probe_match_pairs fuses the vs-state and vs-batch candidate
+    streams into one aggregation on that assumption; an overlapping
+    probe would silently merge the two joins' counts and inflate
+    Jaccard (tests/test_dedup_index.py asserts the fixture's
+    disjointness)."""
     batch_post = postings_with_sizes(
         batch_docs.select("doc_id", "text")
     ).localCheckpoint()  # small; read by both joins below
     state = spark.table(table).select(*_POSTINGS_COLS)
+    if index_path is not None:
+        state = mask_deleted(spark, state, index_path)
     return probe_match_pairs(batch_post, state)
 
 
@@ -579,6 +702,7 @@ def _probe_pruned(
             [], "doc_id BIGINT, shingle BIGINT, n INT"
         )
     )
+    state = mask_deleted(spark, state, index_path)
     return probe_match_pairs(batch_post, state)
 
 
@@ -653,7 +777,9 @@ def probe_dedup_index_auto(
     caller. The touched set costs one distinct+collect over the batch
     postings (bounded by the bucket count) and is computed anyway on
     the pruned path; both routes return row-identical results, so the
-    choice is purely physical."""
+    choice is purely physical. Same PRECONDITION as probe_dedup_index:
+    batch doc_ids disjoint from the index's (probe_match_pairs's fused
+    aggregation assumes it)."""
     actual = index_bucket_count(index_path)
     table = ensure_index_table(spark, index_path, actual)
     batch_post = postings_with_sizes(
@@ -662,7 +788,9 @@ def probe_dedup_index_auto(
     touched = _touched_buckets(batch_post, actual)
     if len(touched) <= AUTO_PRUNE_THRESHOLD * actual:
         return _probe_pruned(spark, batch_post, index_path, touched)
-    state = spark.table(table).select(*_POSTINGS_COLS)
+    state = mask_deleted(
+        spark, spark.table(table).select(*_POSTINGS_COLS), index_path
+    )
     return probe_match_pairs(batch_post, state)
 
 
@@ -743,7 +871,7 @@ def q_x44b_incrdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = build_dedup_index(spark, sf_dir, index_path)
         marker.write_text(stamp)
     batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
-    return probe_dedup_index(spark, batch, table).transform(
+    return probe_dedup_index(spark, batch, table, index_path).transform(
         barrier_sort("doc_new", "doc_match")
     )
 
@@ -783,7 +911,7 @@ def q_x44c_incrdedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_index(spark, index_path, Q44C_BUILD_BATCHES - 1)
         marker.write_text(stamp)
     batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
-    return probe_dedup_index(spark, batch, table).transform(
+    return probe_dedup_index(spark, batch, table, index_path).transform(
         barrier_sort("doc_new", "doc_match")
     )
 
@@ -842,5 +970,99 @@ def q_x44d_incrdedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker.write_text(stamp)
     batch = docs.filter(F.col("doc_id") % PRUNED_MOD == 0)
     return probe_dedup_index_auto(spark, batch, index_path).transform(
+        barrier_sort("doc_new", "doc_match")
+    )
+
+
+# Which indexed-corpus docs the q_x44e fixture retracts: doc_id % 3 = 2
+# deletes a third of the corpus, chosen so the retraction removes
+# matches at EVERY gate SF (rem 2 kills 4 of q_x44's 6 sf0.01 matches
+# — a delete set that happened to miss every match would gate
+# nothing).
+DELETED_MOD, DELETED_REM = 3, 2
+
+
+def _incr_oracle_deleted(mod: int) -> str:
+    """q_x44's incremental-dedup oracle minus RETRACTED corpus docs:
+    the same truth definition with corpus-side (doc_id % mod <> 0)
+    documents satisfying the DELETED_MOD/REM predicate excluded from
+    the match side — batch docs are never deleted, and intra-batch
+    (earlier-id) matching is unaffected."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT x.doc_id AS doc_new, y.doc_id AS doc_match, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % {mod} = 0
+    AND (y.doc_id % {mod} <> 0 OR y.doc_id < x.doc_id)
+    AND NOT (y.doc_id % {mod} <> 0
+             AND y.doc_id % {DELETED_MOD} = {DELETED_REM})
+  GROUP BY 1, 2
+)
+SELECT doc_new, doc_match,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_new = sa.doc_id
+JOIN sizes sb ON doc_match = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_x44e_incrdedup_deleted",
+    oracle=_incr_oracle_deleted(INCR_MOD),
+    doc="Incremental corpus dedup AFTER RETRACTIONS — the index "
+    "lifecycle's delete leg, oracle-gated end-to-end: the corpus is "
+    "ingested as two batch appends, a third of it (doc_id % "
+    f"{DELETED_MOD} = {DELETED_REM}) is tombstone-deleted "
+    "(delete_from_index), compact_index PHYSICALLY drops the "
+    "tombstoned postings during its manifest-recoverable fold, and "
+    "the incoming batch then probes the folded index — retracted docs "
+    "must never match (the oracle is q_x44's truth minus the deleted "
+    "set). The probe-time mask (broadcast anti-join, state scan still "
+    "co-located) is what answers queries BETWEEN delete and fold; "
+    "this fixture gates the post-fold state, and "
+    "tests/test_dedup_index.py pins the pre-fold mask, the fold's "
+    "file-level row drop, and the delete/fold crash windows.",
+)
+def q_x44e_incrdedup_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_path = _default_index_path(sf_dir) + "_del"
+    marker = Path(index_path, "_BUILT_FOR")
+    docs = _docs(spark, sf_dir)
+    # fixture params ride the stamp: changing the delete set must bust
+    # the cached index, not silently probe the old retractions
+    stamp = f"{_corpus_stamp(sf_dir)}:del{DELETED_MOD}.{DELETED_REM}"
+    if not (marker.exists() and marker.read_text() == stamp):
+        reset_index(spark, index_path)
+        table = ensure_index_table(spark, index_path)
+        corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+        for b in range(2):
+            part = corpus.filter(F.col("doc_id") % 2 == b)
+            append_index_batch(spark, table, postings_with_sizes(part), b)
+        delete_from_index(
+            spark,
+            index_path,
+            corpus.filter(
+                F.col("doc_id") % DELETED_MOD == DELETED_REM
+            ).select("doc_id"),
+        )
+        compact_index(spark, index_path, 1)  # physically drops tombstoned rows
+        marker.write_text(stamp)
+    else:
+        table = ensure_index_table(spark, index_path)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    return probe_dedup_index(spark, batch, table, index_path).transform(
         barrier_sort("doc_new", "doc_match")
     )

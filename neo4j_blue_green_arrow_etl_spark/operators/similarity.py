@@ -1343,6 +1343,53 @@ def append_ivfpq_batch(
 
 _IVFPQ_MANIFEST = "_COMPACT_MANIFEST"  # "_"-prefix: invisible to scans
 
+# Tombstone deletes — the ANN twin of dedup_index's delete_from_index
+# (same LSM shape, same rationale: plain parquet has no row deletes, a
+# real embedding store retracts vectors when their documents are taken
+# down). Tombstones append to an ``_TOMBSTONES/`` sidecar dir, every
+# query masks them with a broadcast anti-join on vec_id (cell pruning
+# and the codes-only columnar projection are untouched underneath),
+# and compact_ivfpq_index computes its fold tombstone-masked so the
+# rows are PHYSICALLY dropped — the manifest crash protocol needs no
+# new steps because the fold count already reflects the deletion.
+# Contract (as on the dedup side): vec_ids are never reused; a deleted
+# id must not be re-appended (append_ivfpq_batch already requires
+# disjoint ids). Fully-applied tombstones keep masking nothing.
+_IVFPQ_TOMBSTONES_DIR = "_TOMBSTONES"
+
+
+def delete_vectors(spark: SparkSession, index_path: str, vec_ids) -> None:
+    """Tombstone-delete vectors from the IVF-PQ index: ``vec_ids`` is
+    an iterable of ids or a DataFrame with a ``vec_id`` column.
+    Effective immediately for every query_ivfpq_index call; space is
+    reclaimed by the next compact_ivfpq_index fold. The parquet append
+    commits atomically (a crashed write leaves only temporaries)."""
+    from pathlib import Path
+
+    if isinstance(vec_ids, DataFrame):
+        tomb = vec_ids.select(F.col("vec_id").cast("long"))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id BIGINT"
+        )
+    tomb.coalesce(1).write.mode("append").parquet(
+        str(Path(index_path, _IVFPQ_TOMBSTONES_DIR))
+    )
+
+
+def mask_deleted_vectors(
+    spark: SparkSession, rows: DataFrame, index_path: str
+) -> DataFrame:
+    """Drop tombstoned vec_ids' rows (broadcast anti-join; no-op stat
+    when the index has never seen a delete)."""
+    from pathlib import Path
+
+    tomb_dir = Path(index_path, _IVFPQ_TOMBSTONES_DIR)
+    if not tomb_dir.exists():
+        return rows
+    tomb = spark.read.schema("vec_id BIGINT").parquet(str(tomb_dir))
+    return rows.join(F.broadcast(tomb), "vec_id", "left_anti")
+
 
 def _ivfpq_batch_dirs(index_path: str):
     from pathlib import Path
@@ -1368,6 +1415,10 @@ def compact_ivfpq_index(
     src = spark.read.parquet(index_path).filter(
         F.col("batch_id") <= through_batch
     )
+    # tombstoned vectors are PHYSICALLY dropped here (cf. the dedup
+    # index's fold): the manifest row count is computed masked, so the
+    # crash protocol is byte-identical to the undeleted case
+    src = mask_deleted_vectors(spark, src, index_path)
     # repartition by cell -> each cell lands wholly in one task -> the
     # partitionBy write emits exactly one file per cell (the point of
     # the fold); localCheckpoint breaks lineage so the write does not
@@ -1456,7 +1507,11 @@ def query_ivfpq_index(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
+    idx = mask_deleted_vectors(
+        spark,
+        spark.read.parquet(index_path).filter(F.col("cell").isin(probe)),
+        index_path,
+    )
     if exclude_id is not None:
         idx = idx.filter(F.col("vec_id") != exclude_id)
     pool_ids = (

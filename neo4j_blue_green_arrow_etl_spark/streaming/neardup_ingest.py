@@ -102,11 +102,17 @@ def admit_batch(
         batch_post = postings_with_sizes(batch_docs).localCheckpoint()
     # strictly-earlier partitions only: enforces arrival order AND
     # excludes this batch's own (possibly partial) prior attempt on
-    # replay — partition-pruned at the scan
-    state_post = (
+    # replay — partition-pruned at the scan; tombstoned (retracted)
+    # docs are masked out so a takedown stops matching immediately,
+    # mid-stream (mask_deleted is a no-op stat when no deletes exist)
+    from ..operators.dedup_index import mask_deleted
+
+    state_post = mask_deleted(
+        spark,
         spark.table(table)
         .filter(F.col("batch_id") < batch_id)
-        .select("doc_id", "shingle", "n")
+        .select("doc_id", "shingle", "n"),
+        state_dir,
     )
     dropped = dropped_doc_ids(batch_post, state_post)
     admitted = batch_docs.join(
@@ -123,6 +129,13 @@ def admit_batch(
     # read filter hides a partial state partition; both writes are
     # idempotent overwrites keyed by batch_id) — the ingest tests pin
     # both single-sided outcomes.
+    # CONSTRAINT (ADVICE r8): append_index_batch's _insert_dynamic
+    # flips spark.sql.sources.partitionOverwriteMode SESSION-WIDE for
+    # its write's duration, and both pool tasks share this session —
+    # safe ONLY because the admitted write is a NON-PARTITIONED path
+    # write (partitionOverwriteMode is a no-op for it). Do not add a
+    # partitioned write to this pool; serialize it instead, or it
+    # nondeterministically inherits dynamic-overwrite mode.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(2) as pool:
