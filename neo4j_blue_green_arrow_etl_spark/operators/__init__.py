@@ -27,30 +27,34 @@ from .relational import REGISTRY, QuerySpec
 # re-registers one representative of such a family under an
 # early-alphabet name — same callable, same oracle, flagged alias_of so
 # bench.py times nothing twice and coverage counts exclude them.
-# Round-8 rotation (VERDICT r7 task 7): slots 01-04 cover everything
-# that materially CHANGED this round — the new pruned/auto-routed probe
-# (q_x44d, never driver-gated), the reworked streaming admission
-# (fused single-agg probe + concurrent sinks), and the indexed/
-# compacted probes whose physical path changed under them (fused
-# candidate union; the compaction fold now targets a fresh negative
-# generation). Slot 10 keeps the composed capstone one more round for
-# the same reason (its dedup tiers sit on the changed probe). Slots
-# 05-09 go to families that have NEVER had a driver-side row in any
-# window: iterative graph (BFS, SSSP), multimodal (patches, segments),
-# and gaps-and-islands. Rotated out after green r7 rows: sim_pq /
-# sim_ivfpq (rows-only, checked r7), ts1/ev1/dq1/prof1 (green r7;
-# q_dq1/q_ev* also sort into the natural window today).
+# Round-9 rotation (VERDICT r8 task 4): slots 01-02 gate what is NEW
+# this round — the delete leg of the index lifecycle (q_x44e) and the
+# capped curation capstone (q_x45b). Slots 03-09 hand the window to
+# families that have NEVER had a driver-side row in any window: TPC-H
+# shapes (q_h9 profit, q_h21 waiting), graph node-similarity, OHLC
+# time-series, temperature-mixture resampling, token-budget selection,
+# and BM25 ranking. Slot 07 keeps q_st6 one more round: its state read
+# gained the tombstone mask path and its shingle builder changed
+# (slice-based partial-gram drop). Rotated out
+# after green r8 rows: x44b/c/d (their probes re-gate indirectly via
+# q_x44e, which exercises the same probe_match_pairs path masked),
+# BFS/SSSP/patches/segments/islands (green r8), q_x45 (its exact-tier
+# composition is unchanged; the capped twin now carries the capstone
+# gate).
+# History: r5 ts1/ev1/dq1/prof1; r6 sim_pq/sim_ivfpq; r7 x44b/c, st6;
+# r8 x44d, st6, x44b/c, x45, g6_bfs, g10_sssp, mm_patches,
+# mm_segments, w9_islands — all green in their windows.
 _DRIVER_ROTATION = {
-    "q_cap01_x44d_pruned": "q_x44d_incrdedup_pruned",  # NEW r8: auto/pruned probe
-    "q_cap02_st6_neardup": "q_st6_neardup",  # r8: fused probe + parallel sinks
-    "q_cap03_x44b_indexed": "q_x44b_incrdedup_indexed",  # r8: fused candidates
-    "q_cap04_x44c_compacted": "q_x44c_incrdedup_compacted",  # r8: new fold target
-    "q_cap05_g6_bfs": "q_g6_bfs",  # iterative graph, never driver-checked
-    "q_cap06_g10_sssp": "q_g10_sssp",  # iterative graph, never driver-checked
-    "q_cap07_mm_patches": "q_mm_patches",  # multimodal, never driver-checked
-    "q_cap08_mm_segments": "q_mm_segments",  # multimodal, never driver-checked
-    "q_cap09_w9_islands": "q_w9_islands",  # gaps-and-islands, never checked
-    "q_cap10_x45_curate": "q_x45_curate",  # composed capstone over changed tiers
+    "q_cap01_x44e_deleted": "q_x44e_incrdedup_deleted",  # NEW r9: delete leg
+    "q_cap02_x45b_capped": "q_x45b_curate_capped",  # NEW r9: capped capstone
+    "q_cap03_h9_profit": "q_h9_profit",  # TPC-H shape, never driver-checked
+    "q_cap04_h21_waiting": "q_h21_waiting",  # TPC-H shape, never driver-checked
+    "q_cap05_g9_nodesim": "q_g9_nodesim",  # graph similarity, never checked
+    "q_cap06_ts5_ohlc": "q_ts5_ohlc",  # time-series OHLC, never checked
+    "q_cap07_st6_neardup": "q_st6_neardup",  # r9: masked state read, new shingler
+    "q_cap08_x40_tempmix": "q_x40_tempmix",  # mixture resampling, never checked
+    "q_cap09_x42_tokenbudget": "q_x42_tokenbudget",  # budget selection, never checked
+    "q_cap10_x33_bm25": "q_x33_bm25",  # BM25 ranking, never checked
 }
 for _alias, _target in _DRIVER_ROTATION.items():
     _spec = REGISTRY.get(_target)

@@ -470,3 +470,79 @@ def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", qbin.alias("qbin"))
     )
     return token_budget_select(survivors).orderBy("doc_id")
+
+
+# Cap-aware curation oracle: q_x45's pipeline verbatim with the CAPPED
+# fuzzy pair tier (q_x24b's SQL, shared verbatim) as the pair stage.
+_CURATE_CAPPED_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_FUZZY_CAPPED_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> LEAST(node, MIN(r))
+),
+s AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR(len(list_distinct(string_split(text, ' '))) /
+                    len(string_split(text, ' ')) * {_BUDGET_BINS}) AS INT) AS qbin
+  FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM dropped)
+),
+t AS (SELECT CAST(FLOOR(SUM(n_chars) * 0.6) AS BIGINT) AS budget FROM s),
+o AS (SELECT s.*, SUM(n_chars) OVER (ORDER BY qbin DESC, doc_id) AS rs
+      FROM s)
+SELECT doc_id, qbin, CAST(n_chars AS BIGINT) AS n_chars
+FROM o, t WHERE rs <= budget ORDER BY doc_id
+"""
+
+
+@register(
+    "q_x45b_curate_capped",
+    oracle=_CURATE_CAPPED_ORACLE,
+    doc="Composed curation capstone over the CAPPED pair tier — the "
+    "AT-SCALE default form of q_x45: the same four-stage plan "
+    "(pairs -> connected components -> drop non-canonical -> "
+    "token-budget selection) with q_x24b_fuzzy_capped as the pair "
+    f"stage, whose per-block pair-volume cap (blocks over "
+    f"{FUZZY_BLOCK_CAP} docs re-block on a 2-token key; oversized "
+    "sub-blocks emit star edges only) bounds total verify/CC edge "
+    "volume LINEARLY in corpus size. q_x45's exact tier is the "
+    "correctness ceiling but its duplicate-adversarial regime grows "
+    "pair volume quadratically BY CONSTRUCTION (SCALE_PROBE_CAPSTONES "
+    "r8: exponent 1.241 suffix-regime at x32 vs the capped tier's "
+    "0.097); this twin is what a 100 TB curation run executes when "
+    "the crawl is duplicate-heavy. Star edges keep genuinely-"
+    "duplicate blocks in one component (every member links the rep), "
+    "so the drop stage's canonical-per-cluster semantics carry over; "
+    "fully oracle-gated because the capped tier is deterministic SQL "
+    "(recursive-CTE closure over q_x24b's pair SQL, shared "
+    "verbatim).",
+)
+def q_x45b_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import token_budget_select
+    from .dedup import q_x24b_fuzzy_capped
+    from .graph import connected_components_star
+
+    pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    dropped = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    words = F.split(F.col("text"), " ")
+    qbin = F.floor(
+        F.size(F.array_distinct(words)) / F.size(words) * _BUDGET_BINS
+    ).cast("int")
+    survivors = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "n_chars", qbin.alias("qbin"))
+    )
+    return token_budget_select(survivors).orderBy("doc_id")
