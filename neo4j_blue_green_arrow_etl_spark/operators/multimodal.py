@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so DECODE IS STUBBED —
-``decode_image_batch`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is requested — but the Spark-side plumbing
-is real and tested: binary column schema, Arrow-batched ``mapInPandas``
-with a declared output schema, partition-preserving batch iteration.
+Decode degrades gracefully by codec availability (r9):
+``decode_image_batch`` uses Pillow when importable, else a BUNDLED
+pure-Python PPM/PGM/BMP decoder (``_decode_builtin``), and raises
+``NotImplementedError`` only for formats that genuinely need a codec
+in a codec-less container (request the deterministic fake decoder for
+those). The Spark-side plumbing is real and tested either way: binary
+column schema, Arrow-batched ``mapInPandas`` with a declared output
+schema, partition-preserving batch iteration.
 
 At 100 TB the shape is: binary payloads stay columnar in Parquet,
 decode/feature-extract runs as Arrow-batched pandas iterators on
@@ -85,31 +88,97 @@ def _pil_image_module():
         return None
 
 
+def _decode_builtin(b: bytes):
+    """Bundled pure-Python decode of the two formats whose wire layout
+    is simple enough to own outright: binary PPM/PGM (P6/P5) and
+    uncompressed 24-bit BMP. Returns a numpy pixel array, or None when
+    the payload is neither format (caller decides how to fail).
+
+    Exists so the real-decode path DEGRADES instead of hard-requiring
+    Pillow (VERDICT r8 task 6): an operator whose oracle row silently
+    depends on which container it runs in is an environment landmine —
+    with this fallback, fake=False always works for the bundled
+    formats and raises only for formats that genuinely need a codec."""
+    import numpy as np
+
+    if b[:2] in (b"P6", b"P5"):
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens, '#' comments allowed between them; pixel data starts
+        # after the single whitespace byte that ends maxval
+        tokens, i, n = [], 2, len(b)
+        while len(tokens) < 3 and i < n:
+            while i < n and b[i : i + 1].isspace():
+                i += 1
+            if b[i : i + 1] == b"#":
+                while i < n and b[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(b[i:j]))
+            i = j
+        i += 1  # the single whitespace terminating the maxval token
+        w, h, maxval = tokens
+        if maxval > 255:  # 16-bit samples: out of scope for the fallback
+            return None
+        ch = 3 if b[:2] == b"P6" else 1
+        return np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i).reshape(
+            h, w, ch
+        )
+    if b[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if bpp != 24 or compression != 0:
+            return None  # palette/compressed BMPs need a real codec
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * abs(h), offset=data_off
+        ).reshape(abs(h), stride)[:, : w * 3]
+        px = rows.reshape(abs(h), w, 3)
+        # positive height = bottom-up storage; BGR order (mean-invariant,
+        # but flip anyway so the array matches what a codec returns)
+        if h > 0:
+            px = px[::-1]
+        return px[:, :, ::-1]
+    return None
+
+
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads.
 
     With ``fake=True``: a deterministic byte-level stand-in (length +
     mean byte value) with the exact batch shape a real decoder would
-    use. With ``fake=False``: real decoding via Pillow when importable
-    (n_bytes = payload length, byte_mean = mean decoded pixel value);
-    raises NotImplementedError only when no codec is available."""
+    use. With ``fake=False``: real decoding via Pillow when importable,
+    else the bundled pure-Python PPM/PGM/BMP decoder (_decode_builtin)
+    — n_bytes = payload length, byte_mean = mean decoded pixel value;
+    NotImplementedError only for a format that genuinely needs a codec
+    in a codec-less environment."""
     import numpy as np
 
     if not fake:
         Image = _pil_image_module()
-        if Image is None:
-            raise NotImplementedError(
-                "image decode requires an image codec (pillow) not present "
-                "in this environment; pass fake=True for the deterministic "
-                "stand-in"
-            )
-        import io
-
         lengths, means = [], []
         for b in payloads.to_numpy():
             lengths.append(len(b))
-            with Image.open(io.BytesIO(b)) as im:
-                arr = np.asarray(im, dtype=np.float64)
+            if Image is not None:
+                import io
+
+                with Image.open(io.BytesIO(b)) as im:
+                    arr = np.asarray(im, dtype=np.float64)
+            else:
+                arr = _decode_builtin(bytes(b))
+                if arr is None:
+                    raise NotImplementedError(
+                        "payload is not PPM/PGM/BMP and no image codec "
+                        "(pillow) is importable; install a codec or pass "
+                        "fake=True for the deterministic stand-in"
+                    )
+                arr = arr.astype(np.float64)
             means.append(float(arr.mean()) if arr.size else 0.0)
         return pd.DataFrame(
             {

@@ -78,6 +78,69 @@ def test_decode_stub_raises_without_fake():
         decode_image_batch(pd.Series([b"abc"]))
 
 
+def _ppm(w, h, pixels):
+    """Binary PPM (P6) with a header comment — exercises the tolerant
+    header parse."""
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _bmp24(w, h, rows_top_down):
+    """Uncompressed 24-bit BMP, positive height (bottom-up storage),
+    rows padded to 4 bytes — the layout the bundled decoder owns."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    data = b""
+    for row in reversed(rows_top_down):  # bottom-up
+        bgr = b"".join(bytes([px[2], px[1], px[0]]) for px in row)
+        data += bgr + b"\x00" * (stride - w * 3)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + dib + data
+
+
+def test_decode_builtin_fallback_without_any_codec(monkeypatch):
+    """VERDICT r8 task 6: with codecs monkeypatched away, fake=False
+    still decodes the bundled formats (PPM, PGM, BMP) — the oracle row
+    can never silently depend on which container it runs in; only a
+    genuinely codec-requiring payload raises."""
+    import neo4j_blue_green_arrow_etl_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: None)
+    ppm = _ppm(2, 1, [10, 20, 30, 40, 50, 60])
+    pgm = b"P5\n2 2\n255\n" + bytes([0, 10, 20, 30])
+    bmp = _bmp24(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    out = mm.decode_image_batch(pd.Series([ppm, pgm, bmp]))
+    assert list(out["n_bytes"]) == [len(ppm), len(pgm), len(bmp)]
+    assert out["byte_mean"][0] == pytest.approx((10 + 20 + 30 + 40 + 50 + 60) / 6)
+    assert out["byte_mean"][1] == pytest.approx((0 + 10 + 20 + 30) / 4)
+    assert out["byte_mean"][2] == pytest.approx(sum(range(1, 13)) / 12)
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_image_batch(pd.Series([b"\x89PNG not decodable here"]))
+
+
+def test_decode_builtin_matches_pillow_when_available():
+    """Guarded cross-check: where Pillow exists, the bundled decoder's
+    pixel means agree with it on the bundled formats."""
+    from neo4j_blue_green_arrow_etl_spark.operators.multimodal import (
+        _decode_builtin,
+        _pil_image_module,
+    )
+
+    Image = _pil_image_module()
+    if Image is None:
+        pytest.skip("pillow not installed in this container")
+    import io
+
+    import numpy as np
+
+    payload = _ppm(3, 2, bytes(range(18)))
+    with Image.open(io.BytesIO(payload)) as im:
+        want = np.asarray(im, dtype=np.float64)
+    got = _decode_builtin(payload).astype(np.float64)
+    assert got.shape == want.shape and float(got.mean()) == float(want.mean())
+
+
 def test_decode_real_path_with_pillow():
     """Guarded: where Pillow is importable, fake=False decodes real
     image bytes (pixel-mean feature). Skips in codec-less containers."""
