@@ -683,16 +683,37 @@ def _probe_pruned(
     batch_post: DataFrame,
     index_path: str,
     touched: set[int],
+    below_batch: int | None = None,
 ) -> DataFrame:
     """The pruned-probe core: path-read ONLY the part files whose
     bucket id is in ``touched``, then the standard fused probe.
     Callers must have run ensure_index_table first (pending-compaction
     recovery — a half-folded tree would otherwise double-count
-    postings and inflate Jaccard)."""
+    postings and inflate Jaccard). ``below_batch`` additionally drops
+    files whose partition id is >= that batch — the FILE-level form of
+    the streaming admit path's ``batch_id < current`` read filter
+    (fold generations are negative, hence always included: they only
+    ever hold sealed batches below any live id)."""
+    state = _pruned_state(spark, index_path, touched, below_batch)
+    return probe_match_pairs(batch_post, state)
+
+
+def _pruned_state(
+    spark: SparkSession,
+    index_path: str,
+    touched: set[int],
+    below_batch: int | None = None,
+) -> DataFrame:
+    """Tombstone-masked state postings path-read from ONLY the touched
+    buckets' part files (see _probe_pruned for the contract)."""
     files = [
         str(f)
         for f in Path(index_path).glob("batch_id=*/part-*")
         if _bucket_of(f.name) in touched
+        and (
+            below_batch is None
+            or int(f.parent.name.split("=", 1)[1]) < below_batch
+        )
     ]
     state = (
         spark.read.schema("doc_id BIGINT, shingle BIGINT, n INT")
@@ -702,8 +723,7 @@ def _probe_pruned(
             [], "doc_id BIGINT, shingle BIGINT, n INT"
         )
     )
-    state = mask_deleted(spark, state, index_path)
-    return probe_match_pairs(batch_post, state)
+    return mask_deleted(spark, state, index_path)
 
 
 def probe_dedup_index_pruned(
@@ -792,6 +812,44 @@ def probe_dedup_index_auto(
         spark, spark.table(table).select(*_POSTINGS_COLS), index_path
     )
     return probe_match_pairs(batch_post, state)
+
+
+# Routing is skipped for indexes at or below this width: computing the
+# touched-bucket set costs one small collect job per call, and a batch
+# probing a NARROW index touches most buckets anyway (the 32-bucket
+# st6 fixture would always route full) — routing there would be pure
+# per-micro-batch fixed overhead, the exact cost class the r7
+# ensure-cache fix removed from the admit path.
+AUTO_PRUNE_MIN_WIDTH = 64
+
+
+def routed_state_postings(
+    spark: SparkSession,
+    table: str,
+    index_path: str,
+    batch_post: DataFrame,
+    below_batch: int | None = None,
+) -> DataFrame:
+    """Tombstone-masked state postings for a probe, auto-routed between
+    the co-located full-table scan and the bucket-file-pruned path read
+    — probe_dedup_index_auto's crossover policy, factored out so the
+    STREAMING admit path gets it too (r8 watch item): ``below_batch``
+    is the admit loop's ``batch_id < current`` read filter, applied at
+    FILE level on the pruned route (the current batch's own partial
+    prior attempt stays invisible on replay) and as the usual partition
+    filter on the full route. Narrow indexes (<= AUTO_PRUNE_MIN_WIDTH)
+    skip routing outright — no touched-set job, no behavior change."""
+    key = (spark.sparkContext.applicationId, str(index_path))
+    cached = _ENSURED.get(key)
+    width = cached[1] if cached is not None else index_bucket_count(index_path)
+    if width > AUTO_PRUNE_MIN_WIDTH:
+        touched = _touched_buckets(batch_post, width)
+        if len(touched) <= AUTO_PRUNE_THRESHOLD * width:
+            return _pruned_state(spark, index_path, touched, below_batch)
+    state = spark.table(table)
+    if below_batch is not None:
+        state = state.filter(F.col("batch_id") < below_batch)
+    return mask_deleted(spark, state.select(*_POSTINGS_COLS), index_path)
 
 
 def _bucket_of(file_name: str) -> int:

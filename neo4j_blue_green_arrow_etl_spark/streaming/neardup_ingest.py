@@ -100,19 +100,19 @@ def admit_batch(
         # joins + the state write); a checkpoint also cuts the
         # streaming source out of the reused plan
         batch_post = postings_with_sizes(batch_docs).localCheckpoint()
-    # strictly-earlier partitions only: enforces arrival order AND
-    # excludes this batch's own (possibly partial) prior attempt on
-    # replay — partition-pruned at the scan; tombstoned (retracted)
-    # docs are masked out so a takedown stops matching immediately,
-    # mid-stream (mask_deleted is a no-op stat when no deletes exist)
-    from ..operators.dedup_index import mask_deleted
+    # strictly-earlier state only: enforces arrival order AND excludes
+    # this batch's own (possibly partial) prior attempt on replay —
+    # partition-pruned on the full route, FILE-level filtered on the
+    # bucket-pruned route (routed_state_postings applies
+    # probe_dedup_index_auto's crossover policy when the state index is
+    # wide enough for pruning to pay; the 32-bucket test fixtures skip
+    # routing outright). Tombstoned (retracted) docs are masked out so
+    # a takedown stops matching immediately, mid-stream (mask_deleted
+    # is a no-op stat when no deletes exist).
+    from ..operators.dedup_index import routed_state_postings
 
-    state_post = mask_deleted(
-        spark,
-        spark.table(table)
-        .filter(F.col("batch_id") < batch_id)
-        .select("doc_id", "shingle", "n"),
-        state_dir,
+    state_post = routed_state_postings(
+        spark, table, state_dir, batch_post, below_batch=batch_id
     )
     dropped = dropped_doc_ids(batch_post, state_post)
     admitted = batch_docs.join(

@@ -316,3 +316,74 @@ def test_ann_delete_crash_window_before_fold_commit(spark, tmp_path):
     assert not Path(idx, _IVFPQ_MANIFEST).exists()
     # sources intact after the abort: every original row still on disk
     assert spark.read.parquet(idx).filter(f"vec_id = {victim}").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Routed (bucket-file-pruned) state reads in the streaming admit path
+# ---------------------------------------------------------------------------
+
+
+def test_admit_routed_state_equals_full_route(spark, tmp_path, monkeypatch):
+    """r8 watch item: the streaming admit path's state read goes
+    through routed_state_postings — on a WIDE index with a sparse
+    batch it takes the bucket-file-pruned route (file-level
+    batch_id < current filter) and must admit exactly what the
+    narrow index's full-table route admits."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup_index as di
+    from neo4j_blue_green_arrow_etl_spark.streaming.neardup_ingest import (
+        admit_batch,
+        admitted_ids,
+    )
+
+    # TINY id-ordered batches (3 docs each) seeded with known near-dup
+    # pairs: small enough that their shingles touch a genuine SUBSET of
+    # a 512-bucket index (the sparse-daily-batch regime the pruned
+    # route exists for), with guaranteed drops so the equality is not
+    # vacuous
+    pairs = REGISTRY["q_dedup_ngram"].spark(spark, SF_SMOKE).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    seed_ids = sorted({pairs[0].doc_a, pairs[0].doc_b, pairs[-1].doc_a, pairs[-1].doc_b})
+    docs_all = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    filler = [
+        r.doc_id
+        for r in docs_all.filter(~F.col("doc_id").isin(seed_ids))
+        .orderBy("doc_id")
+        .limit(9 - len(seed_ids))
+        .collect()
+    ]
+    ids = sorted(seed_ids + filler)
+    docs = docs_all.filter(F.col("doc_id").isin(ids))
+    batches = [
+        docs.filter(F.col("doc_id").isin(ids[b * 3 : (b + 1) * 3]))
+        for b in range(3)
+    ]
+
+    pruned_calls = {"n": 0}
+    real_pruned = di._pruned_state
+
+    def counting(*a, **k):
+        pruned_calls["n"] += 1
+        return real_pruned(*a, **k)
+
+    monkeypatch.setattr(di, "_pruned_state", counting)
+
+    results = {}
+    for name, width in (("narrow", None), ("wide", 512)):
+        state = str(tmp_path / f"state_{name}")
+        out = str(tmp_path / f"out_{name}")
+        if width is not None:
+            di.ensure_index_table(spark, state, width)
+        before = pruned_calls["n"]
+        for b, bd in enumerate(batches):
+            admit_batch(spark, bd, state, out, b)
+        results[name] = {
+            r.doc_id for r in admitted_ids(spark, out).collect()
+        }
+        if name == "narrow":
+            # 32-bucket default: routing skipped, zero extra jobs
+            assert pruned_calls["n"] == before
+        else:
+            # 512 buckets, SF_SMOKE batches are sparse: at least one
+            # admit probe must have taken the pruned route
+            assert pruned_calls["n"] > before
+    assert results["wide"] == results["narrow"] and results["narrow"]
