@@ -185,6 +185,24 @@ def test_x44e_is_x44_minus_deleted_matches(spark):
     }
     assert got == full - deleted
     assert deleted, "delete set must remove at least one match to gate"
+    # probe_match_pairs PRECONDITION (ADVICE r8): the fixture's batch
+    # and indexed-corpus id sets must be disjoint — an overlap would
+    # merge the fused aggregation's two candidate streams' counts
+    batch_ids = {
+        r.doc_id
+        for r in _docs(spark, SF_ORACLE)
+        .filter(f"doc_id % {INCR_MOD} = 0")
+        .select("doc_id")
+        .collect()
+    }
+    corpus_ids = {
+        r.doc_id
+        for r in _docs(spark, SF_ORACLE)
+        .filter(f"doc_id % {INCR_MOD} != 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert not batch_ids & corpus_ids
 
 
 def test_ensure_refuses_part_files_without_sidecar(spark, tmp_path):
