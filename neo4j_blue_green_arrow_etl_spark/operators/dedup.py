@@ -1149,3 +1149,142 @@ def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .transform(barrier_sort("doc_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming admission with in-stream retractions (batch-fold simulation
+# of the streaming/retract_ingest.py pipeline)
+# --------------------------------------------------------------------------
+
+# batch b (b >= 1) retracts the docs of batch b-1 whose
+# doc_id % ST8_RETRACT_MOD == 0 — a deterministic takedown schedule the
+# oracle can express: because batches are id-ordered ranges, a doc in
+# an EARLIER batch has been retracted by the prober's batch iff its id
+# is divisible (retraction lands exactly one batch after ingest), and
+# the retracted corpus-set is the divisible ids of batches 0..N-2.
+ST8_RETRACT_MOD = 5
+
+_ST8_ORACLE = f"""
+WITH step AS (
+  SELECT (MAX(doc_id) // {ST6_BATCHES}) + 1 AS s FROM documents
+), words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), dropped AS (
+  SELECT DISTINCT x.doc_id AS d
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND y.doc_id < x.doc_id
+  JOIN sizes sa ON x.doc_id = sa.doc_id
+  JOIN sizes sb ON y.doc_id = sb.doc_id
+  WHERE y.doc_id // (SELECT s FROM step) = x.doc_id // (SELECT s FROM step)
+     OR y.doc_id % {ST8_RETRACT_MOD} != 0
+  GROUP BY x.doc_id, y.doc_id, sa.n, sb.n
+  HAVING COUNT(*) * 1.0 / (sa.n + sb.n - COUNT(*)) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT d FROM dropped)
+  AND NOT (doc_id % {ST8_RETRACT_MOD} = 0
+           AND doc_id // (SELECT s FROM step) < {ST6_BATCHES} - 1)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_st8_retract",
+    oracle=_ST8_ORACLE,
+    doc="Streaming admission with IN-STREAM RETRACTIONS (ST family; "
+    "the streaming leg of the r9 index-delete lifecycle): docs arrive "
+    f"in {ST6_BATCHES} id-ordered micro-batches and each batch b >= 1 "
+    f"also carries takedown events for batch b-1's doc_id % "
+    f"{ST8_RETRACT_MOD} == 0 docs. Retractions apply BEFORE the "
+    "batch's admissions (exactly-once batch-tagged tombstone "
+    "subdirs), so a retracted doc stops blocking near-dups "
+    "immediately: doc d admits iff no STILL-LIVE earlier doc matches "
+    f"at exact Jaccard >= {JACCARD_THRESHOLD} (a same-batch earlier "
+    "doc is always live — its takedown can only arrive next batch). "
+    "Result = the LIVE corpus: admitted ids minus every retracted id "
+    "(sealed admitted files are never rewritten; the takedown applies "
+    "at read time via the same tombstone sidecar the probes mask "
+    "with). The fold drives the TRUE per-batch pipeline "
+    "(streaming/retract_ingest.admit_batch_events; stream equivalence "
+    "+ crash windows pinned in tests/test_retract_ingest.py). Scale: "
+    "identical to q_st6_neardup — per-batch shuffle is O(batch "
+    "postings) over the bucketed state table's co-located scan — plus "
+    "one 8-byte-per-takedown broadcast anti-join for the mask.",
+)
+def q_st8_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.retract_ingest import admit_batch_events, live_corpus
+
+    work = tempfile.mkdtemp(prefix="spark_graft_st8_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    step = hi // ST6_BATCHES + 1
+    batches = []
+    for b in range(ST6_BATCHES):
+        lo, hi_b = b * step, (b + 1) * step
+        ev = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi_b)
+        ).select(F.lit("doc").alias("kind"), "doc_id", "text")
+        # batch b carries takedowns for batch b-1's divisible ids —
+        # derived from the SAME parquet scan, not a driver-built local
+        # relation: evaluating a Python createDataFrame side measured
+        # ~1.6 s PER JOB (it plans as a Python RDD scan), and the
+        # retract side is evaluated once per micro-batch by the
+        # tombstone write's collect
+        if b > 0:
+            ev = ev.unionByName(
+                docs.filter(
+                    (F.col("doc_id") >= lo - step)
+                    & (F.col("doc_id") < hi_b - step)
+                    & (F.col("doc_id") % ST8_RETRACT_MOD == 0)
+                ).select(
+                    F.lit("retract").alias("kind"),
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                )
+            )
+        batches.append(ev)
+    # same availableNow catch-up parallelism as q_st6: shingle every
+    # queued batch's doc rows concurrently up front (stateless build)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.dedup_index import postings_with_sizes
+
+    with ThreadPoolExecutor(ST6_BATCHES) as pool:
+        posts = list(
+            pool.map(
+                lambda ev: postings_with_sizes(
+                    ev.filter(F.col("kind") == "doc").select(
+                        "doc_id", "text"
+                    )
+                ).localCheckpoint(),
+                batches,
+            )
+        )
+    for b in range(ST6_BATCHES):
+        admit_batch_events(
+            spark,
+            batches[b],
+            f"{work}/state",
+            f"{work}/out",
+            b,
+            batch_post=posts[b],
+        )
+    return (
+        live_corpus(spark, f"{work}/out", f"{work}/state")
+        .select("doc_id")
+        .transform(barrier_sort("doc_id"))
+    )

@@ -1,0 +1,154 @@
+"""Streaming near-dup admission with IN-STREAM RETRACTIONS: the live
+feed carries two event kinds — ``doc`` (ingest a document) and
+``retract`` (take down an already-ingested document) — and each
+micro-batch applies its retractions BEFORE its admissions, exactly
+once. This is the streaming half of the index delete lifecycle
+(operators/dedup_index.delete_from_index added the at-rest half in r9
+task 2): a 100 TB crawl pipeline receives takedowns continuously, and
+a retracted document must stop matching new arrivals IMMEDIATELY —
+not at the next batch rebuild.
+
+Semantics (deterministic, SQL-expressible — the q_st8_retract oracle):
+
+- Events arrive in micro-batches; within a batch, retractions apply
+  first (a takedown in batch k masks its target for every probe from
+  batch k onward), then docs admit under neardup_ingest's rule: doc d
+  is admitted iff NO earlier-ordered doc e — (batch(e), e.doc_id) <
+  (batch(d), d.doc_id) — that is STILL LIVE at batch(d) has
+  Jaccard(d, e) >= threshold. "Still live" = not retracted by any
+  batch <= batch(d).
+- Prior admissions STAND (no retro-reprocessing of sealed admitted
+  files); the takedown is applied to the CORPUS at read time instead:
+  ``live_corpus`` = admitted ids minus every retracted id. So a
+  takedown has exactly two effects, both immediate: new near-dups of
+  the retracted doc get admitted again, and the doc leaves the corpus.
+
+EXACTLY-ONCE: retraction tombstones write to an overwrite-mode
+batch-tagged subdir (``_TOMBSTONES/batch-<id>.parquet`` —
+delete_from_index(batch_tag=...)), so a foreachBatch replay rewrites
+the same directory; admissions and state writes reuse
+neardup_ingest.admit_batch's idempotent scheme unchanged. A crash in
+ANY window — after the tombstone write, after the admitted file,
+after the state partition, or between them in any order — replays to
+byte-identical outputs because every write is an idempotent overwrite
+keyed by batch_id and the state read filter (batch_id < current)
+hides the partial attempt (tests/test_retract_ingest.py pins the
+windows).
+
+Contract (inherited from the tombstone design): doc_ids are never
+reused, so a retraction is permanent; re-ingesting a retracted id is
+undefined (the mask would silently hide its state postings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup_index import (
+    _tombstones,
+    delete_from_index,
+    ensure_index_table,
+)
+from .neardup_ingest import DOCS_STREAM_COLS, admit_batch, admitted_ids
+
+EVENTS_STREAM_COLS = ("kind", "doc_id", "text")
+
+
+def admit_batch_events(
+    spark: SparkSession,
+    batch_events: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    batch_id: int,
+    batch_post: DataFrame | None = None,
+) -> None:
+    """One exactly-once micro-batch of MIXED events: tombstone the
+    batch's ``retract`` targets first (overwrite-mode batch-tagged
+    write — a replay rewrites, never duplicates), then run the plain
+    admission pipeline on the batch's ``doc`` rows. The tombstone
+    write is SEQUENCED before admit_batch on purpose: the admission
+    probe's state mask reads the tombstone sidecar at plan time, so
+    this batch's takedowns are already visible to this batch's own
+    probe — a same-batch (retract X, ingest near-dup-of-X) pair admits
+    the new doc. The tombstone write is a non-partitioned path write,
+    so it composes with admit_batch's concurrent-sink constraint
+    (neardup_ingest.admit_batch) without touching it.
+
+    ``batch_post``: precomputed (doc_id, shingle, n) for exactly this
+    batch's ``doc`` rows — the same availableNow catch-up parallelism
+    hook admit_batch exposes (postings are stateless; only the probe
+    needs prior state)."""
+    # ensure FIRST: a batch-0 tombstone write would otherwise create
+    # the state dir before ensure_index_table sees it, losing the
+    # brand-new-dir fast path (no RECOVER/REFRESH catalog jobs)
+    ensure_index_table(spark, state_dir)
+    retracts = batch_events.filter(F.col("kind") == "retract").select(
+        "doc_id"
+    )
+    delete_from_index(spark, state_dir, retracts, batch_tag=batch_id)
+    docs = batch_events.filter(F.col("kind") == "doc").select(
+        *DOCS_STREAM_COLS
+    )
+    admit_batch(
+        spark, docs, state_dir, out_dir, batch_id, batch_post=batch_post
+    )
+
+
+def stream_retract_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a mixed (kind, doc_id, text) event file-stream — one file
+    per micro-batch, availableNow — through the retraction-aware
+    admission pipeline. Same shell as
+    neardup_ingest.stream_neardup_ingest with the event split bolted
+    on; all exactly-once/crash behavior lives in admit_batch_events."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        admit_batch_events(spark, batch_df, state_dir, out_dir, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def live_corpus(
+    spark: SparkSession, out_dir: str, state_dir: str
+) -> DataFrame:
+    """The corpus a downstream consumer reads: every admitted doc_id
+    minus every retracted one. Admitted files are sealed
+    (exactly-once, never rewritten); the takedown applies here as a
+    broadcast anti-join against the same tombstone sidecar the probes
+    mask with — one source of truth for "retracted"."""
+    admitted = admitted_ids(spark, out_dir).select("doc_id")
+    tomb = _tombstones(spark, state_dir)
+    if tomb is None:
+        return admitted
+    return admitted.join(F.broadcast(tomb), "doc_id", "left_anti")

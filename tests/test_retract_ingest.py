@@ -1,0 +1,295 @@
+"""Streaming admission with in-stream retractions
+(streaming/retract_ingest.py): mixed doc/retract event stream ->
+exactly-once tombstones applied BEFORE each batch's admissions ->
+live corpus = admitted minus retracted. Pins stream equivalence to a
+brute-force rule, the re-admission semantic (a takedown stops its
+target blocking immediately), replay idempotence of the batch-tagged
+tombstone write, and the crash window between the tombstone write and
+the admission sinks."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+)
+from neo4j_blue_green_arrow_etl_spark.streaming.retract_ingest import (
+    admit_batch_events,
+    live_corpus,
+    stream_retract_ingest,
+)
+
+EVENT_SCHEMA = "kind STRING, doc_id BIGINT, text STRING"
+
+
+# --------------------------------------------------------------------------
+# brute-force rule (pure Python, independent of every Spark code path)
+# --------------------------------------------------------------------------
+
+
+def _shingle_set(text: str) -> set[str]:
+    ws = text.split()
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+def _jac(a: set[str], b: set[str]) -> float:
+    i = len(a & b)
+    return i / (len(a) + len(b) - i)
+
+
+def _expected_live(events_by_batch) -> list[int]:
+    """events_by_batch: per batch, a list of ("doc", id, text) and
+    ("retract", id) tuples. Contract: retractions only target docs
+    ingested in a STRICTLY earlier batch; ids never reused."""
+    retracted_at: dict[int, int] = {}
+    docs: list[tuple[int, int, str]] = []
+    for b, evs in enumerate(events_by_batch):
+        for e in evs:
+            if e[0] == "retract":
+                retracted_at.setdefault(e[1], b)
+            else:
+                docs.append((b, e[1], e[2]))
+    sh = {d: _shingle_set(t) for (_, d, t) in docs}
+    admitted = []
+    for (b, d, _) in sorted(docs):
+        blocked = False
+        for (b2, e, _) in docs:
+            if (b2, e) >= (b, d):
+                continue
+            if retracted_at.get(e, 1 << 30) <= b:
+                continue  # masked: taken down by d's batch
+            if _jac(sh[d], sh[e]) >= JACCARD_THRESHOLD:
+                blocked = True
+                break
+        if not blocked:
+            admitted.append(d)
+    return sorted(d for d in admitted if d not in retracted_at)
+
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+_W = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 words
+)
+
+
+def _doc(doc_id: int, tag: str) -> tuple[str, int, str]:
+    # 10 shared lead words + 2 tag words: same-tag docs are exact-set
+    # dups (jaccard 1.0). Cross-tag similarity lands wherever it
+    # lands — every assertion goes through the brute-force
+    # expected-rule helper, never a hand-derived jaccard.
+    return ("doc", doc_id, f"{_W} {tag} {tag}x")
+
+
+def _unique_doc(doc_id: int) -> tuple[str, int, str]:
+    ws = " ".join(f"u{doc_id}w{i}" for i in range(12))
+    return ("doc", doc_id, ws)
+
+
+def _events_df(spark, evs):
+    rows = [
+        ("doc", e[1], e[2]) if e[0] == "doc" else ("retract", e[1], None)
+        for e in evs
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def _run_fold(spark, tmp_path, events_by_batch, subdir=""):
+    state = str(tmp_path / f"state{subdir}")
+    out = str(tmp_path / f"out{subdir}")
+    for b, evs in enumerate(events_by_batch):
+        admit_batch_events(spark, _events_df(spark, evs), state, out, b)
+    return state, out
+
+
+# --------------------------------------------------------------------------
+# tests
+# --------------------------------------------------------------------------
+
+
+def test_retraction_readmits_neardups_immediately(spark, tmp_path):
+    """The core semantic: doc 10 duplicates doc 0; batch 1 retracts
+    doc 0 BEFORE admitting doc 10, so doc 10 must be ADMITTED (without
+    the retraction it drops — pinned by the control run)."""
+    batches = [
+        [_doc(0, "a"), _unique_doc(1)],
+        [("retract", 0), _doc(10, "a"), _unique_doc(11)],
+    ]
+    state, out = _run_fold(spark, tmp_path, batches)
+    live = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert live == _expected_live(batches)
+    assert 10 in live and 0 not in live
+
+    # control: same stream WITHOUT the retraction -> doc 10 drops
+    control = [
+        [_doc(0, "a"), _unique_doc(1)],
+        [_doc(10, "a"), _unique_doc(11)],
+    ]
+    state2, out2 = _run_fold(spark, tmp_path, control, subdir="2")
+    live2 = sorted(
+        r.doc_id for r in live_corpus(spark, out2, state2).collect()
+    )
+    assert live2 == _expected_live(control)
+    assert 10 not in live2 and 0 in live2
+
+
+def test_fold_matches_bruteforce_rule(spark, tmp_path):
+    """A 4-batch mixed stream with dup chains across batches matches
+    the brute-force (batch, id)-ordered liveness rule exactly."""
+    batches = [
+        [_doc(0, "a"), _doc(1, "a"), _unique_doc(2), _doc(3, "b")],
+        [("retract", 0), _doc(10, "a"), _doc(11, "b"), _unique_doc(12)],
+        [("retract", 3), ("retract", 10), _doc(20, "a"), _doc(21, "b")],
+        [("retract", 12), _doc(30, "c"), _unique_doc(31)],
+    ]
+    state, out = _run_fold(spark, tmp_path, batches)
+    live = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert live == _expected_live(batches)
+    # the schedule above is non-vacuous on every path: a retraction
+    # that re-admits (10 after retract 0? no — 1 still blocks; 20
+    # probes a state where 0 and 10 are masked but 1 is live), and
+    # retracted-but-admitted docs leaving the corpus
+    assert 0 not in live and 3 not in live and 12 not in live
+
+
+def test_readstream_equals_fold(spark, tmp_path):
+    """The REAL readStream shell (one event file per micro-batch,
+    availableNow) produces the same live corpus as the fold."""
+    batches = [
+        [_doc(0, "a"), _doc(1, "a"), _unique_doc(2)],
+        [("retract", 0), _doc(10, "a"), _unique_doc(11)],
+        [("retract", 1), _doc(20, "a")],
+    ]
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for b, evs in enumerate(batches):
+        stage = src / f"_stage_{b}"
+        _events_df(spark, evs).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        data = next(p for p in stage.glob("part-*.parquet"))
+        # lexicographic arrival order = batch order
+        data.rename(src / f"events_{b}.parquet")
+        shutil.rmtree(stage)
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    stream_retract_ingest(
+        spark, str(src), state, out, str(tmp_path / "ckp")
+    )
+    live = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert live == _expected_live(batches)
+
+    # restart over the unchanged directory: a no-op (checkpoint holds)
+    stream_retract_ingest(
+        spark, str(src), state, out, str(tmp_path / "ckp")
+    )
+    assert (
+        sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+        == live
+    )
+
+
+def test_retract_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (crash before checkpoint commit) rewrites its
+    batch-tagged tombstone subdir instead of appending a second copy,
+    and the corpus is unchanged."""
+    batches = [
+        [_doc(0, "a"), _unique_doc(1)],
+        [("retract", 0), _doc(10, "a")],
+    ]
+    state, out = _run_fold(spark, tmp_path, batches)
+    first = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    tomb = Path(state) / "_TOMBSTONES"
+    files_before = sorted(
+        str(p.relative_to(tomb)) for p in tomb.rglob("*.parquet") if p.is_file()
+    )
+    # replay batch 1
+    admit_batch_events(spark, _events_df(spark, batches[1]), state, out, 1)
+    second = sorted(
+        r.doc_id for r in live_corpus(spark, out, state).collect()
+    )
+    assert first == second
+    files_after = sorted(
+        str(p.relative_to(tomb)) for p in tomb.rglob("*.parquet") if p.is_file()
+    )
+    # same ONE batch-1 subdir (content rewritten, never accreted)
+    assert len(
+        [f for f in files_after if f.startswith("batch-1.parquet")]
+    ) == len([f for f in files_before if f.startswith("batch-1.parquet")])
+    # and the tombstone SET is still exactly {0}
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _tombstones,
+    )
+
+    t = _tombstones(spark, state)
+    assert sorted(r.doc_id for r in t.collect()) == [0]
+
+
+def test_crash_between_tombstone_and_admission_recovers(spark, tmp_path):
+    """Kill the batch AFTER its tombstone write but BEFORE its
+    admission sinks: the replay must rewrite the same tombstones and
+    derive the same admissions — final state equals a clean run."""
+    from neo4j_blue_green_arrow_etl_spark.streaming import retract_ingest
+
+    batches = [
+        [_doc(0, "a"), _unique_doc(1)],
+        [("retract", 0), _doc(10, "a"), _unique_doc(11)],
+    ]
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    admit_batch_events(spark, _events_df(spark, batches[0]), state, out, 0)
+
+    real_admit = retract_ingest.admit_batch
+
+    def crash_admit(*a, **k):
+        raise RuntimeError("injected crash after tombstone write")
+
+    retract_ingest.admit_batch = crash_admit
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            admit_batch_events(
+                spark, _events_df(spark, batches[1]), state, out, 1
+            )
+    finally:
+        retract_ingest.admit_batch = real_admit
+
+    # tombstone landed, admitted-b1 did not
+    assert (Path(state) / "_TOMBSTONES" / "batch-1.parquet").exists()
+    assert not (Path(out) / "admitted-b1.parquet").exists()
+
+    # replay batch 1 (checkpoint never committed it)
+    admit_batch_events(spark, _events_df(spark, batches[1]), state, out, 1)
+    live = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert live == _expected_live(batches)
+
+    # equals a clean never-crashed run
+    state2, out2 = _run_fold(spark, tmp_path, batches, subdir="2")
+    clean = sorted(
+        r.doc_id for r in live_corpus(spark, out2, state2).collect()
+    )
+    assert live == clean
+
+
+def test_tagged_and_flat_tombstones_compose(spark, tmp_path):
+    """A maintenance delete_from_index append (flat part file) and the
+    streaming batch-tagged subdirs read as ONE tombstone set — the
+    recursive mask sees both layouts."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _tombstones,
+        delete_from_index,
+        ensure_index_table,
+    )
+
+    state = str(tmp_path / "state")
+    ensure_index_table(spark, state)
+    delete_from_index(spark, state, [7, 8])  # flat append
+    delete_from_index(spark, state, [9], batch_tag=3)  # tagged subdir
+    t = _tombstones(spark, state)
+    assert sorted(r.doc_id for r in t.collect()) == [7, 8, 9]

@@ -56,6 +56,7 @@ ONE_ROW_BROADCAST_OK = {
     "q_sim_pq",
     "q_sim_ivfpq",  # query vector re-rank crossJoin, one broadcast row
     "q_x45_curate",  # q_x42's one-row budget-total crossJoin, composed
+    "q_x45b_curate_capped",  # same one-row budget crossJoin, capped tier
     "q_x6_batchann",
     "q_x10_idf",
     # per-round plan only: the dangling-mass aggregate (ONE row) is
