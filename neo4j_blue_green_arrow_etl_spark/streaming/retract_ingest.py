@@ -101,12 +101,21 @@ def stream_retract_ingest(
     state_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> None:
     """Drain a mixed (kind, doc_id, text) event file-stream — one file
     per micro-batch, availableNow — through the retraction-aware
     admission pipeline. Same shell as
     neardup_ingest.stream_neardup_ingest with the event split bolted
-    on; all exactly-once/crash behavior lives in admit_batch_events."""
+    on; all exactly-once/crash behavior lives in admit_batch_events.
+
+    ``compact_every=k`` folds sealed state partitions every k batches
+    (same watermark discipline as stream_neardup_ingest). On this
+    pipeline the fold does double duty: it bounds small-file accretion
+    AND physically drops the postings of every doc retracted so far —
+    compact_index computes its fold tombstone-masked — so a
+    long-running ingest reclaims takedown space continuously instead
+    of carrying masked rows forever."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -128,6 +137,14 @@ def stream_retract_ingest(
     )
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            compact_every
+            and batch_id >= compact_every
+            and batch_id % compact_every == 0
+        ):
+            from ..operators.dedup_index import compact_index
+
+            compact_index(spark, state_dir, batch_id - 1)
         admit_batch_events(spark, batch_df, state_dir, out_dir, batch_id)
 
     q = (

@@ -277,6 +277,53 @@ def test_crash_between_tombstone_and_admission_recovers(spark, tmp_path):
     assert live == clean
 
 
+def test_midstream_compaction_drops_retracted_postings(spark, tmp_path):
+    """compact_every on the retraction stream: the fold is computed
+    tombstone-masked, so a retracted doc's postings leave the state
+    table PHYSICALLY mid-stream — and the live corpus is unchanged."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        ensure_index_table,
+    )
+
+    batches = [
+        [_doc(0, "a"), _doc(1, "a"), _unique_doc(2)],
+        [("retract", 0), _doc(10, "a"), _unique_doc(11)],
+        [("retract", 1), _doc(20, "a")],
+        [_doc(30, "b"), _unique_doc(31)],
+    ]
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for b, evs in enumerate(batches):
+        stage = src / f"_stage_{b}"
+        _events_df(spark, evs).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        data = next(p for p in stage.glob("part-*.parquet"))
+        data.rename(src / f"events_{b}.parquet")
+        shutil.rmtree(stage)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    stream_retract_ingest(
+        spark,
+        str(src),
+        state,
+        out,
+        str(tmp_path / "ckp"),
+        compact_every=3,  # fold fires before batch 3, through batch 2
+    )
+    live = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert live == _expected_live(batches)
+    # the fold landed (a negative-generation partition exists) and the
+    # retracted docs' postings are PHYSICALLY gone from sealed state
+    table = ensure_index_table(spark, state)
+    state_rows = spark.table(table)
+    assert state_rows.filter("batch_id < 0").count() > 0
+    sealed = state_rows.filter("batch_id <= 2")
+    assert sealed.filter("doc_id IN (0, 1)").count() == 0
+    # non-retracted early docs' postings survived the fold
+    assert sealed.filter("doc_id = 2").count() > 0
+
+
 def test_tagged_and_flat_tombstones_compose(spark, tmp_path):
     """A maintenance delete_from_index append (flat part file) and the
     streaming batch-tagged subdirs read as ONE tombstone set — the
