@@ -55,10 +55,12 @@ _DRIVER_ROTATION = {
     "q_cap08_x40_tempmix": "q_x40_tempmix",  # mixture resampling, never checked
     "q_cap09_x42_tokenbudget": "q_x42_tokenbudget",  # budget selection, never checked
     "q_cap10_x33_bm25": "q_x33_bm25",  # BM25 ranking, never checked
-    # NEW mid-r9: streaming in-stream retractions (the streaming leg of
-    # the index delete lifecycle). Displaces q_f7_map from the 50-name
-    # window — green in the r8 window, nothing changed since.
+    # NEW mid-r9: streaming in-stream retractions — the streaming leg
+    # of the index delete lifecycle on BOTH at-rest indexes. Displace
+    # q_f7_map and q_f6_datearith from the 50-name window — both green
+    # in the r8 window, nothing changed since.
     "q_cap11_st8_retract": "q_st8_retract",
+    "q_cap12_st9_annretract": "q_st9_annretract",
 }
 for _alias, _target in _DRIVER_ROTATION.items():
     _spec = REGISTRY.get(_target)

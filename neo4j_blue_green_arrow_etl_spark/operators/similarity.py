@@ -1358,7 +1358,9 @@ _IVFPQ_MANIFEST = "_COMPACT_MANIFEST"  # "_"-prefix: invisible to scans
 _IVFPQ_TOMBSTONES_DIR = "_TOMBSTONES"
 
 
-def delete_vectors(spark: SparkSession, index_path: str, vec_ids) -> None:
+def delete_vectors(
+    spark: SparkSession, index_path: str, vec_ids, batch_tag: int | None = None
+) -> None:
     """Tombstone-delete vectors from the IVF-PQ index: ``vec_ids`` is
     an iterable of ids or a DataFrame with a ``vec_id`` column.
     Effective immediately for every query_ivfpq_index call; space is
@@ -1367,7 +1369,13 @@ def delete_vectors(spark: SparkSession, index_path: str, vec_ids) -> None:
     deleted set is sidecar bookkeeping, small by contract (see
     dedup_index.delete_from_index: a Spark write measured 0.5-5 s of
     pure job overhead; a "."-prefixed orphaned temp is ignored by
-    Spark's FileIndex)."""
+    Spark's FileIndex).
+
+    ``batch_tag`` makes the delete EXACTLY-ONCE for a streaming
+    micro-batch (streaming/ann_ingest retractions): the rows land in
+    ``_TOMBSTONES/batch-<tag>.parquet``, so a foreachBatch replay
+    atomically REPLACES the same file instead of appending a second
+    copy."""
     import uuid
     from pathlib import Path
 
@@ -1384,9 +1392,14 @@ def delete_vectors(spark: SparkSession, index_path: str, vec_ids) -> None:
     table = pa.table({"vec_id": pa.array(ids, type=pa.int64())})
     tomb_dir = Path(index_path, _IVFPQ_TOMBSTONES_DIR)
     tomb_dir.mkdir(parents=True, exist_ok=True)
+    name = (
+        f"batch-{batch_tag}.parquet"
+        if batch_tag is not None
+        else f"tomb-{uuid.uuid4().hex}.parquet"
+    )
     tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
     pq.write_table(table, tmp)
-    tmp.rename(tomb_dir / f"tomb-{uuid.uuid4().hex}.parquet")
+    tmp.rename(tomb_dir / name)
 
 
 def mask_deleted_vectors(
@@ -1600,6 +1613,101 @@ def q_st7_annstream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker.write_text(stamp)
     return (
         spark.read.parquet(idx)
+        .select("vec_id")
+        .transform(barrier_sort("vec_id"))
+    )
+
+
+ST9_RETRACT_MOD = 5  # vec_id % MOD == 0 -> eventually retracted
+
+
+@register(
+    "q_st9_annretract",
+    oracle=f"SELECT vec_id FROM embeddings WHERE NOT (vec_id % "
+    f"{ST9_RETRACT_MOD} = 0 AND vec_id % 4 <> 3) ORDER BY vec_id",
+    doc="Streaming ANN ingest with IN-STREAM RETRACTIONS, oracle-gated "
+    "at the exactly-once + liveness layer — the ANN twin of "
+    "q_st8_retract, so the delete lifecycle's streaming leg is gated "
+    "on BOTH at-rest indexes: train on the vec_id%4==0 bootstrap "
+    "quarter, then drain three mixed event files through "
+    "streaming/ann_ingest.stream_embedding_retract_ingest "
+    "(checkpointed availableNow; compact_every=2 so a tombstone-"
+    "masked fold runs mid-stream) where batch i ingests residue i+1 "
+    f"and retracts the ALREADY-INDEXED residue-i vectors divisible by "
+    f"{ST9_RETRACT_MOD} (bootstrap vectors in batch 0 — takedowns "
+    "always target earlier arrivals; residue-3 divisible ids are "
+    "never retracted, there is no batch after them). Returns the LIVE "
+    "at-rest id set (tombstone-masked index read) = every streamed "
+    "id minus every retracted one — a dropped batch, replayed "
+    "duplicate, lossy fold, unmasked tombstone, or over-eager mask "
+    "all break the oracle match. ANN answer quality is gated "
+    "separately (RECALL artifacts); retracted-vector NON-findability "
+    "through query_ivfpq_index and the crash windows are pinned in "
+    "tests/test_retract_ingest.py. Cached per corpus fingerprint "
+    "like q_st7.",
+)
+def q_st9_annretract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    root = Path(sf_dir, "embeddings.parquet")
+    files = sorted(
+        (str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns)
+        for p in (root.rglob("*") if root.is_dir() else [root])
+        if p.is_file() and not p.name.startswith(("_", "."))
+    )
+    stamp = f"{sf_dir}:{hashlib.md5(repr(files).encode()).hexdigest()}"
+    digest = hashlib.md5(f"{sf_dir}:annretract_v1".encode()).hexdigest()[:12]
+    idx = f"/tmp/spark_graft_annretract/{digest}"
+    marker = Path(idx, "_BUILT_FOR")
+    if not (marker.exists() and marker.read_text() == stamp):
+        import atexit
+        import shutil
+
+        from ..streaming.ann_ingest import stream_embedding_retract_ingest
+
+        shutil.rmtree(idx, ignore_errors=True)
+        e = _emb(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="spark_graft_st9_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        boot = f"{work}/boot"
+        e.filter(F.col("vec_id") % 4 == 0).write.parquet(
+            f"{boot}/embeddings.parquet"
+        )
+        build_ivfpq_index(spark, boot, idx)
+        src = f"{work}/in"
+        for i, b in enumerate((1, 2, 3)):
+            ev = (
+                e.filter(F.col("vec_id") % 4 == b)
+                .select(
+                    F.lit("vec").alias("kind"), "vec_id", "embedding"
+                )
+                .unionByName(
+                    # takedowns for the residue ingested one step
+                    # earlier (i == residue b-1), divisible ids only —
+                    # derived from the same parquet scan (see q_st8:
+                    # a driver-built local relation costs a Python
+                    # RDD-scan job per evaluation)
+                    e.filter(
+                        (F.col("vec_id") % 4 == i)
+                        & (F.col("vec_id") % ST9_RETRACT_MOD == 0)
+                    ).select(
+                        F.lit("retract").alias("kind"),
+                        "vec_id",
+                        F.lit(None)
+                        .cast("array<float>")
+                        .alias("embedding"),
+                    )
+                )
+            )
+            ev.coalesce(1).write.parquet(f"{src}/part{i}")
+        stream_embedding_retract_ingest(
+            spark, f"{src}/*", idx, f"{work}/ckpt", compact_every=2
+        )
+        marker.write_text(stamp)
+    return (
+        mask_deleted_vectors(spark, spark.read.parquet(idx), idx)
         .select("vec_id")
         .transform(barrier_sort("vec_id"))
     )

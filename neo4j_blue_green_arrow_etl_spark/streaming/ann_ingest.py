@@ -105,3 +105,98 @@ def stream_embedding_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+VEC_EVENTS_STREAM_COLS = ("kind", "vec_id", "embedding")
+
+
+def stream_embedding_retract_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+) -> None:
+    """Drain a MIXED embedding event stream — ``vec`` (ingest) and
+    ``retract`` (take down an already-indexed vector) — into a
+    pre-trained IVF-PQ index: the ANN twin of
+    streaming/retract_ingest.py, completing the delete lifecycle's
+    streaming leg on BOTH at-rest indexes.
+
+    Per micro-batch, retractions apply FIRST (exactly-once batch-tagged
+    tombstone file — delete_vectors(batch_tag=batch_id), an atomic
+    replace on replay), then the batch's ``vec`` rows append against
+    the frozen codebooks. A retracted vector stops being findable
+    through query_ivfpq_index IMMEDIATELY (the query masks tombstones
+    at plan time); its codes leave the at-rest files at the next
+    compact_every fold, which is computed tombstone-masked. Crash in
+    any window — after the tombstone file, after the append's
+    sub-partitions, or between — replays to identical state: both
+    writes are idempotent overwrites keyed by batch_id.
+
+    Contract (inherited): vec_ids are never reused; retracting an id
+    that a LATER batch re-appends is undefined (the mask would hide
+    the new rows too)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.similarity import (
+        append_ivfpq_batch,
+        compact_ivfpq_index,
+        delete_vectors,
+    )
+
+    if not Path(index_path, "_ivf_centroids.json").exists():
+        raise ValueError(
+            f"no trained IVF-PQ index at {index_path}: run "
+            "build_ivfpq_index on a bootstrap corpus first (streams "
+            "append against FROZEN codebooks, never retrain)"
+        )
+
+    schema = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id >= compact_every and batch_id % compact_every == 0:
+            # sealed ids only (< this batch's append id); this batch's
+            # own retractions are written AFTER the fold, so they drop
+            # physically at the NEXT fold — masking is immediate either
+            # way
+            compact_ivfpq_index(spark, index_path, batch_id)
+        retracts = batch_df.filter(F.col("kind") == "retract").select(
+            "vec_id"
+        )
+        delete_vectors(spark, index_path, retracts, batch_tag=batch_id)
+        append_ivfpq_batch(
+            spark,
+            index_path,
+            batch_df.filter(F.col("kind") == "vec").select(
+                "vec_id", "embedding"
+            ),
+            batch_id + 1,  # index batch 0 is the trained build
+        )
+
+    q = (
+        events.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -340,3 +340,181 @@ def test_tagged_and_flat_tombstones_compose(spark, tmp_path):
     delete_from_index(spark, state, [9], batch_tag=3)  # tagged subdir
     t = _tombstones(spark, state)
     assert sorted(r.doc_id for r in t.collect()) == [7, 8, 9]
+
+
+# --------------------------------------------------------------------------
+# ANN twin: streaming embedding retractions (streaming/ann_ingest.
+# stream_embedding_retract_ingest)
+# --------------------------------------------------------------------------
+
+from conftest import SF_SMOKE  # noqa: E402
+
+
+def _stage_vec_events(spark, src, batches):
+    """batches: per batch, (vec_filter_sql, retract_ids). Stages one
+    mixed event file per batch from the smoke embeddings table."""
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    src.mkdir(parents=True, exist_ok=True)
+    for b, (vec_sql, retract_ids) in enumerate(batches):
+        ev = e.filter(vec_sql).select(
+            F.lit("vec").alias("kind"), "vec_id", "embedding"
+        )
+        if retract_ids:
+            ev = ev.unionByName(
+                e.filter(F.col("vec_id").isin(list(retract_ids))).select(
+                    F.lit("retract").alias("kind"),
+                    "vec_id",
+                    F.lit(None).cast("array<float>").alias("embedding"),
+                )
+            )
+        stage = src / f"_stage_{b}"
+        ev.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        data = next(p for p in stage.glob("part-*.parquet"))
+        data.rename(src / f"events_{b}.parquet")
+        shutil.rmtree(stage)
+
+
+def _boot_ann(spark, tmp_path):
+    """Train on the vec_id%4==0 bootstrap quarter; returns idx path."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    boot = tmp_path / "boot"
+    spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") % 4 == 0
+    ).write.parquet(str(boot / "embeddings.parquet"))
+    idx = str(tmp_path / "annidx")
+    build_ivfpq_index(spark, str(boot), idx)
+    return idx
+
+
+def test_ann_retract_stream_live_set(spark, tmp_path):
+    """Mixed vec/retract embedding stream with a mid-stream fold: the
+    masked at-rest id set equals streamed-minus-retracted, retracted
+    vectors are not findable, and fold-covered retractions are
+    physically gone."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        mask_deleted_vectors,
+        query_ivfpq_index,
+    )
+    from neo4j_blue_green_arrow_etl_spark.streaming.ann_ingest import (
+        stream_embedding_retract_ingest,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    boot_ids = {v for v in all_ids if v % 4 == 0}
+    # batch 0 retracts two bootstrap ids; batch 2 retracts one
+    # residue-1 id (ingested by batch 0) — takedowns of earlier
+    # arrivals only
+    victims0 = sorted(boot_ids)[:2]
+    victim2 = sorted(v for v in all_ids if v % 4 == 1)[0]
+    idx = _boot_ann(spark, tmp_path)
+    src = tmp_path / "arrivals"
+    _stage_vec_events(
+        spark,
+        src,
+        [
+            ("vec_id % 4 = 1", victims0),
+            ("vec_id % 4 = 2", []),
+            ("vec_id % 4 = 3", [victim2]),
+        ],
+    )
+    stream_embedding_retract_ingest(
+        spark, str(src), idx, str(tmp_path / "ckp"), compact_every=2
+    )
+    retracted = set(victims0) | {victim2}
+    live = {
+        r.vec_id
+        for r in mask_deleted_vectors(spark, spark.read.parquet(idx), idx)
+        .select("vec_id")
+        .collect()
+    }
+    assert live == all_ids - retracted
+    # non-findability through the query path (victim2's own embedding)
+    qvec = e.filter(F.col("vec_id") == victim2).first().embedding
+    hits = [
+        r.vec_id
+        for r in query_ivfpq_index(
+            spark, idx, qvec, exclude_id=victim2
+        ).collect()
+    ]
+    assert not set(hits) & retracted
+    # the batch-2 fold ran AFTER batch 0's tombstones: victims0's rows
+    # are physically gone from the raw files; victim2 (tombstoned
+    # after the fold) is only masked
+    raw = spark.read.parquet(idx)
+    assert raw.filter(F.col("vec_id").isin(victims0)).count() == 0
+    assert raw.filter(F.col("vec_id") == victim2).count() > 0
+
+    # restart over the unchanged directory: a checkpointed no-op
+    stream_embedding_retract_ingest(
+        spark, str(src), idx, str(tmp_path / "ckp"), compact_every=2
+    )
+    live2 = {
+        r.vec_id
+        for r in mask_deleted_vectors(spark, spark.read.parquet(idx), idx)
+        .select("vec_id")
+        .collect()
+    }
+    assert live2 == live
+
+
+def test_ann_retract_crash_between_tombstone_and_append(spark, tmp_path):
+    """Kill a batch after its tombstone file, before its append: the
+    replay rewrites the same tombstone atomically and appends once —
+    final state equals a clean run."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        delete_vectors,
+        append_ivfpq_batch,
+        mask_deleted_vectors,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = _boot_ann(spark, tmp_path)
+    batch = e.filter(F.col("vec_id") % 4 == 1).select("vec_id", "embedding")
+    victims = [
+        r.vec_id
+        for r in e.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id")
+        .limit(2)
+        .collect()
+    ]
+    # the batch body, crash-split: tombstone landed, append did not
+    delete_vectors(spark, idx, victims, batch_tag=0)
+    tomb_file = Path(idx, "_TOMBSTONES", "batch-0.parquet")
+    assert tomb_file.is_file()
+    # replay the whole batch (checkpoint never committed it)
+    delete_vectors(spark, idx, victims, batch_tag=0)
+    append_ivfpq_batch(spark, idx, batch, 1)
+    live = {
+        r.vec_id
+        for r in mask_deleted_vectors(spark, spark.read.parquet(idx), idx)
+        .select("vec_id")
+        .collect()
+    }
+    boot_ids = {r.vec_id for r in e.filter("vec_id % 4 = 0").select("vec_id").collect()}
+    b1_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    assert live == (boot_ids | b1_ids) - set(victims)
+    # exactly ONE tombstone file for the batch (atomic replace, no
+    # accretion) holding exactly the victim set
+    tombs = [
+        p
+        for p in Path(idx, "_TOMBSTONES").glob("*.parquet")
+        if p.is_file()
+    ]
+    assert [p.name for p in tombs] == ["batch-0.parquet"]
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(str(tomb_file)).collect()
+    }
+    assert got == set(victims)
