@@ -402,6 +402,65 @@ def compact_index(
     spark.sql(f"REFRESH TABLE {table}")
     _recover_compaction(spark, table, index_path)
     consolidated.unpersist()
+    _retire_applied_tombstones(spark, table, index_path, through_batch)
+
+
+def _retire_applied_tombstones(
+    spark: SparkSession, table: str, index_path: str, through_batch: int
+) -> None:
+    """Drop tombstones the fold just PHYSICALLY APPLIED, so the mask's
+    broadcast set stays bounded on an infinite stream instead of
+    accreting one row per takedown forever (the SCALING.md trade-off
+    this closes: before, the fold cadence only reclaimed DATA space,
+    never sidecar space).
+
+    A tombstone is applied iff its doc has no rows left anywhere: ids
+    are never reused, a doc's postings live only in its ingest batch's
+    partition, and the fold was computed masked — so after folding
+    through T, only tombstones targeting docs in partitions > T can
+    still mask anything. Keep = tombstones semi-joined against the
+    unfolded tail (one scan of the few recent partitions; in the
+    streaming cadence the tail is empty and everything retires).
+
+    CRASH-SAFE BY MONOTONICITY, no new protocol: the kept set is
+    written first (atomic tmp+rename), then the superseded files are
+    deleted. A crash anywhere leaves kept ∪ old = old — over-masking
+    only by ids that mask nothing (they have no rows, by the rule
+    above). Single-writer like compaction itself; sealed batch-tagged
+    files are safe to delete because their batches can never replay
+    (the fold watermark is below the in-flight batch, and the
+    in-flight batch's tombstones are written AFTER the fold in every
+    stream driver)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import shutil
+
+    tomb = _tombstones(spark, index_path)
+    if tomb is None:
+        return
+    tomb_dir = Path(index_path, _TOMBSTONES_DIR)
+    old = [
+        p for p in tomb_dir.iterdir() if not p.name.startswith(("_", "."))
+    ]
+    tail = spark.table(table).filter(F.col("batch_id") > through_batch)
+    kept = [
+        r[0]
+        for r in tomb.join(
+            tail.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).collect()
+    ]
+    gen = pa.table({"doc_id": pa.array(sorted(kept), type=pa.int64())})
+    tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(gen, tmp)
+    tmp.rename(tomb_dir / f"applied-gen-{uuid.uuid4().hex}.parquet")
+    for p in old:
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
 
 
 def _recover_compaction(
@@ -465,11 +524,17 @@ def _recover_compaction(
 # is byte-identical to the undeleted case).
 #
 # Contract: a deleted doc_id must not be re-ingested — ids are never
-# reused in this design (content-addressed / monotonically assigned),
-# so a tombstone is permanent and the sidecar never needs a
-# crash-fragile retirement rewrite. Tombstones that a fold has fully
-# applied keep masking nothing (harmless, 8 bytes/row); re-using an id
-# anyway requires reset_index + rebuild.
+# reused in this design (content-addressed / monotonically assigned);
+# re-using an id anyway requires reset_index + rebuild. A tombstone a
+# fold has fully applied masks nothing — and compact_index RETIRES it
+# (_retire_applied_tombstones) so the mask's broadcast set stays
+# bounded on an infinite stream. Retirement is crash-safe by
+# MONOTONICITY, not a protocol: the kept set is written before the
+# superseded files are deleted, and kept ∪ old = old (retired ids have
+# no rows left, so over-masking on a crash changes nothing). Streaming
+# consumers that need the PERMANENT takedown record (live_corpus)
+# keep their own sealed ledger (retract_ingest._write_retract_ledger)
+# — the sidecar is only the mask.
 
 _TOMBSTONES_DIR = "_TOMBSTONES"
 

@@ -1462,6 +1462,53 @@ def compact_ivfpq_index(
     ).mode("overwrite").parquet(index_path)
     _recover_ivfpq_compaction(spark, index_path)
     consolidated.unpersist()
+    _retire_applied_vec_tombstones(spark, index_path, through_batch)
+
+
+def _retire_applied_vec_tombstones(
+    spark: SparkSession, index_path: str, through_batch: int
+) -> None:
+    """ANN twin of dedup_index._retire_applied_tombstones: after a
+    masked fold through T, only tombstones targeting vectors in
+    partitions > T can still mask anything (ids never reused; a
+    vector's codes live only in its ingest batch's sub-partitions) —
+    retire the rest so the query mask's broadcast set stays bounded
+    on an infinite ingest. Crash-safe by monotonicity: kept set
+    written first (atomic tmp+rename), superseded files deleted
+    after; kept ∪ old = old on any crash, and retired ids mask
+    nothing by construction."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tomb_dir = Path(index_path, _IVFPQ_TOMBSTONES_DIR)
+    if not tomb_dir.exists():
+        return
+    tomb = spark.read.schema("vec_id BIGINT").parquet(str(tomb_dir))
+    old = [
+        p for p in tomb_dir.iterdir() if not p.name.startswith(("_", "."))
+    ]
+    tail = spark.read.parquet(index_path).filter(
+        F.col("batch_id") > through_batch
+    )
+    kept = [
+        r[0]
+        for r in tomb.join(
+            tail.select("vec_id").distinct(), "vec_id", "left_semi"
+        ).collect()
+    ]
+    gen = pa.table({"vec_id": pa.array(sorted(kept), type=pa.int64())})
+    tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(gen, tmp)
+    tmp.rename(tomb_dir / f"applied-gen-{uuid.uuid4().hex}.parquet")
+    for p in old:
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
 
 
 def _recover_ivfpq_compaction(spark: SparkSession, index_path: str) -> None:

@@ -45,11 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup_index import (
-    _tombstones,
-    delete_from_index,
-    ensure_index_table,
-)
+from ..operators.dedup_index import delete_from_index, ensure_index_table
 from .neardup_ingest import DOCS_STREAM_COLS, admit_batch, admitted_ids
 
 EVENTS_STREAM_COLS = ("kind", "doc_id", "text")
@@ -78,21 +74,58 @@ def admit_batch_events(
     ``batch_post``: precomputed (doc_id, shingle, n) for exactly this
     batch's ``doc`` rows — the same availableNow catch-up parallelism
     hook admit_batch exposes (postings are stateless; only the probe
-    needs prior state)."""
+    needs prior state).
+
+    The retract ids land in TWO places, for two different lifetimes:
+    the index's tombstone sidecar (the probe MASK — retirable: once a
+    fold physically applies a tombstone, compact_index drops it so the
+    mask's broadcast set stays bounded) and a sealed
+    ``retracted-b<id>.parquet`` LEDGER file next to the admitted files
+    (the permanent corpus record live_corpus subtracts — admitted
+    files are sealed and still contain retracted ids, so the record of
+    takedowns must outlive the mask). Both writes are idempotent
+    batch-keyed replacements."""
     # ensure FIRST: a batch-0 tombstone write would otherwise create
     # the state dir before ensure_index_table sees it, losing the
     # brand-new-dir fast path (no RECOVER/REFRESH catalog jobs)
     ensure_index_table(spark, state_dir)
-    retracts = batch_events.filter(F.col("kind") == "retract").select(
-        "doc_id"
-    )
-    delete_from_index(spark, state_dir, retracts, batch_tag=batch_id)
+    retract_ids = [
+        r[0]
+        for r in batch_events.filter(F.col("kind") == "retract")
+        .select(F.col("doc_id").cast("long"))
+        .collect()
+    ]
+    delete_from_index(spark, state_dir, retract_ids, batch_tag=batch_id)
+    _write_retract_ledger(out_dir, batch_id, retract_ids)
     docs = batch_events.filter(F.col("kind") == "doc").select(
         *DOCS_STREAM_COLS
     )
     admit_batch(
         spark, docs, state_dir, out_dir, batch_id, batch_post=batch_post
     )
+
+
+def _write_retract_ledger(
+    out_dir: str, batch_id: int, retract_ids: list[int]
+) -> None:
+    """Seal this batch's takedown ids as ``retracted-b<id>.parquet`` —
+    driver-side pyarrow, atomic tmp+rename, replay replaces (same
+    write discipline as the tombstone sidecar)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pathlib import Path as _P
+
+    out = _P(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    table = pa.table(
+        {"doc_id": pa.array(sorted(retract_ids), type=pa.int64())}
+    )
+    tmp = out / f".tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(table, tmp)
+    tmp.rename(out / f"retracted-b{batch_id}.parquet")
 
 
 def stream_retract_ingest(
@@ -157,15 +190,23 @@ def stream_retract_ingest(
 
 
 def live_corpus(
-    spark: SparkSession, out_dir: str, state_dir: str
+    spark: SparkSession, out_dir: str, state_dir: str = ""
 ) -> DataFrame:
     """The corpus a downstream consumer reads: every admitted doc_id
-    minus every retracted one. Admitted files are sealed
-    (exactly-once, never rewritten); the takedown applies here as a
-    broadcast anti-join against the same tombstone sidecar the probes
-    mask with — one source of truth for "retracted"."""
+    minus every retracted one. Admitted files are sealed (exactly-once,
+    never rewritten), so the takedown applies as a broadcast anti-join
+    against the PERMANENT retraction ledger (retracted-b*.parquet,
+    sealed per batch) — NOT the index's tombstone sidecar, which is a
+    masking artifact the compaction fold retires once a tombstone is
+    physically applied. ``state_dir`` is kept for call-site
+    compatibility and unused."""
+    from pathlib import Path as _P
+
     admitted = admitted_ids(spark, out_dir).select("doc_id")
-    tomb = _tombstones(spark, state_dir)
-    if tomb is None:
+    ledgers = sorted(_P(out_dir).glob("retracted-b*.parquet"))
+    if not ledgers:
         return admitted
-    return admitted.join(F.broadcast(tomb), "doc_id", "left_anti")
+    retracted = spark.read.schema("doc_id BIGINT").parquet(
+        *[str(p) for p in ledgers]
+    )
+    return admitted.join(F.broadcast(retracted), "doc_id", "left_anti")

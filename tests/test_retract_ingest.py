@@ -322,6 +322,23 @@ def test_midstream_compaction_drops_retracted_postings(spark, tmp_path):
     assert sealed.filter("doc_id IN (0, 1)").count() == 0
     # non-retracted early docs' postings survived the fold
     assert sealed.filter("doc_id = 2").count() > 0
+    # RETIREMENT: the fold physically applied tombstones 0 and 1, so
+    # the mask sidecar no longer carries them (bounded broadcast set on
+    # an infinite stream) — while the PERMANENT ledger still records
+    # them, which is what keeps live_corpus correct above
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _tombstones,
+    )
+
+    masked_now = {r.doc_id for r in _tombstones(spark, state).collect()}
+    assert not masked_now & {0, 1}
+    ledgers = sorted(Path(out).glob("retracted-b*.parquet"))
+    recorded = {
+        r.doc_id
+        for p in ledgers
+        for r in spark.read.parquet(str(p)).collect()
+    }
+    assert {0, 1} <= recorded
 
 
 def test_tagged_and_flat_tombstones_compose(spark, tmp_path):
@@ -453,6 +470,17 @@ def test_ann_retract_stream_live_set(spark, tmp_path):
     raw = spark.read.parquet(idx)
     assert raw.filter(F.col("vec_id").isin(victims0)).count() == 0
     assert raw.filter(F.col("vec_id") == victim2).count() > 0
+    # RETIREMENT (ANN twin): the fold applied victims0's tombstones
+    # and dropped them from the mask sidecar; victim2's (written after
+    # the fold) is still masking
+    tomb_now = {
+        r.vec_id
+        for r in spark.read.schema("vec_id BIGINT")
+        .parquet(str(Path(idx, "_TOMBSTONES")))
+        .collect()
+    }
+    assert not tomb_now & set(victims0)
+    assert victim2 in tomb_now
 
     # restart over the unchanged directory: a checkpointed no-op
     stream_embedding_retract_ingest(
