@@ -546,3 +546,63 @@ def test_ann_retract_crash_between_tombstone_and_append(spark, tmp_path):
         for r in spark.read.parquet(str(tomb_file)).collect()
     }
     assert got == set(victims)
+
+
+# --------------------------------------------------------------------------
+# property: random event schedules match the brute-force liveness rule
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _schedules(draw):
+    """(batches,) — 2-3 id-ordered batches of docs drawn from a small
+    tag alphabet (dups likely) plus a random takedown schedule where
+    every retraction targets a STRICTLY earlier batch's doc (the
+    pipeline contract) at most once."""
+    n = draw(st.integers(min_value=4, max_value=9))
+    tags = draw(
+        st.lists(
+            st.sampled_from(["a", "b", "u"]), min_size=n, max_size=n
+        )
+    )
+    nb = draw(st.integers(min_value=2, max_value=3))
+    docs = []
+    for k, tag in enumerate(tags):
+        doc_id = k * 10
+        ev = _unique_doc(doc_id) if tag == "u" else _doc(doc_id, tag)
+        docs.append((k * nb // n, ev))
+    batches = [[ev for (b, ev) in docs if b == i] for i in range(nb)]
+    batches = [b for b in batches if b]
+    retract_at = {}
+    for b in range(1, len(batches)):
+        earlier = [
+            ev[1]
+            for bb in range(b)
+            for ev in batches[bb]
+            if ev[1] not in retract_at
+        ]
+        chosen = draw(
+            st.lists(st.sampled_from(earlier), unique=True, max_size=2)
+            if earlier
+            else st.just([])
+        )
+        for d in chosen:
+            retract_at[d] = b
+            batches[b].insert(0, ("retract", d))
+    return batches
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_schedules())
+def test_random_schedules_match_bruteforce(spark, tmp_path_factory, batches):
+    tmp = tmp_path_factory.mktemp("retract_prop")
+    state, out = _run_fold(spark, tmp, batches)
+    live = sorted(
+        r.doc_id for r in live_corpus(spark, out, state).collect()
+    )
+    assert live == _expected_live(batches)
