@@ -188,6 +188,9 @@ def stream_neardup_ingest(
             from ..operators.dedup_index import compact_index
 
             compact_index(spark, state_dir, batch_id - 1)
+            # fold the sealed admitted record too (one tiny file per
+            # batch otherwise accretes forever)
+            compact_corpus_record(spark, out_dir, batch_id - 1)
         admit_batch(spark, batch_df, state_dir, out_dir, batch_id)
 
     q = (
@@ -200,5 +203,106 @@ def stream_neardup_ingest(
 
 
 def admitted_ids(spark: SparkSession, out_dir: str) -> DataFrame:
-    files = sorted(Path(out_dir).glob("admitted-b*.parquet"))
+    _recover_record_fold(out_dir)
+    files = sorted(Path(out_dir).glob("admitted-b*.parquet")) + sorted(
+        Path(out_dir).glob("admitted-gen-*.parquet")
+    )
     return spark.read.parquet(*[str(p) for p in files])
+
+
+# --------------------------------------------------------------------------
+# Corpus-record compaction: the out_dir twin of the state-table fold.
+# A long-running ingest otherwise accretes one admitted file (and, on
+# the retraction pipeline, one ledger file) PER BATCH forever — at
+# production batch cadence that is millions of tiny files. Sealed
+# per-batch files below a watermark fold into one generation file per
+# prefix, with a manifest protocol so a crash in any window leaves the
+# record readable and duplicate-free (same shape as
+# dedup_index.compact_index):
+#
+#   write consolidated rows to a "."-prefixed temp dir (invisible)
+#   -> write _RECORD_FOLD manifest {prefix, sources, gen}
+#   -> rename the temp's part file to <prefix>-gen-<uuid>.parquet
+#   -> delete the listed sources -> delete the manifest
+#
+# Recovery (run by every reader): manifest + gen present -> finish
+# (delete sources, manifest); manifest present, gen absent -> abort
+# (delete manifest + temp; sources intact). Only SEALED batches may
+# fold (ids below the in-flight batch) — a replay can then never
+# rewrite a folded source.
+# --------------------------------------------------------------------------
+
+
+def _record_manifest(out_dir: str) -> Path:
+    return Path(out_dir, "_RECORD_FOLD")
+
+
+def _recover_record_fold(out_dir: str) -> None:
+    import json
+    import shutil
+
+    manifest = _record_manifest(out_dir)
+    if not manifest.exists():
+        return
+    meta = json.loads(manifest.read_text())
+    gen = Path(out_dir, meta["gen"])
+    if gen.exists():
+        for s in meta["sources"]:
+            _rm_record(Path(out_dir, s))
+    for p in Path(out_dir).glob(".tmpfold-*"):
+        shutil.rmtree(p, ignore_errors=True)
+    manifest.unlink()
+
+
+def _rm_record(p: Path) -> None:
+    """Per-batch admitted records are Spark-written DIRECTORIES; ledger
+    and generation records are flat pyarrow files — remove either."""
+    import shutil
+
+    if p.is_dir():
+        shutil.rmtree(p, ignore_errors=True)
+    else:
+        p.unlink(missing_ok=True)
+
+
+def compact_corpus_record(
+    spark: SparkSession, out_dir: str, through_batch: int
+) -> None:
+    """Fold every sealed per-batch record file (batch id <=
+    ``through_batch``) plus any prior generation into ONE generation
+    file per prefix. Idempotent; callers pass a sealed watermark
+    (below the in-flight batch id), exactly like compact_index."""
+    import json
+    import re
+    import shutil
+    import uuid
+
+    _recover_record_fold(out_dir)
+    out = Path(out_dir)
+    for prefix in ("admitted", "retracted"):
+        srcs = [
+            p
+            for p in out.glob(f"{prefix}-b*.parquet")
+            if int(re.match(rf"{prefix}-b(\d+)", p.name).group(1))
+            <= through_batch
+        ] + list(out.glob(f"{prefix}-gen-*.parquet"))
+        if len(srcs) <= 1:
+            continue
+        ids = spark.read.schema("doc_id BIGINT").parquet(
+            *[str(p) for p in srcs]
+        )
+        tmpdir = out / f".tmpfold-{prefix}-{uuid.uuid4().hex}"
+        ids.repartition(1).write.mode("overwrite").parquet(str(tmpdir))
+        part = next(tmpdir.glob("part-*.parquet"))
+        gen_name = f"{prefix}-gen-{uuid.uuid4().hex}.parquet"
+        _record_manifest(out_dir).write_text(
+            json.dumps(
+                {"prefix": prefix, "sources": [p.name for p in srcs],
+                 "gen": gen_name}
+            )
+        )
+        part.rename(out / gen_name)
+        for s in srcs:
+            _rm_record(s)
+        _record_manifest(out_dir).unlink()
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -177,7 +177,12 @@ def stream_retract_ingest(
         ):
             from ..operators.dedup_index import compact_index
 
+            from .neardup_ingest import compact_corpus_record
+
             compact_index(spark, state_dir, batch_id - 1)
+            # fold the corpus record too: without it the out_dir
+            # accretes two tiny files per batch forever
+            compact_corpus_record(spark, out_dir, batch_id - 1)
         admit_batch_events(spark, batch_df, state_dir, out_dir, batch_id)
 
     q = (
@@ -199,11 +204,15 @@ def live_corpus(
     sealed per batch) — NOT the index's tombstone sidecar, which is a
     masking artifact the compaction fold retires once a tombstone is
     physically applied. ``state_dir`` is kept for call-site
-    compatibility and unused."""
+    compatibility and unused. Both record families may be folded into
+    generation files (compact_corpus_record); admitted_ids runs the
+    fold recovery, so a mid-fold crash is invisible here."""
     from pathlib import Path as _P
 
     admitted = admitted_ids(spark, out_dir).select("doc_id")
-    ledgers = sorted(_P(out_dir).glob("retracted-b*.parquet"))
+    ledgers = sorted(_P(out_dir).glob("retracted-b*.parquet")) + sorted(
+        _P(out_dir).glob("retracted-gen-*.parquet")
+    )
     if not ledgers:
         return admitted
     retracted = spark.read.schema("doc_id BIGINT").parquet(

@@ -332,7 +332,11 @@ def test_midstream_compaction_drops_retracted_postings(spark, tmp_path):
 
     masked_now = {r.doc_id for r in _tombstones(spark, state).collect()}
     assert not masked_now & {0, 1}
-    ledgers = sorted(Path(out).glob("retracted-b*.parquet"))
+    # the ledger survives the record fold: sealed per-batch files were
+    # consolidated into a generation file, per-id content unchanged
+    ledgers = sorted(Path(out).glob("retracted-b*.parquet")) + sorted(
+        Path(out).glob("retracted-gen-*.parquet")
+    )
     recorded = {
         r.doc_id
         for p in ledgers
@@ -606,3 +610,93 @@ def test_random_schedules_match_bruteforce(spark, tmp_path_factory, batches):
         r.doc_id for r in live_corpus(spark, out, state).collect()
     )
     assert live == _expected_live(batches)
+
+
+# --------------------------------------------------------------------------
+# corpus-record compaction (neardup_ingest.compact_corpus_record)
+# --------------------------------------------------------------------------
+
+
+def test_record_fold_preserves_corpus_and_bounds_files(spark, tmp_path):
+    """Folding sealed admitted/ledger files into generation files
+    changes NOTHING the readers see and leaves one gen file (plus the
+    unsealed tail) per prefix."""
+    from neo4j_blue_green_arrow_etl_spark.streaming.neardup_ingest import (
+        compact_corpus_record,
+    )
+
+    batches = [
+        [_doc(0, "a"), _unique_doc(1)],
+        [("retract", 0), _doc(10, "a"), _unique_doc(11)],
+        [("retract", 11), _doc(20, "b")],
+    ]
+    state, out = _run_fold(spark, tmp_path, batches)
+    before = sorted(
+        r.doc_id for r in live_corpus(spark, out, state).collect()
+    )
+    compact_corpus_record(spark, out, 1)  # batches 0-1 sealed
+    after = sorted(
+        r.doc_id for r in live_corpus(spark, out, state).collect()
+    )
+    assert after == before == _expected_live(batches)
+    names = sorted(
+        p.name for p in Path(out).iterdir() if not p.name.startswith((".", "_"))
+    )
+    adm = [n for n in names if n.startswith("admitted")]
+    led = [n for n in names if n.startswith("retracted")]
+    # one gen + the unsealed batch-2 file per family
+    assert sum(1 for n in adm if "gen" in n) == 1
+    assert adm == sorted(["admitted-b2.parquet"] + [n for n in adm if "gen" in n])
+    assert sum(1 for n in led if "gen" in n) == 1
+    assert led == sorted(["retracted-b2.parquet"] + [n for n in led if "gen" in n])
+    # idempotent: folding again (same watermark) keeps the corpus
+    compact_corpus_record(spark, out, 2)
+    assert sorted(
+        r.doc_id for r in live_corpus(spark, out, state).collect()
+    ) == before
+
+
+def test_record_fold_crash_windows(spark, tmp_path):
+    """Manifest + gen present (crash before source deletes) -> readers
+    recover by finishing: no duplicates. Manifest without gen (crash
+    before rename) -> abort: sources intact."""
+    import json
+
+    from neo4j_blue_green_arrow_etl_spark.streaming.neardup_ingest import (
+        _record_manifest,
+        compact_corpus_record,
+    )
+
+    batches = [
+        [_doc(0, "a"), _unique_doc(1)],
+        [("retract", 0), _doc(10, "a")],
+    ]
+    state, out = _run_fold(spark, tmp_path, batches)
+    want = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+
+    # finish-window: do a real fold, then RESTORE the manifest and one
+    # source copy as if the crash hit mid-deletes
+    admitted0 = Path(out, "admitted-b0.parquet")
+    import shutil as _sh
+
+    _sh.copytree(admitted0, Path(out, ".keep-copy"))
+    compact_corpus_record(spark, out, 1)
+    gen = next(p.name for p in Path(out).glob("admitted-gen-*.parquet"))
+    _sh.copytree(Path(out, ".keep-copy"), admitted0)  # resurrect source
+    _record_manifest(out).write_text(
+        json.dumps({"prefix": "admitted",
+                    "sources": ["admitted-b0.parquet"], "gen": gen})
+    )
+    got = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert got == want  # recovery deleted the resurrected duplicate
+    assert not admitted0.exists()
+    assert not _record_manifest(out).exists()
+
+    # abort-window: manifest names a gen that never got renamed
+    _record_manifest(out).write_text(
+        json.dumps({"prefix": "admitted", "sources": [gen],
+                    "gen": "admitted-gen-neverexisted.parquet"})
+    )
+    got = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert got == want  # sources intact, manifest cleared
+    assert not _record_manifest(out).exists()
