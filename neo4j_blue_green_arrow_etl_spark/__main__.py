@@ -289,6 +289,36 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_retract_ingest(args) -> int:
+    """Drain a mixed doc/retract event stream through the
+    retraction-aware near-dup admission pipeline
+    (streaming/retract_ingest.py) and print a JSON summary. Safe to
+    re-run: the checkpoint makes an unchanged input directory a
+    no-op, and a replayed batch rewrites its own outputs."""
+    from .session import get_spark
+    from .streaming.neardup_ingest import admitted_ids
+    from .streaming.retract_ingest import live_corpus, stream_retract_ingest
+
+    spark = get_spark("retract-ingest")
+    stream_retract_ingest(
+        spark,
+        args.input,
+        args.state,
+        args.out,
+        args.checkpoint,
+        compact_every=args.compact_every,
+    )
+    admitted = admitted_ids(spark, args.out).count()
+    live = live_corpus(spark, args.out).count()
+    payload = {
+        "admitted": admitted,
+        "live": live,
+        "retracted_from_corpus": admitted - live,
+    }
+    print(json.dumps(payload))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m neo4j_blue_green_arrow_etl_spark",
@@ -387,6 +417,26 @@ def main(argv: list[str] | None = None) -> int:
         help="drop documents sharing benchmark n-grams (q_x8 semantics)",
     )
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser(
+        "retract-ingest",
+        help="drain a mixed doc/retract event stream through the "
+        "near-dup admission pipeline (exactly-once tombstones; live "
+        "corpus = admitted minus retracted)",
+    )
+    sp.add_argument(
+        "--input", required=True,
+        help="event file-stream dir: parquet (kind, doc_id, text), "
+        "one file per micro-batch",
+    )
+    sp.add_argument("--state", required=True, help="bucketed state index dir")
+    sp.add_argument("--out", required=True, help="admitted/ledger record dir")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument(
+        "--compact-every", type=int, default=None,
+        help="fold state + corpus record every K batches",
+    )
+    sp.set_defaults(fn=cmd_retract_ingest)
 
     args = p.parse_args(argv)
     from .errors import EngineError

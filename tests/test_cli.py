@@ -175,3 +175,63 @@ def test_curate_jsonl_format(spark, tmp_path, capsys):
     part = next(Path(out).glob("split=*/part-*.json"))
     first = json.loads(part.read_text().splitlines()[0])
     assert {"doc_id", "text", "lang", "n_tokens"} <= set(first)
+
+
+def test_retract_ingest_cli(spark, tmp_path, capsys):
+    """`retract-ingest` drains a mixed event stream, prints a JSON
+    summary whose live count reflects the takedowns, and a re-run over
+    the unchanged directory is a checkpointed no-op with identical
+    output."""
+    import json as _json
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows_by_batch = [
+        [("doc", 0, "w0 w1 w2 w3 w4 w5 group a"),
+         ("doc", 1, "u1a u1b u1c u1d u1e u1f u1g u1h")],
+        [("retract", 0, None),
+         ("doc", 10, "w0 w1 w2 w3 w4 w5 group a"),
+         ("doc", 11, "v1a v1b v1c v1d v1e v1f v1g v1h")],
+    ]
+    for b, rows in enumerate(rows_by_batch):
+        stage = src / f"_stage_{b}"
+        spark.createDataFrame(
+            rows, "kind STRING, doc_id BIGINT, text STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        data = next(p for p in stage.glob("part-*.parquet"))
+        data.rename(src / f"events_{b}.parquet")
+        _sh.rmtree(stage)
+
+    argv = [
+        "retract-ingest",
+        "--input", str(src),
+        "--state", str(tmp_path / "state"),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckp"),
+    ]
+    assert main(argv) == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 10 re-admitted (its only match, doc 0, was retracted first);
+    # doc 0 admitted then left the corpus
+    assert payload == {
+        "admitted": 4, "live": 3, "retracted_from_corpus": 1
+    }
+    from neo4j_blue_green_arrow_etl_spark.streaming.retract_ingest import (
+        live_corpus,
+    )
+
+    live = sorted(
+        r.doc_id
+        for r in live_corpus(spark, str(tmp_path / "out")).collect()
+    )
+    assert live == [1, 10, 11]
+
+    # idempotent re-run (checkpoint holds)
+    assert main(argv) == 0
+    payload2 = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert payload2 == payload
