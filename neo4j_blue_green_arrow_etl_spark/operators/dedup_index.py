@@ -379,6 +379,15 @@ def compact_index(
     table = ensure_index_table(spark, index_path)  # finishes pending folds
     target = _next_fold_id(index_path)
     src = spark.table(table).filter(F.col("batch_id") <= through_batch)
+    # Snapshot the tombstone FILE LIST before the fold's mask reads the
+    # sidecar: retirement below may only touch files the fold PROVABLY
+    # applied. A tombstone appended by a concurrent session after this
+    # point may or may not be masked into the fold (the mask plan reads
+    # the dir slightly later) — either way it survives retirement and
+    # keeps masking, which is the safe side (ADVICE r9: the old
+    # dir-listing-at-retirement form could delete such a tombstone
+    # while its doc's rows lived on in the fold generation).
+    tomb_snapshot = _tombstone_files(index_path)
     # tombstoned docs are PHYSICALLY dropped here: the fold rows are
     # computed masked, so the manifest's row count already reflects the
     # deletion and the crash protocol is byte-identical to the
@@ -402,11 +411,30 @@ def compact_index(
     spark.sql(f"REFRESH TABLE {table}")
     _recover_compaction(spark, table, index_path)
     consolidated.unpersist()
-    _retire_applied_tombstones(spark, table, index_path, through_batch)
+    _retire_applied_tombstones(
+        spark, table, index_path, through_batch, tomb_snapshot
+    )
+
+
+def _tombstone_files(index_path: str) -> list[Path]:
+    """The tombstone sidecar's data files right now (flat batch-tagged
+    and plain-append parquet files; "_"/"."-prefixed bookkeeping
+    skipped). compact_index snapshots this BEFORE its masked fold so
+    retirement can be scoped to files the fold provably applied."""
+    tomb_dir = Path(index_path, _TOMBSTONES_DIR)
+    if not tomb_dir.exists():
+        return []
+    return [
+        p for p in tomb_dir.iterdir() if not p.name.startswith(("_", "."))
+    ]
 
 
 def _retire_applied_tombstones(
-    spark: SparkSession, table: str, index_path: str, through_batch: int
+    spark: SparkSession,
+    table: str,
+    index_path: str,
+    through_batch: int,
+    snapshot: list[Path],
 ) -> None:
     """Drop tombstones the fold just PHYSICALLY APPLIED, so the mask's
     broadcast set stays bounded on an infinite stream instead of
@@ -414,23 +442,34 @@ def _retire_applied_tombstones(
     this closes: before, the fold cadence only reclaimed DATA space,
     never sidecar space).
 
-    A tombstone is applied iff its doc has no rows left anywhere: ids
-    are never reused, a doc's postings live only in its ingest batch's
-    partition, and the fold was computed masked — so after folding
-    through T, only tombstones targeting docs in partitions > T can
-    still mask anything. Keep = tombstones semi-joined against the
-    unfolded tail (one scan of the few recent partitions; in the
-    streaming cadence the tail is empty and everything retires).
+    SCOPE = ``snapshot``: only tombstone files that existed BEFORE the
+    fold read its mask are candidates — those the fold provably
+    applied. A tombstone appended by a concurrent session during or
+    after the fold is left untouched even though its doc's rows may
+    have survived into the fold generation (where the tail filter
+    below would miss them); it keeps masking and retires at the next
+    fold (ADVICE r9). This is what makes delete_from_index's
+    concurrent-append claim true.
+
+    A snapshot tombstone is applied iff its doc has no rows left
+    anywhere: ids are never reused, a doc's postings live only in its
+    ingest batch's partition, and the fold was computed masked — so
+    after folding through T, only tombstones targeting docs in
+    partitions > T can still mask anything. Keep = snapshot tombstones
+    semi-joined against the unfolded tail (one scan of the few recent
+    partitions; in the streaming cadence the tail is empty and
+    everything retires).
 
     CRASH-SAFE BY MONOTONICITY, no new protocol: the kept set is
-    written first (atomic tmp+rename), then the superseded files are
-    deleted. A crash anywhere leaves kept ∪ old = old — over-masking
-    only by ids that mask nothing (they have no rows, by the rule
-    above). Single-writer like compaction itself; sealed batch-tagged
-    files are safe to delete because their batches can never replay
-    (the fold watermark is below the in-flight batch, and the
-    in-flight batch's tombstones are written AFTER the fold in every
-    stream driver)."""
+    written first (atomic tmp+rename, skipped when empty), then the
+    superseded files are deleted. A crash anywhere leaves
+    kept ∪ old = old — over-masking only by ids that mask nothing
+    (they have no rows, by the rule above). Sealed batch-tagged files
+    are safe to delete because their batches can never replay (the
+    fold watermark is below the in-flight batch, and the in-flight
+    batch's tombstones are written AFTER the fold in every stream
+    driver). When retirement empties the sidecar entirely, the dir
+    itself is removed so probes regain the no-delete fast path."""
     import uuid
 
     import pyarrow as pa
@@ -438,13 +477,11 @@ def _retire_applied_tombstones(
 
     import shutil
 
-    tomb = _tombstones(spark, index_path)
-    if tomb is None:
-        return
     tomb_dir = Path(index_path, _TOMBSTONES_DIR)
-    old = [
-        p for p in tomb_dir.iterdir() if not p.name.startswith(("_", "."))
-    ]
+    old = [p for p in snapshot if p.exists()]
+    if not old:
+        return
+    tomb = spark.read.schema("doc_id BIGINT").parquet(*[str(p) for p in old])
     tail = spark.table(table).filter(F.col("batch_id") > through_batch)
     kept = [
         r[0]
@@ -452,15 +489,22 @@ def _retire_applied_tombstones(
             tail.select("doc_id").distinct(), "doc_id", "left_semi"
         ).collect()
     ]
-    gen = pa.table({"doc_id": pa.array(sorted(kept), type=pa.int64())})
-    tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
-    pq.write_table(gen, tmp)
-    tmp.rename(tomb_dir / f"applied-gen-{uuid.uuid4().hex}.parquet")
+    if kept:
+        gen = pa.table({"doc_id": pa.array(sorted(kept), type=pa.int64())})
+        tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+        pq.write_table(gen, tmp)
+        tmp.rename(tomb_dir / f"applied-gen-{uuid.uuid4().hex}.parquet")
     for p in old:
         if p.is_dir():
             shutil.rmtree(p, ignore_errors=True)
         else:
             p.unlink(missing_ok=True)
+    try:
+        # only succeeds when truly empty (no concurrent appends, no
+        # kept gen) — restores the tomb_dir.exists() no-delete fast path
+        tomb_dir.rmdir()
+    except OSError:
+        pass
 
 
 def _recover_compaction(
@@ -528,15 +572,51 @@ def _recover_compaction(
 # re-using an id anyway requires reset_index + rebuild. A tombstone a
 # fold has fully applied masks nothing — and compact_index RETIRES it
 # (_retire_applied_tombstones) so the mask's broadcast set stays
-# bounded on an infinite stream. Retirement is crash-safe by
-# MONOTONICITY, not a protocol: the kept set is written before the
-# superseded files are deleted, and kept ∪ old = old (retired ids have
-# no rows left, so over-masking on a crash changes nothing). Streaming
+# bounded on an infinite stream. Retirement is scoped to the tombstone
+# files SNAPSHOTTED before the fold read its mask (so a concurrent
+# session's delete appended mid-fold is never retired unapplied) and is
+# crash-safe by MONOTONICITY, not a protocol: the kept set is written
+# before the superseded files are deleted, and kept ∪ old = old
+# (retired ids have no rows left, so over-masking on a crash changes
+# nothing). Streaming
 # consumers that need the PERMANENT takedown record (live_corpus)
 # keep their own sealed ledger (retract_ingest._write_retract_ledger)
 # — the sidecar is only the mask.
 
 _TOMBSTONES_DIR = "_TOMBSTONES"
+
+# DataFrame-argument deletes above this many ids are written as a
+# DISTRIBUTED single-file parquet job instead of collect()+pyarrow: a
+# routine takedown batch is tiny (driver-side pyarrow, ~10 ms beats a
+# Spark job's fixed ~0.5 s), but a bulk GDPR-style purge of 10^8 ids
+# must never materialize the id list on the driver (VERDICT r9 item 2).
+TOMBSTONE_COLLECT_MAX = 1_000_000
+
+
+def _write_tombstone_file_distributed(
+    ids_df: DataFrame, tomb_dir: Path, name: str, id_col: str
+) -> None:
+    """Write ``ids_df`` as ONE parquet file named ``name`` inside the
+    flat sidecar WITHOUT driver materialization: repartition(1) job to
+    a "."-prefixed temp dir (invisible to Spark's FileIndex even if
+    orphaned), then an atomic same-directory rename of its part file.
+    repartition(1), not coalesce(1): coalesce folds every parent
+    partition's work into one task (measured ~4.7 s for a local
+    relation); repartition keeps the upstream parallel and shuffles
+    into one writer."""
+    import shutil
+    import uuid
+
+    tmpdir = tomb_dir / f".tmpdel-{uuid.uuid4().hex}"
+    (
+        ids_df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(str(tmpdir))
+    )
+    part = next(tmpdir.glob("part-*.parquet"))
+    part.rename(tomb_dir / name)
+    shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def delete_from_index(
@@ -545,39 +625,39 @@ def delete_from_index(
     """Tombstone-delete documents from the index at ``index_path``.
 
     ``doc_ids``: an iterable of ids or a DataFrame with a ``doc_id``
-    column. Appends one parquet file of tombstone rows — Spark's file
-    commit makes the append atomic (a crashed write leaves only
-    uncommitted temporaries), and appends from concurrent sessions
-    compose because files are independent. Effective immediately for
-    every probe (masking reads the sidecar dir at plan time); space is
+    column. Appends one flat parquet file of tombstone rows (atomic
+    temp+rename), and appends from concurrent sessions compose because
+    files are independent — including with a concurrently-running
+    compact_index, whose retirement pass only ever touches files it
+    snapshotted BEFORE its fold read the mask
+    (_retire_applied_tombstones). Effective immediately for every
+    probe (masking reads the sidecar dir at plan time); space is
     reclaimed by the next compact_index fold.
 
     ``batch_tag`` makes the delete EXACTLY-ONCE for a streaming
-    micro-batch: the rows land in a file named by the tag
+    micro-batch: the rows land in a flat file named by the tag
     (``_TOMBSTONES/batch-<tag>.parquet``), so a foreachBatch replay
-    rewrites the same file instead of appending a second copy
-    (streaming/retract_ingest.py). Plain appends and tagged files
-    coexist — the mask read is recursive.
+    atomically REPLACES the same file instead of appending a second
+    copy (streaming/retract_ingest.py). Plain appends and tagged files
+    coexist — the mask reads every data file in the flat sidecar dir.
 
-    The write is DRIVER-SIDE pyarrow, not a Spark job: the tombstone
-    sidecar is bookkeeping metadata of the same class as the _BUCKETS
-    sidecar and the compaction manifests (the deleted set is small by
-    nature — takedowns, not re-ingests — and a DataFrame argument is
-    collected under that contract). A Spark write here measured 0.5-5 s
-    of pure job overhead PER MICRO-BATCH on the streaming retract path;
-    pyarrow is ~10 ms. Atomicity: write to a "."-prefixed temp (Spark's
-    FileIndex ignores it even if orphaned by a crash) then an
-    atomic same-directory rename."""
+    The write is DRIVER-SIDE pyarrow for routine takedown batches, not
+    a Spark job: the tombstone sidecar is bookkeeping metadata of the
+    same class as the _BUCKETS sidecar and the compaction manifests. A
+    Spark write here measured 0.5-5 s of pure job overhead PER
+    MICRO-BATCH on the streaming retract path; pyarrow is ~10 ms.
+    BOUNDED (VERDICT r9): a DataFrame argument is counted first, and
+    above TOMBSTONE_COLLECT_MAX ids the file is written by a
+    distributed single-partition Spark job instead — a bulk
+    GDPR-style purge never materializes its id list on the driver.
+    Atomicity either way: write to a "."-prefixed temp (Spark's
+    FileIndex ignores it even if orphaned by a crash) then an atomic
+    same-directory rename."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if isinstance(doc_ids, DataFrame):
-        ids = [r[0] for r in doc_ids.select(F.col("doc_id").cast("long")).collect()]
-    else:
-        ids = [int(d) for d in doc_ids]
-    table = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
     tomb_dir = Path(index_path, _TOMBSTONES_DIR)
     tomb_dir.mkdir(parents=True, exist_ok=True)
     name = (
@@ -585,6 +665,16 @@ def delete_from_index(
         if batch_tag is not None
         else f"tomb-{uuid.uuid4().hex}.parquet"
     )
+    if isinstance(doc_ids, DataFrame):
+        if doc_ids.count() > TOMBSTONE_COLLECT_MAX:
+            _write_tombstone_file_distributed(
+                doc_ids, tomb_dir, name, "doc_id"
+            )
+            return
+        ids = [r[0] for r in doc_ids.select(F.col("doc_id").cast("long")).collect()]
+    else:
+        ids = [int(d) for d in doc_ids]
+    table = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
     tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
     pq.write_table(table, tmp)
     tmp.rename(tomb_dir / name)
@@ -592,18 +682,17 @@ def delete_from_index(
 
 def _tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """Tombstoned doc_ids, or None when the index has never seen a
-    delete (the fast path: one directory stat, no plan overhead).
-    recursiveFileLookup: flat appended part files (delete_from_index)
-    and batch-tagged exactly-once subdirs read as one set; Spark's
-    FileIndex already skips "_"/"."-prefixed bookkeeping files."""
+    delete (the fast path: one directory stat, no plan overhead —
+    restored by retirement when the last tombstone is applied). The
+    sidecar is FLAT: plain appends (tomb-*.parquet), batch-tagged
+    exactly-once files (batch-<id>.parquet, atomic replace on replay)
+    and retirement generations (applied-gen-*.parquet) all live as
+    sibling files; Spark's FileIndex skips "_"/"."-prefixed
+    bookkeeping files."""
     tomb_dir = Path(index_path, _TOMBSTONES_DIR)
     if not tomb_dir.exists():
         return None
-    return (
-        spark.read.schema("doc_id BIGINT")
-        .option("recursiveFileLookup", "true")
-        .parquet(str(tomb_dir))
-    )
+    return spark.read.schema("doc_id BIGINT").parquet(str(tomb_dir))
 
 
 def mask_deleted(

@@ -1375,21 +1375,23 @@ def delete_vectors(
     micro-batch (streaming/ann_ingest retractions): the rows land in
     ``_TOMBSTONES/batch-<tag>.parquet``, so a foreachBatch replay
     atomically REPLACES the same file instead of appending a second
-    copy."""
+    copy.
+
+    BOUNDED like dedup_index.delete_from_index (VERDICT r9): a
+    DataFrame argument is counted first; above TOMBSTONE_COLLECT_MAX
+    ids the file is written by a distributed single-partition Spark
+    job — a bulk purge never materializes its id list on the driver."""
     import uuid
     from pathlib import Path
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if isinstance(vec_ids, DataFrame):
-        ids = [
-            r[0]
-            for r in vec_ids.select(F.col("vec_id").cast("long")).collect()
-        ]
-    else:
-        ids = [int(v) for v in vec_ids]
-    table = pa.table({"vec_id": pa.array(ids, type=pa.int64())})
+    from .dedup_index import (
+        TOMBSTONE_COLLECT_MAX,
+        _write_tombstone_file_distributed,
+    )
+
     tomb_dir = Path(index_path, _IVFPQ_TOMBSTONES_DIR)
     tomb_dir.mkdir(parents=True, exist_ok=True)
     name = (
@@ -1397,6 +1399,19 @@ def delete_vectors(
         if batch_tag is not None
         else f"tomb-{uuid.uuid4().hex}.parquet"
     )
+    if isinstance(vec_ids, DataFrame):
+        if vec_ids.count() > TOMBSTONE_COLLECT_MAX:
+            _write_tombstone_file_distributed(
+                vec_ids, tomb_dir, name, "vec_id"
+            )
+            return
+        ids = [
+            r[0]
+            for r in vec_ids.select(F.col("vec_id").cast("long")).collect()
+        ]
+    else:
+        ids = [int(v) for v in vec_ids]
+    table = pa.table({"vec_id": pa.array(ids, type=pa.int64())})
     tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
     pq.write_table(table, tmp)
     tmp.rename(tomb_dir / name)
@@ -1440,6 +1455,11 @@ def compact_ivfpq_index(
     src = spark.read.parquet(index_path).filter(
         F.col("batch_id") <= through_batch
     )
+    # snapshot the tombstone file list BEFORE the fold's mask reads the
+    # sidecar — retirement below only touches files the fold provably
+    # applied (a concurrent delete_vectors appended mid-fold survives
+    # and keeps masking; see dedup_index.compact_index, ADVICE r9)
+    tomb_snapshot = _vec_tombstone_files(index_path)
     # tombstoned vectors are PHYSICALLY dropped here (cf. the dedup
     # index's fold): the manifest row count is computed masked, so the
     # crash protocol is byte-identical to the undeleted case
@@ -1462,21 +1482,43 @@ def compact_ivfpq_index(
     ).mode("overwrite").parquet(index_path)
     _recover_ivfpq_compaction(spark, index_path)
     consolidated.unpersist()
-    _retire_applied_vec_tombstones(spark, index_path, through_batch)
+    _retire_applied_vec_tombstones(
+        spark, index_path, through_batch, tomb_snapshot
+    )
+
+
+def _vec_tombstone_files(index_path: str) -> list:
+    """Data files in the IVF-PQ tombstone sidecar right now —
+    compact_ivfpq_index snapshots this before its masked fold so
+    retirement is scoped to files the fold provably applied."""
+    from pathlib import Path
+
+    tomb_dir = Path(index_path, _IVFPQ_TOMBSTONES_DIR)
+    if not tomb_dir.exists():
+        return []
+    return [
+        p for p in tomb_dir.iterdir() if not p.name.startswith(("_", "."))
+    ]
 
 
 def _retire_applied_vec_tombstones(
-    spark: SparkSession, index_path: str, through_batch: int
+    spark: SparkSession, index_path: str, through_batch: int, snapshot: list
 ) -> None:
     """ANN twin of dedup_index._retire_applied_tombstones: after a
     masked fold through T, only tombstones targeting vectors in
     partitions > T can still mask anything (ids never reused; a
     vector's codes live only in its ingest batch's sub-partitions) —
     retire the rest so the query mask's broadcast set stays bounded
-    on an infinite ingest. Crash-safe by monotonicity: kept set
-    written first (atomic tmp+rename), superseded files deleted
-    after; kept ∪ old = old on any crash, and retired ids mask
-    nothing by construction."""
+    on an infinite ingest. SCOPE = ``snapshot``: only files that
+    existed before the fold read its mask are candidates; a tombstone
+    a concurrent session appended mid-fold (whose vector's codes may
+    have survived into the fold generation, invisible to the tail
+    filter) is left masking and retires next fold (ADVICE r9).
+    Crash-safe by monotonicity: kept set written first (atomic
+    tmp+rename, skipped when empty), superseded files deleted after;
+    kept ∪ old = old on any crash, and retired ids mask nothing by
+    construction. An emptied sidecar dir is removed to restore the
+    no-delete fast path."""
     import shutil
     import uuid
     from pathlib import Path
@@ -1485,12 +1527,10 @@ def _retire_applied_vec_tombstones(
     import pyarrow.parquet as pq
 
     tomb_dir = Path(index_path, _IVFPQ_TOMBSTONES_DIR)
-    if not tomb_dir.exists():
+    old = [p for p in snapshot if p.exists()]
+    if not old:
         return
-    tomb = spark.read.schema("vec_id BIGINT").parquet(str(tomb_dir))
-    old = [
-        p for p in tomb_dir.iterdir() if not p.name.startswith(("_", "."))
-    ]
+    tomb = spark.read.schema("vec_id BIGINT").parquet(*[str(p) for p in old])
     tail = spark.read.parquet(index_path).filter(
         F.col("batch_id") > through_batch
     )
@@ -1500,15 +1540,20 @@ def _retire_applied_vec_tombstones(
             tail.select("vec_id").distinct(), "vec_id", "left_semi"
         ).collect()
     ]
-    gen = pa.table({"vec_id": pa.array(sorted(kept), type=pa.int64())})
-    tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
-    pq.write_table(gen, tmp)
-    tmp.rename(tomb_dir / f"applied-gen-{uuid.uuid4().hex}.parquet")
+    if kept:
+        gen = pa.table({"vec_id": pa.array(sorted(kept), type=pa.int64())})
+        tmp = tomb_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+        pq.write_table(gen, tmp)
+        tmp.rename(tomb_dir / f"applied-gen-{uuid.uuid4().hex}.parquet")
     for p in old:
         if p.is_dir():
             shutil.rmtree(p, ignore_errors=True)
         else:
             p.unlink(missing_ok=True)
+    try:
+        tomb_dir.rmdir()  # only when empty: restores the fast path
+    except OSError:
+        pass
 
 
 def _recover_ivfpq_compaction(spark: SparkSession, index_path: str) -> None:

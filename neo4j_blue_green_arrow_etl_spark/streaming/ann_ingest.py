@@ -134,9 +134,12 @@ def stream_embedding_retract_ingest(
     sub-partitions, or between — replays to identical state: both
     writes are idempotent overwrites keyed by batch_id.
 
-    Contract (inherited): vec_ids are never reused; retracting an id
-    that a LATER batch re-appends is undefined (the mask would hide
-    the new rows too)."""
+    Contract (ENFORCED, like retract_ingest): vec_ids are never
+    reused. A ``vec`` row whose id is already tombstoned raises
+    ValueError before the batch's append — the mask would silently
+    hide the new rows too. The failed batch is replay-safe: the raise
+    precedes the append, and the batch's tombstone write is an
+    idempotent batch-keyed replacement."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         ArrayType,
@@ -180,10 +183,45 @@ def stream_embedding_retract_ingest(
             # physically at the NEXT fold — masking is immediate either
             # way
             compact_ivfpq_index(spark, index_path, batch_id)
-        retracts = batch_df.filter(F.col("kind") == "retract").select(
-            "vec_id"
-        )
-        delete_vectors(spark, index_path, retracts, batch_tag=batch_id)
+        retract_ids = [
+            r[0]
+            for r in batch_df.filter(F.col("kind") == "retract")
+            .select(F.col("vec_id").cast("long"))
+            .collect()
+        ]
+        if retract_ids:
+            # skip the write when the batch has no retractions (ADVICE
+            # r9): an unconditional zero-row file would create the
+            # tombstone sidecar on a takedown-free stream and defeat
+            # the tomb_dir-absent fast path forever. Replay-safe — a
+            # replayed batch derives the same empty set.
+            delete_vectors(
+                spark, index_path, retract_ids, batch_tag=batch_id
+            )
+        # ENFORCED CONTRACT: a vec row re-ingesting a tombstoned id is
+        # an upstream bug (the mask would hide its new codes forever).
+        # One broadcast-sized semi-join, only when tombstones exist.
+        tomb_dir = Path(index_path, "_TOMBSTONES")
+        if tomb_dir.exists():
+            tomb = spark.read.schema("vec_id BIGINT").parquet(
+                str(tomb_dir)
+            )
+            reused = [
+                r[0]
+                for r in batch_df.filter(F.col("kind") == "vec")
+                .select(F.col("vec_id").cast("long"))
+                .join(F.broadcast(tomb), "vec_id", "left_semi")
+                .limit(20)
+                .collect()
+            ]
+            if reused:
+                raise ValueError(
+                    f"batch {batch_id} re-ingests retracted vec_ids "
+                    f"{sorted(reused)} (first 20 shown): vec_ids are "
+                    "never reused — a tombstoned id's codes would be "
+                    "silently masked. Repair the upstream feed; the "
+                    "batch is replay-safe (the append has not run)."
+                )
         append_ivfpq_batch(
             spark,
             index_path,

@@ -203,7 +203,16 @@ def stream_neardup_ingest(
 
 
 def admitted_ids(spark: SparkSession, out_dir: str) -> DataFrame:
-    _recover_record_fold(out_dir)
+    """Every admitted doc_id on record. Readers run FINISH-ONLY fold
+    recovery (abort_incomplete=False): a committed-but-unfinished fold
+    is completed, but an IN-FLIGHT fold's manifest/temp dir is left
+    alone — so a reader racing a live stream's compact_corpus_record
+    can never yank the writer's state mid-protocol (ADVICE r9; the
+    abort path is the writer's, run at its own fold start). Reads
+    concurrent with an ACTIVELY-folding writer are still best-effort —
+    the writer may delete source files between this glob and the scan;
+    reads of a crashed or idle record are exact."""
+    _recover_record_fold(out_dir, abort_incomplete=False)
     files = sorted(Path(out_dir).glob("admitted-b*.parquet")) + sorted(
         Path(out_dir).glob("admitted-gen-*.parquet")
     )
@@ -225,11 +234,16 @@ def admitted_ids(spark: SparkSession, out_dir: str) -> DataFrame:
 #   -> rename the temp's part file to <prefix>-gen-<uuid>.parquet
 #   -> delete the listed sources -> delete the manifest
 #
-# Recovery (run by every reader): manifest + gen present -> finish
-# (delete sources, manifest); manifest present, gen absent -> abort
-# (delete manifest + temp; sources intact). Only SEALED batches may
-# fold (ids below the in-flight batch) — a replay can then never
-# rewrite a folded source.
+# Recovery: manifest + gen present -> finish (delete sources,
+# manifest); manifest present, gen absent -> the fold never committed.
+# Only the WRITER (compact_corpus_record, at its own fold start) may
+# ABORT that case (delete manifest + temp; sources intact): a READER
+# racing a live writer cannot distinguish "crashed" from "in flight",
+# so readers are FINISH-ONLY and leave an uncommitted fold untouched
+# (ADVICE r9 — the old always-abort reader could delete a running
+# writer's manifest mid-protocol and crash the stream). Only SEALED
+# batches may fold (ids below the in-flight batch) — a replay can then
+# never rewrite a folded source.
 # --------------------------------------------------------------------------
 
 
@@ -237,7 +251,7 @@ def _record_manifest(out_dir: str) -> Path:
     return Path(out_dir, "_RECORD_FOLD")
 
 
-def _recover_record_fold(out_dir: str) -> None:
+def _recover_record_fold(out_dir: str, abort_incomplete: bool = True) -> None:
     import json
     import shutil
 
@@ -249,9 +263,15 @@ def _recover_record_fold(out_dir: str) -> None:
     if gen.exists():
         for s in meta["sources"]:
             _rm_record(Path(out_dir, s))
+    elif not abort_incomplete:
+        # reader path: the fold is uncommitted — in flight or crashed,
+        # indistinguishable from here. Sources are intact either way;
+        # read them and let the writer's own recovery clean up.
+        return
     for p in Path(out_dir).glob(".tmpfold-*"):
         shutil.rmtree(p, ignore_errors=True)
-    manifest.unlink()
+    # missing_ok: a concurrent finisher may have unlinked it first
+    manifest.unlink(missing_ok=True)
 
 
 def _rm_record(p: Path) -> None:
@@ -304,5 +324,7 @@ def compact_corpus_record(
         part.rename(out / gen_name)
         for s in srcs:
             _rm_record(s)
-        _record_manifest(out_dir).unlink()
+        # missing_ok: once the gen rename lands, a concurrent reader's
+        # finish-only recovery may legitimately complete the fold first
+        _record_manifest(out_dir).unlink(missing_ok=True)
         shutil.rmtree(tmpdir, ignore_errors=True)

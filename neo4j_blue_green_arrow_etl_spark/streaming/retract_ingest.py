@@ -23,21 +23,29 @@ Semantics (deterministic, SQL-expressible — the q_st8_retract oracle):
   takedown has exactly two effects, both immediate: new near-dups of
   the retracted doc get admitted again, and the doc leaves the corpus.
 
-EXACTLY-ONCE: retraction tombstones write to an overwrite-mode
-batch-tagged subdir (``_TOMBSTONES/batch-<id>.parquet`` —
-delete_from_index(batch_tag=...)), so a foreachBatch replay rewrites
-the same directory; admissions and state writes reuse
+EXACTLY-ONCE: retraction tombstones write to a FLAT batch-tagged file
+(``_TOMBSTONES/batch-<id>.parquet`` — delete_from_index(batch_tag=...),
+atomic temp+rename), so a foreachBatch replay atomically REPLACES the
+same file; admissions and state writes reuse
 neardup_ingest.admit_batch's idempotent scheme unchanged. A crash in
 ANY window — after the tombstone write, after the admitted file,
 after the state partition, or between them in any order — replays to
 byte-identical outputs because every write is an idempotent overwrite
 keyed by batch_id and the state read filter (batch_id < current)
 hides the partial attempt (tests/test_retract_ingest.py pins the
-windows).
+windows). Batches with no retractions write NO tombstone file: a
+retraction-free stream keeps the index's tomb_dir-absent fast path,
+and a replayed batch derives the same empty set, so the skip is
+replay-safe.
 
-Contract (inherited from the tombstone design): doc_ids are never
-reused, so a retraction is permanent; re-ingesting a retracted id is
-undefined (the mask would silently hide its state postings).
+Contract (ENFORCED): doc_ids are never reused, so a retraction is
+permanent. Re-ingesting a retracted id raises ValueError in
+admit_batch_events BEFORE any admission/state write — the mask would
+otherwise silently hide the new doc's state postings (it would never
+match future arrivals). The failed batch is replay-safe: its
+tombstone/ledger writes are idempotent batch-keyed replacements and
+the raise precedes every other write, so a retried batch fails
+identically until the offending events are repaired upstream.
 """
 
 from __future__ import annotations
@@ -45,7 +53,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup_index import delete_from_index, ensure_index_table
+from ..operators.dedup_index import (
+    _tombstones,
+    delete_from_index,
+    ensure_index_table,
+)
 from .neardup_ingest import DOCS_STREAM_COLS, admit_batch, admitted_ids
 
 EVENTS_STREAM_COLS = ("kind", "doc_id", "text")
@@ -60,15 +72,20 @@ def admit_batch_events(
     batch_post: DataFrame | None = None,
 ) -> None:
     """One exactly-once micro-batch of MIXED events: tombstone the
-    batch's ``retract`` targets first (overwrite-mode batch-tagged
-    write — a replay rewrites, never duplicates), then run the plain
-    admission pipeline on the batch's ``doc`` rows. The tombstone
-    write is SEQUENCED before admit_batch on purpose: the admission
-    probe's state mask reads the tombstone sidecar at plan time, so
-    this batch's takedowns are already visible to this batch's own
-    probe — a same-batch (retract X, ingest near-dup-of-X) pair admits
-    the new doc. The tombstone write is a non-partitioned path write,
-    so it composes with admit_batch's concurrent-sink constraint
+    batch's ``retract`` targets first (flat batch-tagged file — a
+    replay atomically replaces, never duplicates; skipped entirely
+    when the batch has no retractions so a takedown-free stream keeps
+    the no-delete fast path), then FAIL LOUDLY if any of the batch's
+    ``doc`` rows re-ingests a tombstoned id (the enforced contract —
+    see the module docstring), then run the plain admission pipeline
+    on the batch's ``doc`` rows. The tombstone write is SEQUENCED
+    before admit_batch on purpose: the admission probe's state mask
+    reads the tombstone sidecar at plan time, so this batch's
+    takedowns are already visible to this batch's own probe — a
+    same-batch (retract X, ingest near-dup-of-X) pair admits the new
+    doc, while a same-batch (retract X, ingest X) pair raises. The
+    tombstone write is a non-partitioned path write, so it composes
+    with admit_batch's concurrent-sink constraint
     (neardup_ingest.admit_batch) without touching it.
 
     ``batch_post``: precomputed (doc_id, shingle, n) for exactly this
@@ -95,11 +112,39 @@ def admit_batch_events(
         .select(F.col("doc_id").cast("long"))
         .collect()
     ]
-    delete_from_index(spark, state_dir, retract_ids, batch_tag=batch_id)
+    if retract_ids:
+        # skipped when empty (ADVICE r9): an unconditional write would
+        # create _TOMBSTONES at batch 0 of a takedown-free stream and
+        # permanently defeat the tomb_dir-absent fast path. Replay-safe:
+        # a replayed batch derives the same empty set and skips again.
+        delete_from_index(spark, state_dir, retract_ids, batch_tag=batch_id)
     _write_retract_ledger(out_dir, batch_id, retract_ids)
     docs = batch_events.filter(F.col("kind") == "doc").select(
         *DOCS_STREAM_COLS
     )
+    # ENFORCED CONTRACT: doc_ids are never reused, so a doc row whose
+    # id is tombstoned (by this batch or any earlier one) is an
+    # upstream bug — the mask would silently hide its state postings
+    # forever. Fail before any admission/state write; the check is one
+    # broadcast-sized anti-join probe and runs only when tombstones
+    # exist at all.
+    tomb = _tombstones(spark, state_dir)
+    if tomb is not None:
+        reused = [
+            r[0]
+            for r in docs.select(F.col("doc_id").cast("long"))
+            .join(F.broadcast(tomb), "doc_id", "left_semi")
+            .limit(20)
+            .collect()
+        ]
+        if reused:
+            raise ValueError(
+                f"batch {batch_id} re-ingests retracted doc_ids "
+                f"{sorted(reused)} (first 20 shown): doc_ids are never "
+                "reused — a tombstoned id's postings would be silently "
+                "masked. Repair the upstream feed; the batch is "
+                "replay-safe (no admission/state write has happened)."
+            )
     admit_batch(
         spark, docs, state_dir, out_dir, batch_id, batch_post=batch_post
     )

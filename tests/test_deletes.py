@@ -102,9 +102,9 @@ def test_compact_physically_drops_tombstoned_rows(spark, tmp_path):
     assert raw.filter(F.col("doc_id").isin(victims)).count() == 0
     # probe result identical to the pre-fold masked probe
     assert _probe_pairs(spark, batch, table, path) == masked
-    # tombstones remain on disk (harmless: ids are never reused) and
-    # the manifest is gone
-    assert Path(path, _TOMBSTONES_DIR).exists()
+    # every tombstone was physically applied by the fold, so retirement
+    # emptied AND removed the sidecar — the no-delete fast path is back
+    assert not Path(path, _TOMBSTONES_DIR).exists()
     assert not Path(path, _COMPACT_MANIFEST).exists()
 
 
@@ -203,6 +203,170 @@ def test_x44e_is_x44_minus_deleted_matches(spark):
         .collect()
     }
     assert not batch_ids & corpus_ids
+
+
+def test_retirement_spares_mid_fold_tombstones(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a tombstone appended by a concurrent session
+    AFTER the fold read its mask targets a doc whose rows survived into
+    the fold generation — retirement must NOT delete it (the old
+    dir-listing form did, permanently losing the delete). Retirement is
+    now scoped to the file snapshot taken before the mask read."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup_index as di
+
+    path = str(tmp_path / "didx_race")
+    table, batch = _build(spark, path)
+    before = _probe_pairs(spark, batch, table, path)
+    ms = sorted({m for _, m in before if m % 10 != 0})
+    assert len(ms) >= 2, "fixture needs >= 2 distinct matches"
+    early, late = ms[0], ms[1]
+    delete_from_index(spark, path, [early])  # applied by the fold below
+
+    real_retire = di._retire_applied_tombstones
+
+    def inject_then_retire(spark_, table_, index_path_, through_, snap_):
+        # the concurrent session's delete lands after the fold's mask
+        # read (late's rows SURVIVED into the fold gen) but before
+        # retirement — the exact ADVICE race window
+        delete_from_index(spark_, index_path_, [late])
+        real_retire(spark_, table_, index_path_, through_, snap_)
+
+    monkeypatch.setattr(di, "_retire_applied_tombstones", inject_then_retire)
+    compact_index(spark, path, 1)
+    monkeypatch.undo()
+
+    # late's rows are physically IN the fold generation (mask predated
+    # the tombstone)...
+    raw = spark.read.schema("doc_id BIGINT, shingle BIGINT, n INT").parquet(
+        *[str(f) for f in Path(path).glob("batch_id=*/part-*")]
+    )
+    assert raw.filter(F.col("doc_id") == late).count() > 0
+    # ...but its tombstone SURVIVED retirement and still masks it:
+    assert Path(path, _TOMBSTONES_DIR).exists()
+    after = _probe_pairs(spark, batch, table, path)
+    assert after == {(d, m) for d, m in before if m not in (early, late)}
+    # the next fold physically applies it and retirement then clears
+    # the sidecar entirely
+    compact_index(spark, path, 1)
+    raw2 = spark.read.schema("doc_id BIGINT, shingle BIGINT, n INT").parquet(
+        *[str(f) for f in Path(path).glob("batch_id=*/part-*")]
+    )
+    assert raw2.filter(F.col("doc_id") == late).count() == 0
+    assert not Path(path, _TOMBSTONES_DIR).exists()
+    assert _probe_pairs(spark, batch, table, path) == after
+
+
+def test_ann_retirement_spares_mid_fold_tombstones(
+    spark, tmp_path, monkeypatch
+):
+    """The IVF-PQ twin of the retirement race: a delete_vectors append
+    landing between the fold's mask read and retirement survives and
+    keeps masking."""
+    import neo4j_blue_green_arrow_etl_spark.operators.similarity as sim
+
+    idx, qvec = _build_ann(spark, tmp_path)
+    before = [
+        r.vec_id
+        for r in sim.query_ivfpq_index(spark, idx, qvec, exclude_id=0).collect()
+    ]
+    early, late = before[0], before[1]
+    sim.delete_vectors(spark, idx, [early])
+
+    real_retire = sim._retire_applied_vec_tombstones
+
+    def inject_then_retire(spark_, index_path_, through_, snap_):
+        sim.delete_vectors(spark_, index_path_, [late])
+        real_retire(spark_, index_path_, through_, snap_)
+
+    monkeypatch.setattr(
+        sim, "_retire_applied_vec_tombstones", inject_then_retire
+    )
+    sim.compact_ivfpq_index(spark, idx, 0)
+    monkeypatch.undo()
+
+    raw = spark.read.parquet(idx)  # raw read, no mask
+    assert raw.filter(F.col("vec_id") == late).count() > 0
+    assert Path(idx, "_TOMBSTONES").exists()
+    after = [
+        r.vec_id
+        for r in sim.query_ivfpq_index(spark, idx, qvec, exclude_id=0).collect()
+    ]
+    assert late not in after and early not in after
+    # next fold applies it physically; sidecar then clears
+    sim.compact_ivfpq_index(spark, idx, 0)
+    assert spark.read.parquet(idx).filter(F.col("vec_id") == late).count() == 0
+    assert not Path(idx, "_TOMBSTONES").exists()
+
+
+def test_bulk_delete_never_collects_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 item 2: a DataFrame delete above TOMBSTONE_COLLECT_MAX
+    writes the tombstone file via a distributed single-partition job —
+    no driver id-list materialization. Pinned by lowering the threshold
+    and intercepting DataFrame.collect on the id frame's lineage."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup_index as di
+
+    path = str(tmp_path / "didx_bulk")
+    table, batch = _build(spark, path)
+    before = _probe_pairs(spark, batch, table, path)
+    ms = sorted({m for _, m in before if m % 10 != 0})
+    monkeypatch.setattr(di, "TOMBSTONE_COLLECT_MAX", 1)
+    victims_df = _docs(spark, SF_SMOKE).filter(
+        F.col("doc_id").isin(ms)
+    ).select("doc_id")
+    assert victims_df.count() > 1  # above the patched threshold
+
+    from pyspark.sql import DataFrame as _DF
+
+    def no_collect(self):
+        raise AssertionError(
+            "bulk delete must not collect ids to the driver"
+        )
+
+    monkeypatch.setattr(_DF, "collect", no_collect)
+    try:
+        delete_from_index(spark, path, victims_df)
+    finally:
+        monkeypatch.undo()
+    # mask in force, file named like a plain append
+    after = _probe_pairs(spark, batch, table, path)
+    assert after == {(d, m) for d, m in before if m not in set(ms)}
+    files = [
+        p.name for p in Path(path, _TOMBSTONES_DIR).iterdir()
+        if not p.name.startswith(("_", "."))
+    ]
+    assert len(files) == 1 and files[0].startswith("tomb-")
+
+
+def test_bulk_delete_vectors_distributed_path(spark, tmp_path, monkeypatch):
+    """delete_vectors shares the bounded-collect contract (batch_tag
+    naming preserved on the distributed path)."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup_index as di
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        delete_vectors,
+        query_ivfpq_index,
+    )
+
+    idx, qvec = _build_ann(spark, tmp_path)
+    before = [
+        r.vec_id
+        for r in query_ivfpq_index(spark, idx, qvec, exclude_id=0).collect()
+    ]
+    victims = before[:3]
+    monkeypatch.setattr(di, "TOMBSTONE_COLLECT_MAX", 1)
+    vdf = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(victims))
+        .select("vec_id")
+    )
+    delete_vectors(spark, idx, vdf, batch_tag=7)
+    monkeypatch.undo()
+    assert (Path(idx) / "_TOMBSTONES" / "batch-7.parquet").exists()
+    after = [
+        r.vec_id
+        for r in query_ivfpq_index(spark, idx, qvec, exclude_id=0).collect()
+    ]
+    assert not set(victims) & set(after)
 
 
 def test_ensure_refuses_part_files_without_sidecar(spark, tmp_path):

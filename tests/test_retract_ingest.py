@@ -330,7 +330,10 @@ def test_midstream_compaction_drops_retracted_postings(spark, tmp_path):
         _tombstones,
     )
 
-    masked_now = {r.doc_id for r in _tombstones(spark, state).collect()}
+    # r10: with every tombstone applied and batch 3 retraction-free,
+    # retirement removes the sidecar entirely (None = fast path back)
+    t = _tombstones(spark, state)
+    masked_now = set() if t is None else {r.doc_id for r in t.collect()}
     assert not masked_now & {0, 1}
     # the ledger survives the record fold: sealed per-batch files were
     # consolidated into a generation file, per-id content unchanged
@@ -553,6 +556,121 @@ def test_ann_retract_crash_between_tombstone_and_append(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# enforced reuse contract + tombstone-free fast path (r10)
+# --------------------------------------------------------------------------
+
+
+def test_reingest_of_retracted_id_raises(spark, tmp_path):
+    """The r9 'undefined behavior' is now an enforced contract: a doc
+    row whose id was tombstoned by ANY batch (earlier or its own)
+    raises before any admission/state write, and the failed batch
+    replays to the same failure."""
+    state = str(tmp_path / "state_reuse")
+    out = str(tmp_path / "out_reuse")
+    admit_batch_events(
+        spark, _events_df(spark, [_doc(0, "a"), _unique_doc(1)]), state, out, 0
+    )
+    admit_batch_events(
+        spark, _events_df(spark, [("retract", 0)]), state, out, 1
+    )
+    bad = _events_df(spark, [_doc(0, "a")])
+    with pytest.raises(ValueError, match="re-ingests retracted"):
+        admit_batch_events(spark, bad, state, out, 2)
+    # no admission or state write happened for the failed batch
+    assert not Path(out, "admitted-b2.parquet").exists()
+    assert not list(Path(state).glob("batch_id=2"))
+    # replay fails identically (tombstone/ledger writes are idempotent)
+    with pytest.raises(ValueError, match="re-ingests retracted"):
+        admit_batch_events(spark, bad, state, out, 2)
+    assert sorted(r.doc_id for r in live_corpus(spark, out).collect()) == [1]
+
+
+def test_same_batch_retract_and_reingest_raises(spark, tmp_path):
+    """(retract X, ingest X) in ONE batch is reuse too — the batch's
+    own tombstones are visible to its own guard. (Contrast with the
+    legal same-batch (retract X, ingest near-dup-of-X), pinned by
+    test_retraction_readmits_neardups_immediately.)"""
+    state = str(tmp_path / "state_samebatch")
+    out = str(tmp_path / "out_samebatch")
+    admit_batch_events(spark, _events_df(spark, [_doc(0, "a")]), state, out, 0)
+    with pytest.raises(ValueError, match="re-ingests retracted"):
+        admit_batch_events(
+            spark,
+            _events_df(spark, [("retract", 0), _doc(0, "a")]),
+            state,
+            out,
+            1,
+        )
+
+
+def test_retraction_free_stream_writes_no_tombstones(spark, tmp_path):
+    """ADVICE r9: batches without retractions must not create the
+    tombstone sidecar — a takedown-free stream keeps the
+    tomb_dir-absent fast path (no per-probe mask join ever)."""
+    state, out = _run_fold(
+        spark,
+        tmp_path,
+        [[_unique_doc(0)], [_unique_doc(1), _unique_doc(2)]],
+        subdir="_notomb",
+    )
+    assert not Path(state, "_TOMBSTONES").exists()
+    assert sorted(r.doc_id for r in live_corpus(spark, out).collect()) == [
+        0,
+        1,
+        2,
+    ]
+
+
+def test_ann_retraction_free_stream_writes_no_tombstones(spark, tmp_path):
+    """ANN twin of the fast-path preservation: a vec-only event stream
+    never creates the IVF-PQ tombstone sidecar."""
+    from neo4j_blue_green_arrow_etl_spark.streaming.ann_ingest import (
+        stream_embedding_retract_ingest,
+    )
+
+    idx = _boot_ann(spark, tmp_path)
+    src = tmp_path / "arrivals_clean"
+    _stage_vec_events(
+        spark, src, [("vec_id % 4 = 1", []), ("vec_id % 4 = 2", [])]
+    )
+    stream_embedding_retract_ingest(
+        spark, str(src), idx, str(tmp_path / "ckp_clean")
+    )
+    assert not Path(idx, "_TOMBSTONES").exists()
+
+
+def test_ann_reingest_of_retracted_id_fails_stream(spark, tmp_path):
+    """ANN reuse guard: a later batch re-appending a tombstoned vec_id
+    crashes the stream instead of silently masking the new codes."""
+    from pyspark.sql import functions as F
+
+    from neo4j_blue_green_arrow_etl_spark.streaming.ann_ingest import (
+        stream_embedding_retract_ingest,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    victim = sorted(
+        r.vec_id for r in e.filter("vec_id % 4 = 1").select("vec_id").collect()
+    )[0]
+    idx = _boot_ann(spark, tmp_path)
+    src = tmp_path / "arrivals_reuse"
+    # batch 0 ingests residue-1 (incl. victim); batch 1 retracts victim
+    # AND re-appends it in the same event file
+    _stage_vec_events(
+        spark,
+        src,
+        [
+            ("vec_id % 4 = 1", []),
+            (f"vec_id = {victim}", [victim]),
+        ],
+    )
+    with pytest.raises(Exception, match="re-ingests retracted"):
+        stream_embedding_retract_ingest(
+            spark, str(src), idx, str(tmp_path / "ckp_reuse")
+        )
+
+
+# --------------------------------------------------------------------------
 # property: random event schedules match the brute-force liveness rule
 # --------------------------------------------------------------------------
 
@@ -692,11 +810,19 @@ def test_record_fold_crash_windows(spark, tmp_path):
     assert not admitted0.exists()
     assert not _record_manifest(out).exists()
 
-    # abort-window: manifest names a gen that never got renamed
+    # abort-window: manifest names a gen that never got renamed. r10:
+    # READERS are finish-only (an uncommitted fold is indistinguishable
+    # from one a live writer has in flight — ADVICE r9), so the read is
+    # correct off the intact sources and the manifest is LEFT for the
+    # writer; the next compact_corpus_record aborts and clears it.
     _record_manifest(out).write_text(
         json.dumps({"prefix": "admitted", "sources": [gen],
                     "gen": "admitted-gen-neverexisted.parquet"})
     )
     got = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
-    assert got == want  # sources intact, manifest cleared
+    assert got == want  # sources intact
+    assert _record_manifest(out).exists()  # reader did not abort
+    compact_corpus_record(spark, out, 1)  # writer aborts, then refolds
     assert not _record_manifest(out).exists()
+    got = sorted(r.doc_id for r in live_corpus(spark, out, state).collect())
+    assert got == want
