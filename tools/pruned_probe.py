@@ -94,30 +94,58 @@ def main() -> None:
             "pruned": lambda: probe_dedup_index_pruned(spark, batch, idx),
             "auto": lambda: probe_dedup_index_auto(spark, batch, idx),
         }
-        for name, fn in routes.items():
-            best, rows = None, None
-            for _ in range(2):  # 2-pass min: drop warm-up jitter
+        # INTERLEAVED passes (r10): one pass of every route, repeated —
+        # host-noise spikes then hit all routes about equally instead of
+        # whichever route owned the noisy window (the r9 artifact showed
+        # auto 1.25-2.4x off its own underlying route from noise alone);
+        # min-of-4 per route drops the spikes.
+        best: dict[str, float] = {}
+        rows_by: dict[str, int] = {}
+        for fn in routes.values():  # untimed warm-up: codegen + caches
+            fn().count()
+        order = list(routes.items())
+        for i in range(10):
+            # rotate the visit order per pass: a multi-second host-noise
+            # burst then lands on a different route each cycle
+            for name, fn in order[i % 3 :] + order[: i % 3]:
                 t0 = time.time()
-                rows = fn().count()
+                rows_by[name] = fn().count()
                 sec = time.time() - t0
-                best = sec if best is None else min(best, sec)
-            row[name] = {"sec": round(best, 3), "rows": rows}
-        row["auto_route"] = (
+                best[name] = min(best.get(name, sec), sec)
+        for name in routes:
+            row[name] = {"sec": round(best[name], 3), "rows": rows_by[name]}
+        route = (
             "pruned"
             if len(touched) <= AUTO_PRUNE_THRESHOLD * args.buckets
             else "full"
         )
+        row["auto_route"] = route
+        # auto_vs_chosen is the router's true overhead (the decision
+        # job + ensure); auto_vs_min additionally exposes crossover
+        # calibration — at full bucket coverage the two underlying
+        # routes are equal within host noise and flip winners between
+        # runs, so auto_vs_min can exceed 1 there without any real
+        # overhead (see note).
+        row["auto_vs_chosen"] = round(best["auto"] / best[route], 3)
+        row["auto_vs_min"] = round(best["auto"] / min(best["full"], best["pruned"]), 3)
         result["batches"][str(size)] = row
         print(size, row)
 
     result["note"] = (
-        "2-pass min per cell, idle local[32], "
+        "10-pass rotating-order interleaved min per cell, idle local[32], "
         f"{args.buckets}-bucket index over the {args.sf_dir} corpus "
-        "side. r8 adds probe_dedup_index_auto: routes pruned when "
-        f"|touched|/buckets <= {AUTO_PRUNE_THRESHOLD} (the r7-measured "
-        "crossover), full co-located scan otherwise — auto should "
-        "track min(full, pruned) at every size, paying only the "
-        "touched-set distinct+collect on the full route."
+        "side. r8 added probe_dedup_index_auto (routes pruned when "
+        f"|touched|/buckets <= {AUTO_PRUNE_THRESHOLD}); r10: the exact "
+        "touched-set job's shuffle is BOUNDED (map-side partial "
+        "distinct caps it at width x partitions ids — one ~0.15 s job "
+        "at every batch size; the r9 'full-route overhead' was host "
+        "noise on top of it), and indexes wider than "
+        "_ESTIMATE_MIN_WIDTH pre-estimate with a single-row HLL agg "
+        "so a clearly-full batch skips even that. auto_vs_chosen is "
+        "the router's measured overhead; at 100% bucket coverage full "
+        "and pruned are equal within host noise and swap winners "
+        "between runs, so auto_vs_min at that cell reads the coin "
+        "flip, not the router."
     )
     out = args.out or "PRUNED_PROBE.json"
     Path(out).write_text(json.dumps(result, indent=1))
