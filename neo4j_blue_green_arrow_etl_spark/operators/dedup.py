@@ -400,11 +400,57 @@ ORDER BY 1, 2
     "shingle strings dominate the self-join shuffle).",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = (
-        shingles(_docs(spark, sf_dir))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
+    sh = hashed_shingle_postings(_docs(spark, sf_dir)).cache()
+    return ngram_pairs(sh)
+
+
+def hashed_shingle_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle BIGINT) — the exact tier's posting table with
+    xxhash64 keys (fixed 8-byte shuffle keys; see q_dedup_ngram's
+    docstring for the string-vs-hash measurement)."""
+    return shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
+
+
+# Duplicate-mass routing bar for the curation capstone (q_x45): the
+# EXACT pair tier is used only while candidate-pair volume stays
+# proportional to corpus size. Measured mass/doc (sum over shingle
+# groups of c(c-1)/2, per document): proportional regimes 28 (sf0.01),
+# 253 (sf0.1), 253.5 (tagwords x8 — scale-invariant by construction);
+# duplicate-adversarial suffix trees 535 at x2 and 2210 at x8, growing
+# ~linearly with the factor. 500 splits the measured gap: every
+# proportional corpus (including both oracle SFs) routes EXACT, every
+# adversarial tree routes CAPPED from x2 up.
+PAIR_MASS_PER_DOC = 500
+
+
+def shingle_pair_mass(sh: DataFrame) -> float:
+    """Candidate-pair volume of the exact shingle self-join: sum over
+    shingle groups of c*(c-1)/2. ONE aggregation over the postings
+    (groupBy shingle -> count -> sum), linear map-side work and a
+    distinct-shingles-bounded shuffle — this is the cheap estimator
+    that decides whether the quadratic-by-construction exact tier is
+    affordable, BEFORE paying for it (VERDICT r9 task 7; the same
+    histogram an LSH band-bucket stage computes)."""
+    row = (
+        sh.groupBy("shingle")
+        .count()
+        .agg(
+            F.sum(
+                F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2)
+            ).alias("m")
+        )
+        .first()
+    )
+    return float(row.m or 0.0)
+
+
+def ngram_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — q_dedup_ngram's exact-tier pair
+    pipeline over an already-built hashed posting table (factored out
+    so q_x45's duplicate-mass router can reuse the postings its
+    estimator just scanned)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("x")
     b = sh.alias("y")

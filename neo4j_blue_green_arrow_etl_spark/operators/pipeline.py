@@ -441,21 +441,50 @@ FROM o, t WHERE rs <= budget ORDER BY doc_id
     "whose labels anti-join the corpus into the budget histogram — as "
     "one correctness-gated query; the production-scale twin swaps the "
     "pair stage for MinHash-LSH (tools/bench_curation.py measures that "
-    "form at x100: 500k docs in 30.2 s). Scale: each stage is its "
-    "standalone query's proven shape; the survivor anti-join carries NO "
-    "broadcast hint — on a clean corpus the dropped set is small and "
-    "AQE broadcasts it at runtime, but on a majority-duplicate crawl "
-    "(the repo's own adversarial x100 run drops 495k of 500k docs) a "
-    "forced broadcast of most doc_ids is an executor-memory killer, so "
-    "the strategy is left to AQE's measured size (pinned by "
-    "tests/test_pipeline_ops.py::"
+    "form at x100: 500k docs in 30.2 s). r10: the pair tier is "
+    "DUPLICATE-MASS ROUTED — a one-aggregation shingle-bucket "
+    "histogram (shingle_pair_mass, over postings the exact tier needs "
+    "anyway) estimates candidate-pair volume first; corpora whose "
+    "mass/doc exceeds PAIR_MASS_PER_DOC (every measured adversarial "
+    "tree, no proportional one — calibration at dedup.py) take "
+    "q_x24b_fuzzy_capped's bounded tier instead of the "
+    "quadratic-by-construction exact join (173 s at x32 in "
+    "SCALE_PROBE_CAPSTONES_r9), mirroring the dedup-index probe "
+    "router. Both oracle SFs measure far below the bar, so the gated "
+    "output is byte-identical to the exact tier. Scale: each stage is "
+    "its standalone query's proven shape; the survivor anti-join "
+    "carries NO broadcast hint — on a clean corpus the dropped set is "
+    "small and AQE broadcasts it at runtime, but on a "
+    "majority-duplicate crawl (the repo's own adversarial x100 run "
+    "drops 495k of 500k docs) a forced broadcast of most doc_ids is "
+    "an executor-memory killer, so the strategy is left to AQE's "
+    "measured size (pinned by tests/test_pipeline_ops.py::"
     "test_curate_anti_join_not_forced_broadcast).",
 )
 def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import token_budget_select
+    from .dedup import (
+        PAIR_MASS_PER_DOC,
+        _docs,
+        hashed_shingle_postings,
+        ngram_pairs,
+        q_x24b_fuzzy_capped,
+        shingle_pair_mass,
+    )
     from .graph import connected_components_star
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir)
+    sh = hashed_shingle_postings(docs).cache()
+    mass = shingle_pair_mass(sh)  # materializes sh; reused below
+    if mass > PAIR_MASS_PER_DOC * docs.count():
+        # duplicate-adversarial corpus: the exact tier's verify volume
+        # is quadratic by construction — run the capped tier (q_x45b's
+        # pair stage) instead. The shingle postings are dropped; their
+        # build cost is noise next to the quadratic join avoided.
+        sh.unpersist()
+        pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+    else:
+        pairs = ngram_pairs(sh).select("doc_a", "doc_b")
     labels = connected_components_star(pairs)
     dropped = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")

@@ -235,3 +235,71 @@ def test_curate_anti_join_not_forced_broadcast(spark):
     # and the composed result still produces rows (value equality is
     # the driver's oracle gate)
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# q_x45 duplicate-mass routing (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_x45_routes_exact_on_proportional_corpus(spark, monkeypatch):
+    """On a proportional corpus (the oracle regime) the router must run
+    the EXACT pair tier — byte-identical output to the pre-router
+    composition, which the oracle sweep gates."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup as dd
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    from conftest import SF_SMOKE
+
+    calls = {"exact": 0, "capped": 0}
+    real_exact, real_capped = dd.ngram_pairs, dd.q_x24b_fuzzy_capped
+
+    def spy_exact(sh):
+        calls["exact"] += 1
+        return real_exact(sh)
+
+    def spy_capped(s, d):
+        calls["capped"] += 1
+        return real_capped(s, d)
+
+    monkeypatch.setattr(dd, "ngram_pairs", spy_exact)
+    monkeypatch.setattr(dd, "q_x24b_fuzzy_capped", spy_capped)
+    df = REGISTRY["q_x45_curate"].spark(spark, SF_SMOKE)
+    n = df.count()
+    assert calls == {"exact": 1, "capped": 0}
+    assert n > 0
+
+
+def test_x45_routes_capped_on_adversarial_corpus(spark, tmp_path, monkeypatch):
+    """A duplicate-heavy corpus (mass/doc far above PAIR_MASS_PER_DOC)
+    must take the capped tier instead of the quadratic exact join."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup as dd
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    # 120 exact-duplicate 30-word docs: 28 shared shingles, each with
+    # c=120 -> mass/doc = 28*120*119/2/120 = 1666 >> 500
+    text = " ".join(f"w{j}" for j in range(30))
+    rows = [(i, text, len(text)) for i in range(120)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, n_chars INT"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    calls = {"exact": 0, "capped": 0}
+    real_exact, real_capped = dd.ngram_pairs, dd.q_x24b_fuzzy_capped
+
+    def spy_exact(sh):
+        calls["exact"] += 1
+        return real_exact(sh)
+
+    def spy_capped(s, d):
+        calls["capped"] += 1
+        return real_capped(s, d)
+
+    monkeypatch.setattr(dd, "ngram_pairs", spy_exact)
+    monkeypatch.setattr(dd, "q_x24b_fuzzy_capped", spy_capped)
+    df = REGISTRY["q_x45_curate"].spark(spark, str(tmp_path))
+    n = df.count()
+    assert calls == {"exact": 0, "capped": 1}
+    # one canonical doc survives the dedup stage; the budget stage then
+    # keeps a 0.6-of-total prefix of it (>=0 rows, deterministic)
+    assert n >= 0
