@@ -899,3 +899,25 @@ def test_stream_embedding_ingest_exactly_once_with_compaction(spark, tmp_path):
         )
     )
     assert replay_rows == rows_before
+
+
+def test_calibrate_nprobe_meets_target_on_fixture(spark, tmp_path):
+    """The recall->nprobe policy knob (r10): the calibrator's chosen
+    nprobe must actually deliver the target recall on its own
+    measurement, and the measured map must be monotone-capped at the
+    cell count."""
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        IVF_CELLS,
+        build_ivfpq_index,
+        calibrate_nprobe,
+    )
+
+    idx = str(tmp_path / "ivfpq_cal")
+    build_ivfpq_index(spark, SF_SMOKE, idx)
+    pol = calibrate_nprobe(spark, idx, target_recall=0.9, n_queries=6)
+    assert pol["target"] == 0.9
+    assert 1 <= pol["nprobe"] <= IVF_CELLS
+    # chosen nprobe's own measured recall meets the target (or it is
+    # the max candidate — the documented "raise IVF_CELLS" signal)
+    measured = pol["measured"]
+    assert measured[pol["nprobe"]] >= 0.9 or pol["nprobe"] == max(measured)

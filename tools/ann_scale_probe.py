@@ -59,7 +59,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scales", default="1,2,4,8,16,32")
     ap.add_argument("--queries", type=int, default=5)
-    ap.add_argument("--nprobes", default="2,4,8")
+    ap.add_argument("--nprobes", default="2,4,8,16")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
@@ -175,6 +175,26 @@ def main() -> None:
                 "median_query_s": round(statistics.median(lat), 3),
                 "recall_at_5": round(statistics.mean(hits), 3),
             }
+        # recall->nprobe POLICY (r10): (a) smallest swept nprobe whose
+        # jittered-protocol recall meets 0.9; (b) what the library's
+        # own calibrator picks on this index (corpus-vector queries vs
+        # exact-cosine truth — the knob a deployment actually pins).
+        swept_ok = [
+            p
+            for p in nprobes
+            if point["nprobe"][str(p)]["recall_at_5"] >= 0.9
+        ]
+        from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+            calibrate_nprobe,
+        )
+
+        point["policy"] = {
+            "target_recall": 0.9,
+            "smallest_swept_nprobe_meeting_target": (
+                min(swept_ok) if swept_ok else None
+            ),
+            "calibrated": calibrate_nprobe(spark, idx, target_recall=0.9),
+        }
         result["scales"][f"x{scale}"] = point
         print(f"x{scale}: {json.dumps(point)}", flush=True)
 
@@ -193,7 +213,7 @@ def main() -> None:
         (a - mx) ** 2 for a in lx
     )
     result["latency_exponent_at_default_nprobe"] = round(slope, 3)
-    out = args.out or "SCALE_PROBE_ANN_r9.json"
+    out = args.out or "SCALE_PROBE_ANN_r10.json"
     Path(out).write_text(json.dumps(result, indent=1))
     print(f"wrote {out}; exponent {slope:.3f}")
 
