@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with a noop-format write (full plan runs, nothing
 collected to the driver) so timings measure the engine, not py4j row
 transfer.
+
+r10: two fixed sentinels (pure-JVM scan-agg; Arrow identity
+mapInPandas) are interleaved through the run; their medians against
+pinned idle references yield noise_factor / py_noise_factor and
+normalized_value = value / noise_factor — the numbers round-over-round
+comparisons and the 2x-of-baseline bar should use (see BASELINE.md's
+sentinel-normalized restatement).
 """
 
 from __future__ import annotations
@@ -20,6 +27,71 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
 from neo4j_blue_green_arrow_etl_spark.session import get_spark
+
+
+# --------------------------------------------------------------------------
+# Host-noise sentinel (VERDICT r9 task 1): the same code measured 204-257 s
+# across four runs of one session — a ±26% host/VM swing that makes raw
+# round-over-round comparisons (and the 2x-of-baseline bar) unenforceable.
+# A fixed PURE-JVM probe (lineitem scan -> 3-agg groupBy -> noop write, no
+# Python workers, no caches) is interleaved K times through the run; its
+# median against a pinned reference yields noise_factor, and
+# value/noise_factor is the normalized total that comparisons should use.
+#
+# TWO sentinels because this host's contention is NOT uniform: the
+# BASELINE.md-documented co-tenant signature inflates Python-worker
+# queries 2-6x while pure-JVM scans hold ~1.3x (observed again while
+# building this: q_sim_pq 2.6->16 s in the same run whose JVM sentinel
+# read only 1.30). The JVM factor is the primary normalizer (it matches
+# the r9 uniform-inflation episode the task targets); the PYTHON factor
+# (an Arrow identity mapInPandas — worker fork/exec + Arrow transfer) is
+# reported alongside so a Python-biased contention window is attributable
+# instead of reading as a code regression.
+#
+# Reference provenance (2026-08-16, this host, sf0.1 local[32], 12
+# post-warm-up samples each): JVM sentinel 0.29-0.49 s, quiet-floor tail
+# median 0.32; Python sentinel 0.25-0.37 s, median 0.28. The constants
+# only anchor the scale; consistency across rounds is what makes
+# normalized deltas comparable.
+SENTINEL_REF_SEC = 0.32
+SENTINEL_PY_REF_SEC = 0.28
+SENTINEL_EVERY = 25  # one sample of each sentinel per this many queries
+
+
+def _sentinel_sec(spark, sf_dir: str) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.avg("l_extendedprice").alias("p"),
+            F.count("*").alias("c"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
+
+
+def _sentinel_py_sec(spark, sf_dir: str) -> float:
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    t0 = time.time()
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("n_chars")
+        .mapInPandas(ident, schema="n_chars int")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
 
 
 _METRIC_KEYS = (
@@ -126,10 +198,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     metrics: dict[str, dict[str, int]] = {}
     base = _stage_totals(ui_port, app_id) if with_metrics else {}
+    # warm both sentinels' codegen/worker pools once so their samples
+    # measure the host, not first-hit compilation; then leading samples
+    _sentinel_sec(spark, sf_dir)
+    _sentinel_py_sec(spark, sf_dir)
+    sentinel_samples: list[float] = [_sentinel_sec(spark, sf_dir)]
+    sentinel_py_samples: list[float] = [_sentinel_py_sec(spark, sf_dir)]
+    since_sentinel = 0
     for pass_i in range(passes):
         for name in sorted(REGISTRY):
             if REGISTRY[name].alias_of:
                 continue  # driver-window alias: same code already timed
+            since_sentinel += 1
+            if since_sentinel >= SENTINEL_EVERY:
+                sentinel_samples.append(_sentinel_sec(spark, sf_dir))
+                sentinel_py_samples.append(_sentinel_py_sec(spark, sf_dir))
+                since_sentinel = 0
             t0 = time.time()
             try:
                 df = REGISTRY[name].spark(spark, sf_dir)
@@ -171,13 +255,38 @@ def main() -> None:
                     delta = {k: None for k in _METRIC_KEYS}
                 metrics[name] = delta
                 base = now
+    sentinel_samples.append(_sentinel_sec(spark, sf_dir))  # trailing
+    sentinel_py_samples.append(_sentinel_py_sec(spark, sf_dir))
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    import statistics
+
+    sent_median = round(statistics.median(sentinel_samples), 3)
+    noise_factor = round(sent_median / SENTINEL_REF_SEC, 3)
+    sent_py_median = round(statistics.median(sentinel_py_samples), 3)
+    py_noise_factor = round(sent_py_median / SENTINEL_PY_REF_SEC, 3)
+    sentinel = {
+        "jvm": {
+            "samples": [round(s, 3) for s in sentinel_samples],
+            "median_sec": sent_median,
+            "reference_sec": SENTINEL_REF_SEC,
+            "noise_factor": noise_factor,
+        },
+        "python_worker": {
+            "samples": [round(s, 3) for s in sentinel_py_samples],
+            "median_sec": sent_py_median,
+            "reference_sec": SENTINEL_PY_REF_SEC,
+            "noise_factor": py_noise_factor,
+        },
+    }
+    normalized_total = round(total / noise_factor, 3) if noise_factor > 0 else None
     payload = {
         "metric": "total_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sentinel": sentinel,
+        "normalized_value": normalized_total,
     }
     if passes > 1:
         payload["passes"] = passes
@@ -206,9 +315,21 @@ def main() -> None:
         "sf": sf,
         "n_queries": sum(1 for t in timings.values() if t >= 0),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "noise_factor": noise_factor,
+        "py_noise_factor": py_noise_factor,
+        "normalized_value": normalized_total,
+        "sentinel_median_sec": sent_median,
+        "sentinel_reference_sec": SENTINEL_REF_SEC,
         "queries": slowest,
         "note": "slowest-10 only; full per-query map in the previous "
-        "stdout line / SPARK_GRAFT_BENCH_OUT artifact",
+        "stdout line / SPARK_GRAFT_BENCH_OUT artifact. noise_factor = "
+        "median of interleaved pure-JVM sentinel runs / pinned idle "
+        "reference; normalized_value = value / noise_factor is the "
+        "number round-over-round comparisons should use. "
+        "py_noise_factor is the Arrow/Python-worker sentinel's factor: "
+        "when it far exceeds noise_factor, the host's contention is "
+        "Python-biased and Pandas-path queries inflate without any "
+        "code regression.",
     }
     if passes > 1:
         summary_line["passes"] = passes
