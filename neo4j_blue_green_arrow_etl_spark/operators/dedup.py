@@ -785,12 +785,47 @@ def fuzzy_block_pairs(d: DataFrame) -> DataFrame:
     "cannot concentrate its quadratic verify loop in one task.",
 )
 def q_x24_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select(
+    d = fuzzy_blocking_table(_docs(spark, sf_dir))
+    return fuzzy_block_pairs(d).transform(barrier_sort("doc_a", "doc_b"))
+
+
+def fuzzy_blocking_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok1, head) — the fuzzy tier's blocking input, factored
+    out so q_x31's duplicate-mass router can measure block mass on the
+    same table the exact tier would join."""
+    return docs.select(
         "doc_id",
         F.split(F.col("text"), " ").getItem(0).alias("tok1"),
         F.substring("text", 1, FUZZY_HEAD_CHARS).alias("head"),
     )
-    return fuzzy_block_pairs(d).transform(barrier_sort("doc_a", "doc_b"))
+
+
+# Duplicate-mass routing bar for the ER capstone (q_x31), the fuzzy
+# twin of PAIR_MASS_PER_DOC: measured block mass (sum over tok1 blocks
+# of c(c-1)/2, per document) is 8.5 (sf0.01), 83.5 (sf0.1), 83.5
+# (tagwords x8 — scale-invariant) on proportional corpora, vs 167 at
+# suffix x2 and 671 at x8, growing ~linearly with the factor. 160
+# splits the gap: both oracle SFs route the EXACT uncapped tier,
+# adversarial trees route the capped tier from x2 up.
+FUZZY_BLOCK_MASS_PER_DOC = 160
+
+
+def fuzzy_block_mass(d: DataFrame) -> float:
+    """Candidate-pair volume of the uncapped fuzzy blocking join: sum
+    over tok1 blocks of c*(c-1)/2 — one aggregation on the SAME key
+    the join itself uses (the block-size histogram fuzzy_block_pairs
+    computes anyway for salting)."""
+    row = (
+        d.groupBy("tok1")
+        .count()
+        .agg(
+            F.sum(
+                F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2)
+            ).alias("m")
+        )
+        .first()
+    )
+    return float(row.m or 0.0)
 
 
 def _star_pairs(rows: DataFrame, keys: list[str], rep_col: str) -> DataFrame:

@@ -329,13 +329,40 @@ FROM reach GROUP BY node ORDER BY doc_id
     "the same match pairs. Scale: each stage is the proven shape of "
     "its standalone query — blocking equi-join, per-block verify, "
     "log-round contraction; nothing quadratic outside a block, "
-    "nothing on the driver but per-round fingerprints.",
+    "nothing on the driver but per-round fingerprints. r10: the MATCH "
+    "tier is DUPLICATE-MASS ROUTED like q_x45's — the block-size "
+    "histogram (one aggregation on the join's own key) estimates pair "
+    "volume first, and corpora above FUZZY_BLOCK_MASS_PER_DOC take "
+    "q_x24b's capped tier (q_x31b's stage); both oracle SFs measure "
+    "far below the bar, so the gated output is byte-identical to the "
+    "uncapped tier (calibration at dedup.py).",
 )
 def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import q_x24_fuzzy
+    from .dedup import (
+        FUZZY_BLOCK_MASS_PER_DOC,
+        _docs,
+        fuzzy_block_mass,
+        fuzzy_block_pairs,
+        fuzzy_blocking_table,
+        q_x24b_fuzzy_capped,
+    )
     from .graph import connected_components_star
 
-    pairs = q_x24_fuzzy(spark, sf_dir).select("doc_a", "doc_b")
+    # DUPLICATE-MASS ROUTED pair tier (r10, mirroring q_x45's router):
+    # one aggregation over the blocking table — the same block-size
+    # histogram the salted join computes anyway — estimates candidate
+    # pair volume; a corpus whose block mass is super-linear in size
+    # (every measured adversarial tree, no proportional one —
+    # calibration at dedup.FUZZY_BLOCK_MASS_PER_DOC) takes the capped
+    # tier (q_x31b's pair stage) instead of the uncapped quadratic
+    # join. Both oracle SFs measure far below the bar, so the gated
+    # output is byte-identical to the uncapped tier.
+    docs = _docs(spark, sf_dir)
+    d = fuzzy_blocking_table(docs)
+    if fuzzy_block_mass(d) > FUZZY_BLOCK_MASS_PER_DOC * docs.count():
+        pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+    else:
+        pairs = fuzzy_block_pairs(d).select("doc_a", "doc_b")
     labels = connected_components_star(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),

@@ -303,3 +303,64 @@ def test_x45_routes_capped_on_adversarial_corpus(spark, tmp_path, monkeypatch):
     # one canonical doc survives the dedup stage; the budget stage then
     # keeps a 0.6-of-total prefix of it (>=0 rows, deterministic)
     assert n >= 0
+
+
+def test_x31_routes_exact_on_proportional_corpus(spark, monkeypatch):
+    """q_x31's r10 duplicate-mass router: the oracle regime must run
+    the uncapped fuzzy tier (byte-identical output — the sweep gates
+    the values; this pins the ROUTE)."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup as dd
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    from conftest import SF_SMOKE
+
+    calls = {"exact": 0, "capped": 0}
+    real_exact, real_capped = dd.fuzzy_block_pairs, dd.q_x24b_fuzzy_capped
+
+    def spy_exact(d):
+        calls["exact"] += 1
+        return real_exact(d)
+
+    def spy_capped(s, d):
+        calls["capped"] += 1
+        return real_capped(s, d)
+
+    monkeypatch.setattr(dd, "fuzzy_block_pairs", spy_exact)
+    monkeypatch.setattr(dd, "q_x24b_fuzzy_capped", spy_capped)
+    df = REGISTRY["q_x31_erclusters"].spark(spark, SF_SMOKE)
+    n = df.count()
+    assert calls == {"exact": 1, "capped": 0}
+    assert n > 0
+
+
+def test_x31_routes_capped_on_adversarial_corpus(spark, tmp_path, monkeypatch):
+    """A corpus whose first-token blocks are super-linear (every doc in
+    one block) must take the capped tier."""
+    import neo4j_blue_green_arrow_etl_spark.operators.dedup as dd
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    # 600 docs sharing tok1 -> block mass/doc = 599/2 = 299.5 >> 160
+    rows = [
+        (i, "common " + " ".join(f"u{i}w{j}" for j in range(10)), 80)
+        for i in range(600)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, n_chars INT"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    calls = {"exact": 0, "capped": 0}
+    real_exact, real_capped = dd.fuzzy_block_pairs, dd.q_x24b_fuzzy_capped
+
+    def spy_exact(d):
+        calls["exact"] += 1
+        return real_exact(d)
+
+    def spy_capped(s, d):
+        calls["capped"] += 1
+        return real_capped(s, d)
+
+    monkeypatch.setattr(dd, "fuzzy_block_pairs", spy_exact)
+    monkeypatch.setattr(dd, "q_x24b_fuzzy_capped", spy_capped)
+    df = REGISTRY["q_x31_erclusters"].spark(spark, str(tmp_path))
+    df.count()
+    assert calls == {"exact": 0, "capped": 1}
