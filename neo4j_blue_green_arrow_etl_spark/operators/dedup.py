@@ -810,6 +810,42 @@ def fuzzy_blocking_table(docs: DataFrame) -> DataFrame:
 FUZZY_BLOCK_MASS_PER_DOC = 160
 
 
+def route_by_mass(
+    query: str, mass: float, n_docs: int, bar: float, env_var: str
+) -> bool:
+    """The capstones' duplicate-mass routing DECISION, surfaced
+    (ADVICE r10: above the bar the capped tier produces a DIFFERENT
+    pair set than the exact tier — a semantic switch, not just a
+    physical-plan choice, so it must be visible and caller-tunable,
+    not silent behind a hardcoded constant). Returns True when the
+    capped tier should run. Every decision is LOGGED with the measured
+    mass, the bar in force, and the chosen tier; the bar itself is
+    overridable per-run via ``env_var`` (e.g.
+    SPARK_GRAFT_PAIR_MASS_PER_DOC) so a caller whose corpus sits near
+    the calibrated bar can pin either tier explicitly — set it huge to
+    force EXACT, 0 to force CAPPED. The near-bar cost of a wrong
+    routing is bounded (SCALE_PROBE_CAPSTONES near-bar regime: worst
+    routing <= ~1.3x the better tier), so the default stays automatic."""
+    import logging
+    import os
+
+    raw = os.environ.get(env_var)
+    if raw is not None:
+        bar = float(raw)
+    capped = mass > bar * n_docs
+    logging.getLogger(__name__).info(
+        "%s duplicate-mass router: mass/doc=%.1f vs bar=%.1f (%s%s) -> "
+        "%s tier",
+        query,
+        mass / max(n_docs, 1),
+        bar,
+        env_var,
+        " override" if raw is not None else " default",
+        "CAPPED" if capped else "EXACT",
+    )
+    return capped
+
+
 def fuzzy_block_mass(d: DataFrame) -> float:
     """Candidate-pair volume of the uncapped fuzzy blocking join: sum
     over tok1 blocks of c*(c-1)/2 — one aggregation on the SAME key

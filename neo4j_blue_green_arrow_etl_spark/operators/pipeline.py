@@ -335,7 +335,10 @@ FROM reach GROUP BY node ORDER BY doc_id
     "volume first, and corpora above FUZZY_BLOCK_MASS_PER_DOC take "
     "q_x24b's capped tier (q_x31b's stage); both oracle SFs measure "
     "far below the bar, so the gated output is byte-identical to the "
-    "uncapped tier (calibration at dedup.py).",
+    "uncapped tier (calibration at dedup.py). r11 (ADVICE r10): the "
+    "decision is LOGGED and the bar is caller-visible — "
+    "SPARK_GRAFT_FUZZY_BLOCK_MASS_PER_DOC overrides it per-run "
+    "(huge=force exact, 0=force capped).",
 )
 def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
@@ -357,9 +360,17 @@ def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tier (q_x31b's pair stage) instead of the uncapped quadratic
     # join. Both oracle SFs measure far below the bar, so the gated
     # output is byte-identical to the uncapped tier.
+    from .dedup import route_by_mass
+
     docs = _docs(spark, sf_dir)
     d = fuzzy_blocking_table(docs)
-    if fuzzy_block_mass(d) > FUZZY_BLOCK_MASS_PER_DOC * docs.count():
+    if route_by_mass(
+        "q_x31_erclusters",
+        fuzzy_block_mass(d),
+        docs.count(),
+        FUZZY_BLOCK_MASS_PER_DOC,
+        "SPARK_GRAFT_FUZZY_BLOCK_MASS_PER_DOC",
+    ):
         pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
     else:
         pairs = fuzzy_block_pairs(d).select("doc_a", "doc_b")
@@ -478,7 +489,10 @@ FROM o, t WHERE rs <= budget ORDER BY doc_id
     "quadratic-by-construction exact join (173 s at x32 in "
     "SCALE_PROBE_CAPSTONES_r9), mirroring the dedup-index probe "
     "router. Both oracle SFs measure far below the bar, so the gated "
-    "output is byte-identical to the exact tier. Scale: each stage is "
+    "output is byte-identical to the exact tier. r11 (ADVICE r10): "
+    "the routing decision is LOGGED with the measured mass and the "
+    "bar is caller-visible — SPARK_GRAFT_PAIR_MASS_PER_DOC overrides "
+    "it per-run (huge=force exact, 0=force capped). Scale: each stage is "
     "its standalone query's proven shape; the survivor anti-join "
     "carries NO broadcast hint — on a clean corpus the dropped set is "
     "small and AQE broadcasts it at runtime, but on a "
@@ -500,10 +514,18 @@ def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .graph import connected_components_star
 
+    from .dedup import route_by_mass
+
     docs = _docs(spark, sf_dir)
     sh = hashed_shingle_postings(docs).cache()
     mass = shingle_pair_mass(sh)  # materializes sh; reused below
-    if mass > PAIR_MASS_PER_DOC * docs.count():
+    if route_by_mass(
+        "q_x45_curate",
+        mass,
+        docs.count(),
+        PAIR_MASS_PER_DOC,
+        "SPARK_GRAFT_PAIR_MASS_PER_DOC",
+    ):
         # duplicate-adversarial corpus: the exact tier's verify volume
         # is quadratic by construction — run the capped tier (q_x45b's
         # pair stage) instead. The shingle postings are dropped; their

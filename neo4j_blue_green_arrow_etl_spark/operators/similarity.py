@@ -392,44 +392,123 @@ def ivf_centroids(e: DataFrame):
     return cmat
 
 
-def _cached_ivf_centroids(sf_dir: str, e: DataFrame):
-    """ivf_centroids with an at-rest per-corpus cache (a /tmp json
-    keyed by the embeddings table's file fingerprint): TRAINING is the
-    rare event of the IVF contract — the inline demo queries
-    (q_sim_ivf / q_sim_ivfpq) re-run per bench invocation and must not
-    re-pay the Lloyd rounds every call, exactly as q_x44b amortizes
-    its index build and q_st7 its streamed ingest. The at-rest builds
-    (build_ivf_index / build_ivfpq_index) persist their OWN centroid
-    copy next to the data and train fresh, uncached."""
+def _artifact_root():
+    """Root for AT-REST trained artifacts (VERDICT r10 task 1: the old
+    /tmp JSON was invisible to any other session — the driver's fresh
+    context re-paid full centroid training every bench run — and a
+    world-writable shared /tmp path is poisonable by another local
+    user, ADVICE r10). Default is the repo's own ``.at_rest/trained/``
+    (user-owned, committed alongside the code so a fresh process — or
+    a fresh machine cloning the repo — starts warm, exactly like
+    build_ivfpq_index's persisted ``_ivf_centroids.json``); a real
+    deployment points SPARK_GRAFT_ARTIFACTS next to the corpus the
+    same way the at-rest indexes live next to their data."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    if env:
+        return Path(env)
+    return Path(__file__).resolve().parents[2] / ".at_rest" / "trained"
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content hash of the embeddings table's data files — file BYTES,
+    not mtimes: the sandbox regenerates byte-identical testdata with
+    fresh mtimes every round, and a committed artifact must survive
+    that. Full-file md5 is fine at these sizes (MBs); a 100 TB table
+    would key on its snapshot/commit id instead (the same role)."""
+    import hashlib
+    from pathlib import Path
+
+    root = Path(sf_dir, "embeddings.parquet")
+    h = hashlib.md5()
+    for p in sorted(root.rglob("*") if root.is_dir() else [root]):
+        if p.is_file() and not p.name.startswith(("_", ".")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def _trained_artifact(name: str, sf_dir: str, params: dict, train):
+    """Load-or-train-and-persist a small trained tensor (coarse
+    centroids, PQ codebooks). The artifact file is keyed by corpus
+    CONTENT fingerprint + every hyperparameter (ADVICE r10: the old
+    stamp omitted IVF_CELLS etc., so a constant change could return
+    stale wrong-shape centroids), so a hyperparameter change simply
+    keys a different file. TRAINING is the rare event of the
+    ANN contract — demo queries re-run per bench invocation and must
+    not re-pay the Lloyd rounds; amortization lives where a second
+    session can see it. Atomic temp+rename write; a corrupt or
+    foreign file retrains and replaces."""
     import hashlib
     import json
     import uuid
-    from pathlib import Path
 
     import numpy as np
 
-    root = Path(sf_dir, "embeddings.parquet")
-    files = sorted(
-        (str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns)
-        for p in (root.rglob("*") if root.is_dir() else [root])
-        if p.is_file() and not p.name.startswith(("_", "."))
+    stamp = (
+        _corpus_fingerprint(sf_dir)
+        + ":"
+        + json.dumps(params, sort_keys=True)
     )
-    stamp = f"{sf_dir}:{hashlib.md5(repr(files).encode()).hexdigest()}"
-    cache = Path(
-        "/tmp/spark_graft_ivfcent",
-        hashlib.md5(f"{sf_dir}:ivfcent_v1".encode()).hexdigest()[:12]
-        + ".json",
+    key = hashlib.md5(stamp.encode()).hexdigest()[:16]
+    path = _artifact_root() / f"{name}-{key}.json"
+    if path.exists():
+        try:
+            meta = json.loads(path.read_text())
+            if meta.get("stamp") == stamp:
+                return np.asarray(meta["tensor"])
+        except (json.JSONDecodeError, KeyError, ValueError):
+            pass  # corrupt/foreign file: retrain and atomically replace
+    tensor = train()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.parent / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(
+        json.dumps(
+            {"stamp": stamp, "params": params, "tensor": tensor.tolist()}
+        )
     )
-    if cache.exists():
-        meta = json.loads(cache.read_text())
-        if meta.get("stamp") == stamp:
-            return np.asarray(meta["cmat"])
-    cmat = ivf_centroids(e)
-    cache.parent.mkdir(parents=True, exist_ok=True)
-    tmp = cache.parent / f".tmp-{uuid.uuid4().hex}"
-    tmp.write_text(json.dumps({"stamp": stamp, "cmat": cmat.tolist()}))
-    tmp.rename(cache)
-    return cmat
+    tmp.rename(path)
+    return tensor
+
+
+def _cached_ivf_centroids(sf_dir: str, e: DataFrame):
+    """ivf_centroids behind the at-rest artifact store — q_sim_ivf /
+    q_sim_ivfpq load the trained coarse centroids instead of re-paying
+    IVF_LLOYD_ITERS distributed rounds per call. The at-rest builds
+    (build_ivf_index / build_ivfpq_index) persist their OWN centroid
+    copy next to the data and train fresh, uncached."""
+    return _trained_artifact(
+        "ivf_centroids",
+        sf_dir,
+        {
+            "cells": IVF_CELLS,
+            "seed_pool": IVF_SEED_POOL,
+            "lloyd": IVF_LLOYD_ITERS,
+            "v": "ivfcent_v2",
+        },
+        lambda: ivf_centroids(e),
+    )
+
+
+def _cached_pq_codebooks(sf_dir: str, e: DataFrame):
+    """pq_codebooks behind the at-rest artifact store (VERDICT r10
+    task 2: q_sim_pq re-trained PQ_LLOYD_ITERS distributed rounds on
+    every call — the dominant share of its cost and the candidate for
+    exactly task 1's caching). build_ivfpq_index still trains fresh
+    and persists its own copy with the index."""
+    return _trained_artifact(
+        "pq_codebooks",
+        sf_dir,
+        {
+            "m": PQ_M,
+            "k": PQ_K,
+            "lloyd": PQ_LLOYD_ITERS,
+            "v": "pqcb_v1",
+        },
+        lambda: pq_codebooks(e),
+    )
 
 
 def _ivf_lloyd_round(e: DataFrame, cmat):
@@ -894,7 +973,7 @@ def _adc_table(cb, qvec):
 )
 def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    cb = pq_codebooks(e)
+    cb = _cached_pq_codebooks(sf_dir, e)
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
     tab = _adc_table(cb, qrow.embedding)
 
@@ -1346,7 +1425,7 @@ IVFPQ_REFINE = 64  # exact re-rank pool = TOP_K * IVFPQ_REFINE (r10: 32->64
 def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cmat = _cached_ivf_centroids(sf_dir, e)
-    cb = pq_codebooks(e)
+    cb = _cached_pq_codebooks(sf_dir, e)
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
     probe = _probe_cells(cmat, qrow.embedding)
     # probed cells first: the expensive encode pass touches only the
@@ -1520,10 +1599,12 @@ def delete_vectors(
     atomically REPLACES the same file instead of appending a second
     copy.
 
-    BOUNDED like dedup_index.delete_from_index (VERDICT r9): a
-    DataFrame argument is counted first; above TOMBSTONE_COLLECT_MAX
-    ids the file is written by a distributed single-partition Spark
-    job — a bulk purge never materializes its id list on the driver."""
+    BOUNDED like dedup_index.delete_from_index (VERDICT r9; single
+    evaluation per ADVICE r10): a DataFrame argument is probed once
+    with limit(MAX+1).collect() — the probe is the small-path id
+    list; above TOMBSTONE_COLLECT_MAX ids the file is written by a
+    distributed single-partition Spark job — a bulk purge never
+    materializes its id list on the driver."""
     import uuid
     from pathlib import Path
 
@@ -1543,15 +1624,20 @@ def delete_vectors(
         else f"tomb-{uuid.uuid4().hex}.parquet"
     )
     if isinstance(vec_ids, DataFrame):
-        if vec_ids.count() > TOMBSTONE_COLLECT_MAX:
+        # evaluate once (ADVICE r10) — see delete_from_index: the
+        # limit(MAX+1) probe both routes and is the small-path id list
+        probe = [
+            r[0]
+            for r in vec_ids.select(F.col("vec_id").cast("long"))
+            .limit(TOMBSTONE_COLLECT_MAX + 1)
+            .collect()
+        ]
+        if len(probe) > TOMBSTONE_COLLECT_MAX:
             _write_tombstone_file_distributed(
                 vec_ids, tomb_dir, name, "vec_id"
             )
             return
-        ids = [
-            r[0]
-            for r in vec_ids.select(F.col("vec_id").cast("long")).collect()
-        ]
+        ids = probe
     else:
         ids = [int(v) for v in vec_ids]
     table = pa.table({"vec_id": pa.array(ids, type=pa.int64())})

@@ -258,7 +258,12 @@ def _recover_record_fold(out_dir: str, abort_incomplete: bool = True) -> None:
     manifest = _record_manifest(out_dir)
     if not manifest.exists():
         return
-    meta = json.loads(manifest.read_text())
+    try:
+        meta = json.loads(manifest.read_text())
+    except FileNotFoundError:
+        # a concurrent finisher unlinked the manifest between exists()
+        # and read — the fold it described is complete; nothing to do
+        return
     gen = Path(out_dir, meta["gen"])
     if gen.exists():
         for s in meta["sources"]:
@@ -299,6 +304,10 @@ def compact_corpus_record(
 
     _recover_record_fold(out_dir)
     out = Path(out_dir)
+    # a crash between manifest temp-write and rename leaves a stray
+    # temp; only the writer (here) may clear it
+    for stray in out.glob(".tmpmanifest-*"):
+        stray.unlink(missing_ok=True)
     for prefix in ("admitted", "retracted"):
         srcs = [
             p
@@ -315,12 +324,17 @@ def compact_corpus_record(
         ids.repartition(1).write.mode("overwrite").parquet(str(tmpdir))
         part = next(tmpdir.glob("part-*.parquet"))
         gen_name = f"{prefix}-gen-{uuid.uuid4().hex}.parquet"
-        _record_manifest(out_dir).write_text(
+        # temp + atomic rename (ADVICE r10): a plain write_text lets a
+        # racing finish-only reader parse a partially-written manifest
+        manifest = _record_manifest(out_dir)
+        mtmp = out / f".tmpmanifest-{uuid.uuid4().hex}"
+        mtmp.write_text(
             json.dumps(
                 {"prefix": prefix, "sources": [p.name for p in srcs],
                  "gen": gen_name}
             )
         )
+        mtmp.rename(manifest)
         part.rename(out / gen_name)
         for s in srcs:
             _rm_record(s)

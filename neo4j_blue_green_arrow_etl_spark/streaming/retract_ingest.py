@@ -42,10 +42,14 @@ Contract (ENFORCED): doc_ids are never reused, so a retraction is
 permanent. Re-ingesting a retracted id raises ValueError in
 admit_batch_events BEFORE any admission/state write — the mask would
 otherwise silently hide the new doc's state postings (it would never
-match future arrivals). The failed batch is replay-safe: its
-tombstone/ledger writes are idempotent batch-keyed replacements and
-the raise precedes every other write, so a retried batch fails
-identically until the offending events are repaired upstream.
+match future arrivals). The check runs against the SEALED retract
+ledger (union the index's tombstone sidecar), so it keeps enforcing
+after compact_index retires applied tombstones from the sidecar —
+permanence is checked against the record with permanent lifetime
+(ADVICE r10). The failed batch is replay-safe: its tombstone/ledger
+writes are idempotent batch-keyed replacements and the raise precedes
+every other write, so a retried batch fails identically until the
+offending events are repaired upstream.
 """
 
 from __future__ import annotations
@@ -123,17 +127,29 @@ def admit_batch_events(
         *DOCS_STREAM_COLS
     )
     # ENFORCED CONTRACT: doc_ids are never reused, so a doc row whose
-    # id is tombstoned (by this batch or any earlier one) is an
+    # id was retracted (by this batch or any earlier one) is an
     # upstream bug — the mask would silently hide its state postings
-    # forever. Fail before any admission/state write; the check is one
-    # broadcast-sized anti-join probe and runs only when tombstones
-    # exist at all.
+    # forever. The check consults the PERMANENT retract ledger, not
+    # just the index's tombstone sidecar (ADVICE r10: the sidecar is a
+    # masking artifact compact_index RETIRES once a fold physically
+    # applies it, so a sidecar-only check stops enforcing after the
+    # first fold — "retraction is permanent" must be checked against
+    # the record with the same lifetime). The sidecar is unioned in
+    # for belt-and-braces (an at-rest delete_from_index caller could
+    # tombstone outside this pipeline's ledger). Fail before any
+    # admission/state write; one broadcast-sized semi-join probe.
+    retracted = _retract_ledger_ids(spark, out_dir)
     tomb = _tombstones(spark, state_dir)
     if tomb is not None:
+        tomb = tomb.select(F.col("doc_id").cast("long"))
+        retracted = (
+            tomb if retracted is None else retracted.unionByName(tomb)
+        )
+    if retracted is not None:
         reused = [
             r[0]
             for r in docs.select(F.col("doc_id").cast("long"))
-            .join(F.broadcast(tomb), "doc_id", "left_semi")
+            .join(F.broadcast(retracted), "doc_id", "left_semi")
             .limit(20)
             .collect()
         ]
@@ -147,6 +163,25 @@ def admit_batch_events(
             )
     admit_batch(
         spark, docs, state_dir, out_dir, batch_id, batch_post=batch_post
+    )
+
+
+def _retract_ledger_ids(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    """Every doc_id in the sealed permanent retract ledger
+    (``retracted-b*.parquet`` + folded ``retracted-gen-*.parquet``), or
+    None when no ledger file exists yet. Same file families and fold
+    recovery live_corpus reads."""
+    from pathlib import Path as _P
+
+    ledgers = sorted(_P(out_dir).glob("retracted-b*.parquet")) + sorted(
+        _P(out_dir).glob("retracted-gen-*.parquet")
+    )
+    if not ledgers:
+        return None
+    return spark.read.schema("doc_id BIGINT").parquet(
+        *[str(p) for p in ledgers]
     )
 
 

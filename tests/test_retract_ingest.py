@@ -585,6 +585,42 @@ def test_reingest_of_retracted_id_raises(spark, tmp_path):
     assert sorted(r.doc_id for r in live_corpus(spark, out).collect()) == [1]
 
 
+def test_reingest_raises_after_tombstone_retirement(spark, tmp_path):
+    """ADVICE r10: 'retraction is permanent' must survive tombstone
+    RETIREMENT — compact_index physically applies and then retires
+    sidecar tombstones, so a sidecar-only guard stops enforcing after
+    the first fold. The guard now consults the sealed retract LEDGER
+    (the record with permanent lifetime): re-ingesting a retracted id
+    still raises after a compaction fold has retired its tombstone."""
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup_index import (
+        _TOMBSTONES_DIR,
+        compact_index,
+    )
+
+    state = str(tmp_path / "state_retired")
+    out = str(tmp_path / "out_retired")
+    admit_batch_events(
+        spark, _events_df(spark, [_doc(0, "a"), _unique_doc(1)]), state, out, 0
+    )
+    admit_batch_events(
+        spark, _events_df(spark, [("retract", 0), _unique_doc(2)]), state, out, 1
+    )
+    # fold through the sealed batches: applies the tombstone physically
+    # and retires it from the sidecar
+    compact_index(spark, state, 1)
+    live_tombs = [
+        p
+        for p in Path(state, _TOMBSTONES_DIR).glob("*.parquet")
+        if not p.name.startswith(("applied-", "_", "."))
+    ] if Path(state, _TOMBSTONES_DIR).exists() else []
+    assert not live_tombs, "fold should have retired the applied tombstone"
+    with pytest.raises(ValueError, match="re-ingests retracted"):
+        admit_batch_events(
+            spark, _events_df(spark, [_doc(0, "a")]), state, out, 2
+        )
+    assert sorted(r.doc_id for r in live_corpus(spark, out).collect()) == [1, 2]
+
+
 def test_same_batch_retract_and_reingest_raises(spark, tmp_path):
     """(retract X, ingest X) in ONE batch is reuse too — the batch's
     own tombstones are visible to its own guard. (Contrast with the
