@@ -55,6 +55,16 @@ from neo4j_blue_green_arrow_etl_spark.session import get_spark
 # normalized deltas comparable.
 SENTINEL_REF_SEC = 0.32
 SENTINEL_PY_REF_SEC = 0.28
+# r11 (VERDICT r10 task 2): the identity Arrow sentinel measures worker
+# fork/exec + transfer, NOT sustained Python compute — the contention
+# class that actually hit q_sim_pq in r10 (2.07x normalized with
+# byte-identical shuffle) was compute-biased and slipped between both
+# sentinels. The third sentinel holds every core in a fixed NumPy
+# matmul loop inside mapInPandas; its factor attributes compute-class
+# contention (it is NOT the normalizer — the JVM factor stays primary).
+# Reference provenance (2026-08-16, this host, local[32], 12 post-warm
+# samples): 0.51-0.79 s under ambient load, quiet-floor tail median 0.55.
+SENTINEL_PYCOMPUTE_REF_SEC = 0.55
 SENTINEL_EVERY = 25  # one sample of each sentinel per this many queries
 
 
@@ -87,6 +97,38 @@ def _sentinel_py_sec(spark, sf_dir: str) -> float:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("n_chars")
         .mapInPandas(ident, schema="n_chars int")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
+
+
+def _sentinel_pycompute_sec(spark) -> float:
+    """Sustained Python-worker COMPUTE sentinel: 32 partitions each run
+    a fixed 400x400 matmul+tanh loop (~1 GFLOP/partition) — pinned
+    work, no input data dependence, so its wall time moves only with
+    the host's available CPU for Python processes."""
+
+    def work(it):
+        import numpy as np
+        import pandas as pd
+
+        a = (
+            np.arange(160_000, dtype=np.float64).reshape(400, 400)
+            / 1.0e5
+        )
+        s = 0.0
+        for _pdf in it:
+            for _ in range(8):
+                a = np.tanh(a @ a.T / 400.0)
+            s += float(a.sum())
+        yield pd.DataFrame({"s": [s]})
+
+    t0 = time.time()
+    (
+        spark.range(32, numPartitions=32)
+        .mapInPandas(work, schema="s double")
         .write.format("noop")
         .mode("overwrite")
         .save()
@@ -202,8 +244,10 @@ def main() -> None:
     # measure the host, not first-hit compilation; then leading samples
     _sentinel_sec(spark, sf_dir)
     _sentinel_py_sec(spark, sf_dir)
+    _sentinel_pycompute_sec(spark)
     sentinel_samples: list[float] = [_sentinel_sec(spark, sf_dir)]
     sentinel_py_samples: list[float] = [_sentinel_py_sec(spark, sf_dir)]
+    sentinel_pc_samples: list[float] = [_sentinel_pycompute_sec(spark)]
     since_sentinel = 0
     for pass_i in range(passes):
         for name in sorted(REGISTRY):
@@ -213,6 +257,7 @@ def main() -> None:
             if since_sentinel >= SENTINEL_EVERY:
                 sentinel_samples.append(_sentinel_sec(spark, sf_dir))
                 sentinel_py_samples.append(_sentinel_py_sec(spark, sf_dir))
+                sentinel_pc_samples.append(_sentinel_pycompute_sec(spark))
                 since_sentinel = 0
             t0 = time.time()
             try:
@@ -257,6 +302,7 @@ def main() -> None:
                 base = now
     sentinel_samples.append(_sentinel_sec(spark, sf_dir))  # trailing
     sentinel_py_samples.append(_sentinel_py_sec(spark, sf_dir))
+    sentinel_pc_samples.append(_sentinel_pycompute_sec(spark))
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     import statistics
 
@@ -264,6 +310,10 @@ def main() -> None:
     noise_factor = round(sent_median / SENTINEL_REF_SEC, 3)
     sent_py_median = round(statistics.median(sentinel_py_samples), 3)
     py_noise_factor = round(sent_py_median / SENTINEL_PY_REF_SEC, 3)
+    sent_pc_median = round(statistics.median(sentinel_pc_samples), 3)
+    pycompute_noise_factor = round(
+        sent_pc_median / SENTINEL_PYCOMPUTE_REF_SEC, 3
+    )
     sentinel = {
         "jvm": {
             "samples": [round(s, 3) for s in sentinel_samples],
@@ -276,6 +326,12 @@ def main() -> None:
             "median_sec": sent_py_median,
             "reference_sec": SENTINEL_PY_REF_SEC,
             "noise_factor": py_noise_factor,
+        },
+        "python_compute": {
+            "samples": [round(s, 3) for s in sentinel_pc_samples],
+            "median_sec": sent_pc_median,
+            "reference_sec": SENTINEL_PYCOMPUTE_REF_SEC,
+            "noise_factor": pycompute_noise_factor,
         },
     }
     normalized_total = round(total / noise_factor, 3) if noise_factor > 0 else None
@@ -317,6 +373,7 @@ def main() -> None:
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "noise_factor": noise_factor,
         "py_noise_factor": py_noise_factor,
+        "pycompute_noise_factor": pycompute_noise_factor,
         "normalized_value": normalized_total,
         "sentinel_median_sec": sent_median,
         "sentinel_reference_sec": SENTINEL_REF_SEC,
@@ -329,7 +386,10 @@ def main() -> None:
         "py_noise_factor is the Arrow/Python-worker sentinel's factor: "
         "when it far exceeds noise_factor, the host's contention is "
         "Python-biased and Pandas-path queries inflate without any "
-        "code regression.",
+        "code regression. pycompute_noise_factor (r11) is the "
+        "sustained-NumPy-compute sentinel's factor: it attributes the "
+        "compute-class contention that moves neither other sentinel "
+        "(the mode that inflated q_sim_pq 2x in r10).",
     }
     if passes > 1:
         summary_line["passes"] = passes

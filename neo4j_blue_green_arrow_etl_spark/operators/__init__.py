@@ -27,75 +27,77 @@ from .relational import REGISTRY, QuerySpec
 # re-registers one representative of such a family under an
 # early-alphabet name — same callable, same oracle, flagged alias_of so
 # bench.py times nothing twice and coverage counts exclude them.
-# Round-10 rotation (VERDICT r9 task 3): after nine rounds, ~80 of the
-# 196 real queries had never had a driver-side oracle row (the driver
-# samples the first 50 names alphabetically, so q_a*/q_f* families
-# owned the window every round). This round hands the ENTIRE window to
-# never-gated queries: 50 aliases named q_0cap* (sorting before q_a1,
-# so they ARE the window) covering the whole ungated TPC-H family, all
-# six subquery shapes, the window-function family, udf/udaf/udtf, the
-# ungated joins and time-series ops, sets, audio, text-repetition,
-# streaming ANN ingest, and ten x-series curation ops — several of
-# which (x44_incrdedup, x5_dupclusters, x24_fuzzy, x31b, x22, x21, x2,
-# x6) also re-gate code this round changed (probe_match_pairs router,
-# ngram_pairs refactor, capped tier, ivf centroids). Everything
-# displaced from the old window (q_a*/q_cap01-12 targets) stayed green
-# in r9 and remains gated by the full local sweeps.
+# Round-11 rotation (VERDICT r10 task 3): r10 gated 50 never-gated
+# queries; 32 real queries remained with no driver oracle row in ANY
+# round (computed by resolving every historical CORRECTNESS_r* window
+# through its alias map) — the whole ungated x-series text/curation
+# family. This window covers ALL 32, bringing every real query to >= 1
+# lifetime driver gating, plus 18 re-gates of code r11 changed: the
+# at-rest trained-artifact sim family (ivf/ivfpq/pq), the
+# ledger-guarded retract streams (st8/st9) and manifest-hardened st6,
+# the single-evaluation delete leg (x44e) and its index siblings
+# (x44b/c/d), the sharded-boundary token budget (x42), both
+# duplicate-mass-routed capstones and their capped twins
+# (x45/x45b/x31/x31b), the fuzzy tiers (x24/x24b), and exact dedup
+# (x1, anchor of the changed dedup path). Everything displaced stayed
+# green in r10 and remains gated by the full local sweeps.
 # History: r5 ts1/ev1/dq1/prof1; r6 sim_pq/sim_ivfpq; r7 x44b/c, st6;
 # r8 x44d, st6, x44b/c, x45, g6_bfs, g10_sssp, mm_patches,
 # mm_segments, w9_islands; r9 x44e, x45b, st8, st9, st6, h9, h21,
-# g9, ts5, x40, x42, x33 — all green in their windows.
+# g9, ts5, x40, x42, x33; r10 the whole TPC-H/subquery/window/udf/
+# join/ts/sets/mm/text/streaming-ANN block — all green in their
+# windows.
 _DRIVER_ROTATION = {
-    "q_0cap01_h6_forecast": "q_h6_forecast",
-    "q_0cap02_h7_volume": "q_h7_volume",
-    "q_0cap03_h8_share": "q_h8_share",
-    "q_0cap04_h10_returns": "q_h10_returns",
-    "q_0cap05_h11_partvalue": "q_h11_partvalue",
-    "q_0cap06_h12_latebucket": "q_h12_latebucket",
-    "q_0cap07_h13_custdist": "q_h13_custdist",
-    "q_0cap08_h15_topsupp": "q_h15_topsupp",
-    "q_0cap09_h16_suppcnt": "q_h16_suppcnt",
-    "q_0cap10_h18_bigorders": "q_h18_bigorders",
-    "q_0cap11_sq1_exists": "q_sq1_exists",
-    "q_0cap12_sq2_in": "q_sq2_in",
-    "q_0cap13_sq3_corr17": "q_sq3_corr17",
-    "q_0cap14_sq4_scalar": "q_sq4_scalar",
-    "q_0cap15_sq5_notexists": "q_sq5_notexists",
-    "q_0cap16_sq6_q2min": "q_sq6_q2min",
-    "q_0cap17_w2": "q_w2",
-    "q_0cap18_w3": "q_w3",
-    "q_0cap19_w4_scd2": "q_w4_scd2",
-    "q_0cap20_w5_range": "q_w5_range",
-    "q_0cap21_w6_rank": "q_w6_rank",
-    "q_0cap22_w7_firstlast": "q_w7_firstlast",
-    "q_0cap23_w8_share": "q_w8_share",
-    "q_0cap24_w10_rollmedian": "q_w10_rollmedian",
-    "q_0cap25_udf_qnorm": "q_udf_qnorm",
-    "q_0cap26_udf_zscore": "q_udf_zscore",
-    "q_0cap27_udaf_wavg": "q_udaf_wavg",
-    "q_0cap28_udtf_tokens": "q_udtf_tokens",
-    "q_0cap29_j13_q19": "q_j13_q19",
-    "q_0cap30_j14_nullsafe": "q_j14_nullsafe",
-    "q_0cap31_j15_q22": "q_j15_q22",
-    "q_0cap32_j16_bloom": "q_j16_bloom",
-    "q_0cap33_ts2_ewma": "q_ts2_ewma",
-    "q_0cap34_ts3_interp": "q_ts3_interp",
-    "q_0cap35_ts4_rollup": "q_ts4_rollup",
-    "q_0cap36_ts6_anomaly": "q_ts6_anomaly",
-    "q_0cap37_u2": "q_u2",
-    "q_0cap38_u3": "q_u3",
-    "q_0cap39_mm_audio_rms": "q_mm_audio_rms",
-    "q_0cap40_text_repetition": "q_text_repetition",
-    "q_0cap41_st7_annstream": "q_st7_annstream_ingest",
-    "q_0cap42_x44_incrdedup": "q_x44_incrdedup",
-    "q_0cap43_x31b_ercapped": "q_x31b_erclusters_capped",
-    "q_0cap44_x24_fuzzy": "q_x24_fuzzy",
-    "q_0cap45_x22_semdedup": "q_x22_semdedup",
-    "q_0cap46_x21_kmeans": "q_x21_kmeans",
-    "q_0cap47_x2_bruteann": "q_x2",
-    "q_0cap48_x6_batchann": "q_x6_batchann",
-    "q_0cap49_x5_dupclusters": "q_x5_dupclusters",
-    "q_0cap50_x8_decontam": "q_x8_decontam",
+    "q_0cap01_x3_lang": "q_x3_lang",
+    "q_0cap02_x3_tokens": "q_x3_tokens",
+    "q_0cap03_x4_split": "q_x4_split",
+    "q_0cap04_x5b_clusters_star": "q_x5b_clusters_star",
+    "q_0cap05_x7_corpus": "q_x7_corpus",
+    "q_0cap06_x9_mix": "q_x9_mix",
+    "q_0cap07_x10_idf": "q_x10_idf",
+    "q_0cap08_x11_pack": "q_x11_pack",
+    "q_0cap09_x12_quant": "q_x12_quant",
+    "q_0cap10_x13_sample": "q_x13_sample",
+    "q_0cap11_x14_chunk": "q_x14_chunk",
+    "q_0cap12_x15_incragg": "q_x15_incragg",
+    "q_0cap13_x16_cdc": "q_x16_cdc",
+    "q_0cap14_x17_score": "q_x17_score",
+    "q_0cap15_x18_centroid": "q_x18_centroid",
+    "q_0cap16_x19_feathash": "q_x19_feathash",
+    "q_0cap17_x20_tokfreq": "q_x20_tokfreq",
+    "q_0cap18_x23_spandedup": "q_x23_spandedup",
+    "q_0cap19_x25_winsorize": "q_x25_winsorize",
+    "q_0cap20_x26_overlap": "q_x26_overlap",
+    "q_0cap21_x27_qbucket": "q_x27_qbucket",
+    "q_0cap22_x28_pmi": "q_x28_pmi",
+    "q_0cap23_x29_domcap": "q_x29_domcap",
+    "q_0cap24_x30_snapdiff": "q_x30_snapdiff",
+    "q_0cap25_x32_lmscore": "q_x32_lmscore",
+    "q_0cap26_x34_tfidfpairs": "q_x34_tfidfpairs",
+    "q_0cap27_x35_entropy": "q_x35_entropy",
+    "q_0cap28_x36_qualitygate": "q_x36_qualitygate",
+    "q_0cap29_x37_charprofile": "q_x37_charprofile",
+    "q_0cap30_x38_bpemerge": "q_x38_bpemerge",
+    "q_0cap31_x39_hardneg": "q_x39_hardneg",
+    "q_0cap32_x41_epochmix": "q_x41_epochmix",
+    "q_0cap33_sim_ivf": "q_sim_ivf",
+    "q_0cap34_sim_ivfpq": "q_sim_ivfpq",
+    "q_0cap35_sim_pq": "q_sim_pq",
+    "q_0cap36_st6_neardup": "q_st6_neardup",
+    "q_0cap37_st8_retract": "q_st8_retract",
+    "q_0cap38_st9_annretract": "q_st9_annretract",
+    "q_0cap39_x42_tokenbudget": "q_x42_tokenbudget",
+    "q_0cap40_x44b_indexed": "q_x44b_incrdedup_indexed",
+    "q_0cap41_x44c_compacted": "q_x44c_incrdedup_compacted",
+    "q_0cap42_x44d_pruned": "q_x44d_incrdedup_pruned",
+    "q_0cap43_x44e_deleted": "q_x44e_incrdedup_deleted",
+    "q_0cap44_x45_curate": "q_x45_curate",
+    "q_0cap45_x45b_capped": "q_x45b_curate_capped",
+    "q_0cap46_x31_erclusters": "q_x31_erclusters",
+    "q_0cap47_x31b_ercapped": "q_x31b_erclusters_capped",
+    "q_0cap48_x24_fuzzy": "q_x24_fuzzy",
+    "q_0cap49_x24b_capped": "q_x24b_fuzzy_capped",
+    "q_0cap50_x1_dedup": "q_x1",
 }
 for _alias, _target in _DRIVER_ROTATION.items():
     _spec = REGISTRY.get(_target)

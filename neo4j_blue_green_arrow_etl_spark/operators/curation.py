@@ -387,6 +387,7 @@ def q_x41_epochmix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needs an exact per-doc ordering) holds ~1/_BUDGET_BINS of the corpus
 _BUDGET_BINS = 1000
 _BUDGET_FRAC = 0.6  # keep the best 60% of corpus characters
+_BOUNDARY_SHARDS = 32  # id-range shards for the boundary bin's prefix sum
 
 _BUDGET_ORACLE = """
 WITH s AS (SELECT doc_id, n_chars,
@@ -414,8 +415,12 @@ FROM o, t WHERE rs <= budget ORDER BY doc_id
     "summary (tiny), find the cutoff bin with a window over bins "
     "only, keep WHOLE bins above the cutoff via a broadcast semi-join "
     "(map-side, no doc shuffle), and run the exact per-doc running "
-    "sum only inside the single boundary bin (~1/1000 of the corpus; "
-    "raise the bin count if a quality plateau makes it hot). "
+    "sum only inside the single boundary bin (~1/1000 of the corpus). "
+    "r11: the boundary running sum is itself a SHARDED prefix sum "
+    "(contiguous doc_id-range shards, per-shard cumsum in parallel, "
+    "tiny offsets window) so even a quality-degenerate corpus with "
+    "every doc in one bin never funnels through a single-partition "
+    "window. "
     "Tie-break inside the boundary bin is doc_id order, so the "
     "selection is total and engine-portable.",
 )
@@ -468,14 +473,59 @@ def token_budget_select(
         F.broadcast(boundary.select("qbin", "cum_before", "budget")),
         "qbin",
     )
-    wd = Window.orderBy("doc_id")  # boundary-bin docs only
-    kept_boundary = bdocs.select(
-        "doc_id",
-        "qbin",
-        "n_chars",
-        (F.col("cum_before") + F.sum("n_chars").over(wd)).alias("rs"),
-        "budget",
-    ).filter(F.col("rs") <= F.col("budget"))
+    # Exact doc_id-ordered running sum inside the boundary bin, SHARDED
+    # (VERDICT r10 task 4): the old Window.orderBy("doc_id") was one
+    # partition — bounded to ~1/_BUDGET_BINS of the corpus on a normal
+    # quality distribution, but a quality-DEGENERATE corpus (all docs
+    # in one bin) pushed the whole corpus through a single reducer.
+    # Distributed prefix sum instead: shard by contiguous doc_id RANGE
+    # (monotone in the sort key, so per-shard sums compose), per-shard
+    # cumsum in parallel, then one <= _BOUNDARY_SHARDS-row offsets
+    # window (bounded by construction, like the bins histogram above).
+    # The id-range stats ride the plan as a broadcast one-row agg — no
+    # driver round trip.
+    bstats = bdocs.agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    stride = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.col("_hi") - F.col("_lo") + 1) / F.lit(_BOUNDARY_SHARDS)
+        ),
+    )
+    sharded = bdocs.crossJoin(F.broadcast(bstats)).withColumn(
+        "_shard",
+        F.floor((F.col("doc_id") - F.col("_lo")) / stride).cast("int"),
+    )
+    wsh = Window.partitionBy("_shard").orderBy("doc_id")
+    local = sharded.withColumn("_local_rs", F.sum("n_chars").over(wsh))
+    shard_tot = sharded.groupBy("_shard").agg(
+        F.sum("n_chars").alias("_stot")
+    )
+    # <= _BOUNDARY_SHARDS rows: single-partition window over the shard
+    # summary only, never doc rows
+    wso = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_tot.select(
+        "_shard",
+        F.coalesce(F.sum("_stot").over(wso), F.lit(0)).alias("_offset"),
+    )
+    kept_boundary = (
+        local.join(F.broadcast(offsets), "_shard")
+        .select(
+            "doc_id",
+            "qbin",
+            "n_chars",
+            (
+                F.col("cum_before")
+                + F.col("_offset")
+                + F.col("_local_rs")
+            ).alias("rs"),
+            "budget",
+        )
+        .filter(F.col("rs") <= F.col("budget"))
+    )
     return (
         kept_full.select("doc_id", "qbin", "n_chars")
         .unionByName(kept_boundary.select("doc_id", "qbin", "n_chars"))

@@ -394,6 +394,48 @@ def test_epochmix_factors_and_bounds(spark):
         assert a.epochs >= b.epochs
 
 
+def test_tokenbudget_single_bin_corpus_sharded_window(spark):
+    """VERDICT r10 task 4: a quality-DEGENERATE corpus (every doc in
+    ONE quality bin) used to push the entire corpus through the
+    boundary bin's unpartitioned Window.orderBy(doc_id). The boundary
+    running sum is now a sharded prefix sum: same greedy-by-id output,
+    and the doc-row window is partitioned by the id-range shard — the
+    only single-partition windows left are the bounded summaries
+    (<= _BUDGET_BINS histogram rows, <= _BOUNDARY_SHARDS offset rows)."""
+    from neo4j_blue_green_arrow_etl_spark.operators.curation import (
+        token_budget_select,
+    )
+
+    n = 500
+    chars = [10 + (i * 7) % 13 for i in range(n)]
+    docs = spark.createDataFrame(
+        [(i, c, 0) for i, c in enumerate(chars)],
+        "doc_id long, n_chars long, qbin int",
+    )
+    out = token_budget_select(docs)
+    # correctness: single bin -> greedy prefix in doc_id order
+    budget = math.floor(sum(chars) * 0.6)
+    want, rs = set(), 0
+    for i, c in enumerate(chars):
+        if rs + c > budget:
+            break
+        rs += c
+        want.add(i)
+    got = out.collect()
+    assert {r.doc_id for r in got} == want
+    # plan hygiene: no window ordered by doc_id without a partition
+    # spec (the old single-reducer shape); the _local_rs window is
+    # partitioned by _shard
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(doc_id" not in plan
+    local_rs_lines = [
+        ln for ln in plan.splitlines() if "AS _local_rs" in ln
+    ]
+    assert local_rs_lines and all(
+        "windowspecdefinition(_shard" in ln for ln in local_rs_lines
+    )
+
+
 def test_tokenbudget_matches_python_reference(spark):
     """q_x42_tokenbudget: the two-phase histogram selection must equal
     the obvious sequential greedy — order all docs by (quality desc,

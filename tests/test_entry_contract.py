@@ -10,9 +10,10 @@ import __spark_entry__ as entrymod
 from neo4j_blue_green_arrow_etl_spark import WAREHOUSE_TABLES
 
 # Hash-seeded approximate queries with no SQL-expressible oracle.
-# (A driver-window rotation alias inherits its target's oracle,
-# including its absence — the r8 window rotates only oracle-gated
-# targets, so no aliases appear here.)
+# A driver-window rotation alias inherits its target's oracle,
+# including its absence — the r11 window re-gates the changed sim
+# family, so those aliases join the oracle-less set dynamically in
+# test_queries_and_oracles_are_consistent.
 ROWS_ONLY = {
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -37,7 +38,15 @@ def test_queries_and_oracles_are_consistent(spark):
     # every oracle belongs to a registered query
     assert set(os_) <= set(qs)
     # the only queries without oracles are the declared rows-only set
-    assert set(qs) - set(os_) == ROWS_ONLY
+    # plus any rotation alias of a rows-only target
+    from neo4j_blue_green_arrow_etl_spark.operators import REGISTRY
+
+    expected = ROWS_ONLY | {
+        n
+        for n, spec in REGISTRY.items()
+        if spec.alias_of in ROWS_ONLY
+    }
+    assert set(qs) - set(os_) == expected
     # names are stable identifiers (driver uses them as dict keys/files)
     for name in qs:
         assert name.startswith("q_") and name.replace("_", "").isalnum()

@@ -270,6 +270,34 @@ def test_x45_routes_exact_on_proportional_corpus(spark, monkeypatch):
     assert n > 0
 
 
+def test_route_by_mass_is_visible_and_overridable(monkeypatch, caplog):
+    """ADVICE r10: the duplicate-mass routing is a SEMANTIC switch, so
+    it must be (a) logged with the measured mass vs the bar in force,
+    and (b) caller-tunable — the env override pins either tier
+    explicitly (huge = force exact, 0 = force capped)."""
+    import logging
+
+    from neo4j_blue_green_arrow_etl_spark.operators.dedup import (
+        route_by_mass,
+    )
+
+    env = "SPARK_GRAFT_PAIR_MASS_PER_DOC"
+    monkeypatch.delenv(env, raising=False)
+    with caplog.at_level(logging.INFO):
+        # default bar: 600/doc vs bar 500 -> capped
+        assert route_by_mass("q_test", 600_000.0, 1000, 500.0, env) is True
+        # env forces exact even on the same corpus
+        monkeypatch.setenv(env, "1e18")
+        assert route_by_mass("q_test", 600_000.0, 1000, 500.0, env) is False
+        # env forces capped on a clean corpus
+        monkeypatch.setenv(env, "0")
+        assert route_by_mass("q_test", 1.0, 1000, 500.0, env) is True
+    decisions = [r.message for r in caplog.records if "router" in r.message]
+    assert len(decisions) == 3
+    assert "CAPPED" in decisions[0] and "default" in decisions[0]
+    assert "EXACT" in decisions[1] and "override" in decisions[1]
+
+
 def test_x45_routes_capped_on_adversarial_corpus(spark, tmp_path, monkeypatch):
     """A duplicate-heavy corpus (mass/doc far above PAIR_MASS_PER_DOC)
     must take the capped tier instead of the quadratic exact join."""

@@ -39,6 +39,16 @@ def main() -> int:
     ap.add_argument("--old-noise", type=float, default=None)
     ap.add_argument("--new-noise", type=float, default=None)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument(
+        "--floor", type=float, default=0.0,
+        help="ignore queries whose raw time is under FLOOR seconds on "
+        "BOTH sides: below ~1-2 s the ~0.3 s job-launch floor and "
+        "scheduler jitter dominate, and they do not scale with the "
+        "sentinel — dividing them by run-level noise factors "
+        "manufactures fake regressions (and fake improvements) "
+        "symmetrically (BENCH_NOTES_r11). The normalized TOTAL still "
+        "includes every query.",
+    )
     args = ap.parse_args()
 
     old = json.loads(Path(args.old).read_text())
@@ -46,9 +56,13 @@ def main() -> int:
     nf_old = _noise(old, args.old_noise)
     nf_new = _noise(new, args.new_noise)
     rows = []
+    skipped_floor = 0
     for q, t_new in new["queries"].items():
         t_old = old["queries"].get(q)
         if t_old is None or t_old < 0 or t_new < 0:
+            continue
+        if t_old < args.floor and t_new < args.floor:
+            skipped_floor += 1
             continue
         ratio = (t_new / nf_new) / (t_old / nf_old)
         rows.append((ratio, q, t_old, t_new))
@@ -63,7 +77,14 @@ def main() -> int:
         f"({tot_new / tot_old:.3f}x)"
     )
     regressed = [r for r in rows if r[0] > args.bar]
-    print(f"\n{len(regressed)} queries above the {args.bar}x normalized bar:")
+    floor_note = (
+        f" ({skipped_floor} sub-{args.floor}s queries excluded from the "
+        "per-query bar; still in the totals)" if skipped_floor else ""
+    )
+    print(
+        f"\n{len(regressed)} queries above the {args.bar}x normalized "
+        f"bar{floor_note}:"
+    )
     for ratio, q, t_old, t_new in regressed[: args.top]:
         print(
             f"  {q}: {t_old:.2f}s -> {t_new:.2f}s raw "

@@ -70,6 +70,14 @@ def main() -> None:
         "--with-scale-probe", action="store_true",
         help="also run the (slow) default scale probe at x1..x8",
     )
+    ap.add_argument(
+        "--allow-regression", default=None, metavar="NOTE",
+        help="accept a >1.2x-normalized per-query bench regression vs "
+        "the previous round's committed artifact, recording NOTE (the "
+        "attribution) into BENCH_NOTES_r{N}.md. Without this, a "
+        "regressing bench artifact aborts the regen (VERDICT r10 "
+        "task 6).",
+    )
     args = ap.parse_args()
     n = args.round
     skip = set(filter(None, args.skip.split(",")))
@@ -111,6 +119,42 @@ def main() -> None:
             f"= {norm/nq:.2f} s/q",
             flush=True,
         )
+        # Regression gate (VERDICT r10 task 6): a regen must not ship a
+        # bench artifact where any query regressed >1.2x NORMALIZED vs
+        # the previous round's committed artifact without an explicit,
+        # recorded attribution — silent regressions read as code when
+        # they are usually environment, and vice versa.
+        prev = REPO / f"BENCH_LOCAL_r{n - 1}.json"
+        if prev.exists():
+            cmp_ = subprocess.run(
+                [py, "tools/bench_compare.py", str(prev),
+                 f"BENCH_LOCAL_r{n}.json", "--floor", "2.0"],
+                cwd=REPO, capture_output=True, text=True,
+            )
+            print("    bench_compare vs r{}:".format(n - 1), flush=True)
+            for line in cmp_.stdout.strip().splitlines():
+                print(f"      {line}", flush=True)
+            if cmp_.returncode != 0:
+                if args.allow_regression:
+                    notes = REPO / f"BENCH_NOTES_r{n}.md"
+                    with notes.open("a") as fh:
+                        fh.write(
+                            f"\n## Accepted bench regression vs r{n - 1}"
+                            f" (regen gate)\n\n{args.allow_regression}\n\n"
+                            "```\n" + cmp_.stdout + "```\n"
+                        )
+                    print(
+                        f"    regression ACCEPTED; attribution recorded "
+                        f"in {notes.name}", flush=True,
+                    )
+                else:
+                    raise SystemExit(
+                        f"bench regression: queries above the 1.2x "
+                        f"normalized bar vs BENCH_LOCAL_r{n - 1}.json — "
+                        "re-run on a quiet host, fix the regression, or "
+                        "re-invoke with --allow-regression "
+                        "'<attribution note>'"
+                    )
 
     if "shuffle" not in skip:
         _run([py, "tools/bench_report.py", f"BENCH_METRICS_r{n}.json"],
