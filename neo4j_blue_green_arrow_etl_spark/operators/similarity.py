@@ -1945,6 +1945,23 @@ def calibrate_nprobe(
     return {"nprobe": chosen, "target": target_recall, "measured": measured}
 
 
+def _streamed_index_path(sf_dir: str, kind: str) -> tuple[str, str]:
+    """(index_path, stamp) for the q_st7/q_st9 demo indexes — AT-REST
+    under the artifact store (r11, extending VERDICT r10 task 1's
+    pattern from the trained tensors to the streamed demo indexes):
+    the old /tmp paths were stamped with file MTIMES, so the sandbox's
+    per-round testdata regeneration made every fresh context re-pay
+    the full streamed build (~12-30 s per index). Content fingerprint
+    + repo-local committed directory = a fresh session (the driver's
+    bench, a fresh clone) starts warm; SPARK_GRAFT_ARTIFACTS relocates
+    the store next to the corpus in a real deployment."""
+    import hashlib
+
+    stamp = _corpus_fingerprint(sf_dir) + f":{kind}_v2"
+    digest = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    return str(_artifact_root().parent / "indexes" / f"{kind}-{digest}"), stamp
+
+
 @register(
     "q_st7_annstream_ingest",
     oracle="SELECT vec_id FROM embeddings ORDER BY vec_id",
@@ -1964,22 +1981,10 @@ def calibrate_nprobe(
     "at-rest artifact instead of re-streaming.",
 )
 def q_st7_annstream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import tempfile
     from pathlib import Path
 
-    # mirror _default_index_path's layout-versioned /tmp scheme, keyed
-    # by the EMBEDDINGS table fingerprint (text changes are irrelevant)
-
-    root = Path(sf_dir, "embeddings.parquet")
-    files = sorted(
-        (str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns)
-        for p in (root.rglob("*") if root.is_dir() else [root])
-        if p.is_file() and not p.name.startswith(("_", "."))
-    )
-    stamp = f"{sf_dir}:{hashlib.md5(repr(files).encode()).hexdigest()}"
-    digest = hashlib.md5(f"{sf_dir}:annstream_v1".encode()).hexdigest()[:12]
-    idx = f"/tmp/spark_graft_annstream/{digest}"
+    idx, stamp = _streamed_index_path(sf_dir, "annstream")
     marker = Path(idx, "_BUILT_FOR")
     if not (marker.exists() and marker.read_text() == stamp):
         import atexit
@@ -2041,19 +2046,10 @@ ST9_RETRACT_MOD = 5  # vec_id % MOD == 0 -> eventually retracted
     "like q_st7.",
 )
 def q_st9_annretract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import tempfile
     from pathlib import Path
 
-    root = Path(sf_dir, "embeddings.parquet")
-    files = sorted(
-        (str(p.relative_to(root)), p.stat().st_size, p.stat().st_mtime_ns)
-        for p in (root.rglob("*") if root.is_dir() else [root])
-        if p.is_file() and not p.name.startswith(("_", "."))
-    )
-    stamp = f"{sf_dir}:{hashlib.md5(repr(files).encode()).hexdigest()}"
-    digest = hashlib.md5(f"{sf_dir}:annretract_v1".encode()).hexdigest()[:12]
-    idx = f"/tmp/spark_graft_annretract/{digest}"
+    idx, stamp = _streamed_index_path(sf_dir, "annretract")
     marker = Path(idx, "_BUILT_FOR")
     if not (marker.exists() and marker.read_text() == stamp):
         import atexit
