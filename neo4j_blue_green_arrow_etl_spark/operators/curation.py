@@ -441,7 +441,19 @@ def token_budget_select(
     """Histogram-cutoff budget selection over a prepared (doc_id,
     n_chars, qbin) frame — q_x42's engine, reusable as the SELECT
     stage of a composed curation pipeline (tools/bench_curation.py).
-    See q_x42_tokenbudget's doc for the scale argument."""
+    See q_x42_tokenbudget's doc for the scale argument.
+
+    The input is PERSISTED here (r11, measured at x100/500k docs): the
+    selection has four independent consumers of the same 3-column
+    projection (budget total, bin histogram, id-range stats, the final
+    keep branches), and when the caller's frame carries an expensive
+    lineage (q_x45/bench_curation feed the post-dedup anti-join with a
+    text-splitting qbin), each consumer re-ran that lineage — caching
+    the narrow projection once is the difference between one scan and
+    four+ of the upstream pipeline. Lazy (populated by the first
+    consumer), and the projection is 3 narrow columns, the same
+    working-set class as q_x45's cached shingle postings."""
+    docs = docs.persist()
     total = docs.agg(
         F.floor(F.sum("n_chars") * frac)
         .cast("long")
@@ -482,9 +494,13 @@ def token_budget_select(
     # (monotone in the sort key, so per-shard sums compose), per-shard
     # cumsum in parallel, then one <= _BOUNDARY_SHARDS-row offsets
     # window (bounded by construction, like the bins histogram above).
-    # The id-range stats ride the plan as a broadcast one-row agg — no
-    # driver round trip.
-    bstats = bdocs.agg(
+    # Cost discipline: the id-range stats come from the WHOLE (cached)
+    # docs frame — a superset of the bin's ids is equally valid for
+    # sharding (empty shards cost nothing; in the degenerate
+    # all-docs-one-bin case the two ranges coincide), and it avoids a
+    # dedicated pass over the join. All reads below hit the persisted
+    # projection, never the caller's lineage.
+    bstats = docs.agg(
         F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
     )
     stride = F.greatest(

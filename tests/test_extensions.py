@@ -921,3 +921,86 @@ def test_calibrate_nprobe_meets_target_on_fixture(spark, tmp_path):
     # the max candidate — the documented "raise IVF_CELLS" signal)
     measured = pol["measured"]
     assert measured[pol["nprobe"]] >= 0.9 or pol["nprobe"] == max(measured)
+
+
+# ---------------------------------------------------------------------------
+# at-rest trained-artifact store (r11: VERDICT r10 tasks 1-2, ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_trained_artifact_store_keying_and_recovery(tmp_path, monkeypatch):
+    """The artifact store must (a) train exactly once per (corpus
+    content, hyperparameters) key, (b) key on CONTENT — not mtimes, so
+    regenerated-byte-identical data stays warm, (c) key on every
+    hyperparameter — a changed param trains a NEW artifact instead of
+    returning stale wrong-shape tensors (ADVICE r10), and (d) retrain
+    over a corrupt/foreign file instead of crashing."""
+    import os
+
+    import numpy as np
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        _artifact_root,
+        _trained_artifact,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
+    assert _artifact_root() == tmp_path / "store"
+    sf = tmp_path / "corpus"
+    (sf / "embeddings.parquet").mkdir(parents=True)
+    data = sf / "embeddings.parquet" / "part-0.parquet"
+    data.write_bytes(b"fake-parquet-bytes-v1")
+
+    calls = {"n": 0}
+
+    def train():
+        calls["n"] += 1
+        return np.arange(6, dtype=np.float64).reshape(2, 3)
+
+    p1 = {"cells": 2, "v": "t1"}
+    a = _trained_artifact("t", str(sf), p1, train)
+    b = _trained_artifact("t", str(sf), p1, train)
+    assert calls["n"] == 1 and np.array_equal(a, b)  # (a) load, not retrain
+    # (b) content keying: fresh mtime, same bytes -> still warm
+    os.utime(data, (1, 1))
+    _trained_artifact("t", str(sf), p1, train)
+    assert calls["n"] == 1
+    # changed bytes -> retrain
+    data.write_bytes(b"fake-parquet-bytes-v2")
+    _trained_artifact("t", str(sf), p1, train)
+    assert calls["n"] == 2
+    # (c) hyperparameter keying: new params -> new artifact file
+    _trained_artifact("t", str(sf), {"cells": 4, "v": "t1"}, train)
+    assert calls["n"] == 3
+    assert len(list((tmp_path / "store").glob("t-*.json"))) == 3
+    # (d) corrupt file -> retrain and atomically replace
+    victim = max(
+        (tmp_path / "store").glob("t-*.json"), key=lambda p: p.stat().st_mtime
+    )
+    victim.write_text("{not json")
+    _trained_artifact("t", str(sf), {"cells": 4, "v": "t1"}, train)
+    assert calls["n"] == 4
+
+
+def test_streamed_index_path_is_content_keyed(tmp_path, monkeypatch):
+    """q_st7/q_st9 index paths key on embeddings CONTENT + kind: mtime
+    churn keeps the path (warm across testdata regeneration); a byte
+    change or a different kind moves it."""
+    import os
+
+    from neo4j_blue_green_arrow_etl_spark.operators.similarity import (
+        _streamed_index_path,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "store"))
+    sf = tmp_path / "corpus"
+    (sf / "embeddings.parquet").mkdir(parents=True)
+    data = sf / "embeddings.parquet" / "part-0.parquet"
+    data.write_bytes(b"vec-bytes-1")
+    p1, s1 = _streamed_index_path(str(sf), "annstream")
+    os.utime(data, (1, 1))
+    p2, s2 = _streamed_index_path(str(sf), "annstream")
+    assert (p1, s1) == (p2, s2)
+    assert _streamed_index_path(str(sf), "annretract")[0] != p1
+    data.write_bytes(b"vec-bytes-2")
+    assert _streamed_index_path(str(sf), "annstream")[0] != p1
