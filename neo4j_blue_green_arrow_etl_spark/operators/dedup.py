@@ -831,7 +831,17 @@ def route_by_mass(
 
     raw = os.environ.get(env_var)
     if raw is not None:
-        bar = float(raw)
+        try:
+            bar = float(raw)
+        except ValueError:
+            # a malformed override must read as a configuration error at
+            # the env var, not an unexplained ValueError from inside a
+            # composed capstone plan (ADVICE r11)
+            raise ValueError(
+                f"{env_var}={raw!r} is not a number: the duplicate-mass "
+                "routing bar override must be a float (huge=force EXACT, "
+                "0=force CAPPED)"
+            ) from None
     capped = mass > bar * n_docs
     logging.getLogger(__name__).info(
         "%s duplicate-mass router: mass/doc=%.1f vs bar=%.1f (%s%s) -> "

@@ -760,7 +760,8 @@ _QUANT_EPS = 1e-12  # zero-vector guard
         "greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))"
         f" / {QUANT_LEVELS}.0, {_QUANT_EPS}) AS scale FROM embeddings) "
         "SELECT vec_id, scale, "
-        "list_transform(xd, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec "
+        "array_to_string(list_transform(xd, "
+        "x -> CAST(floor(x / scale + 0.5) AS INTEGER)), ',') AS qvec "
         "FROM b ORDER BY vec_id"
     ),
     doc="Symmetric int8 scalar quantization of the embedding column "
@@ -771,7 +772,9 @@ _QUANT_EPS = 1e-12  # zero-vector guard
     "floor(x + 0.5) in both engines because round() half-rule semantics "
     "differ across engines. All arithmetic is double on both sides, so "
     "quantized codes and scales are bit-identical, not approximately "
-    "equal.",
+    "equal. The code array is emitted comma-joined (q_p1's labels "
+    "convention): oracle-gated outputs must be atomic columns — the "
+    "driver's canonicalizer cannot sort list cells (r11's one red row).",
 )
 def q_x12_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -785,7 +788,18 @@ def q_x12_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = F.transform(
         "xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
     )
-    return b.select("vec_id", "scale", qvec.alias("qvec")).orderBy("vec_id")
+    # qvec is emitted FLATTENED to a comma-joined string (q_p1's labels
+    # convention): the driver's pandas canonicalizer cannot sort raw
+    # array columns (CORRECTNESS_r11's one red row — VERDICT r11 task 1);
+    # the codes themselves are unchanged and the int8 bound/error tests
+    # parse them back
+    return b.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(qvec, lambda q: q.cast("string")), ",").alias(
+            "qvec"
+        ),
+    ).orderBy("vec_id")
 
 
 # --------------------------------------------------------------------------

@@ -122,7 +122,13 @@ def admit_batch_events(
         # permanently defeat the tomb_dir-absent fast path. Replay-safe:
         # a replayed batch derives the same empty set and skips again.
         delete_from_index(spark, state_dir, retract_ids, batch_tag=batch_id)
-    _write_retract_ledger(out_dir, batch_id, retract_ids)
+        # the ledger write is skipped for the same reason (ADVICE r11):
+        # an unconditional zero-row retracted-b<id> file makes
+        # _retract_ledger_ids non-None from batch 1 onward, so even a
+        # takedown-free stream pays a read+join+collect reuse-guard job
+        # per batch. live_corpus and the guard both tolerate absent
+        # files, and a replayed batch derives the same empty set.
+        _write_retract_ledger(out_dir, batch_id, retract_ids)
     docs = batch_events.filter(F.col("kind") == "doc").select(
         *DOCS_STREAM_COLS
     )

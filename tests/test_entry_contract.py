@@ -102,6 +102,39 @@ def test_no_oracle_emits_hugeint():
     assert not offenders, f"oracles emitting HUGEINT columns: {offenders}"
 
 
+def test_oracle_outputs_are_atomic():
+    """VERDICT r11 task 1: the driver's pandas canonicalizer sorts every
+    output column and crashes on non-atomic cells (unhashable list —
+    q_x12_quant's raw array<int> was r11's one red driver row). Contract:
+    every oracle-gated query's result schema holds only atomic columns.
+    Binding the ORACLE (LIMIT 0) suffices: a Spark output that went
+    non-atomic while its oracle stayed atomic fails the sweep's
+    schema/hash match first, so this test plus a green sweep covers both
+    sides. Flatten arrays with array_join/array_to_string (q_p1, q_x12)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in WAREHOUSE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if any(k in str(t).upper() for k in ("[]", "STRUCT", "MAP", "LIST"))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle-gated queries with non-atomic output columns (the driver "
+        f"canonicalizer cannot sort these): {offenders}"
+    )
+
+
 def test_local_sweep_artifact_covers_entire_registry():
     """VERDICT r2 task 1: the driver's CORRECTNESS file caps at 50 rows,
     so the full-registry evidence lives in the committed

@@ -304,8 +304,11 @@ def test_quantization_bounds(spark):
     }
     assert rows and set(r.vec_id for r in rows) == set(emb)
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.qvec)
-        for x, q in zip(emb[r.vec_id], r.qvec):
+        # qvec is the comma-joined flattening of the int8 code array
+        # (driver-canonicalizable output contract)
+        qvec = [int(q) for q in r.qvec.split(",")]
+        assert all(-127 <= q <= 127 for q in qvec)
+        for x, q in zip(emb[r.vec_id], qvec):
             assert abs(float(x) - q * r.scale) <= r.scale / 2 + 1e-9
 
 

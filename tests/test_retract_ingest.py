@@ -650,6 +650,10 @@ def test_retraction_free_stream_writes_no_tombstones(spark, tmp_path):
         subdir="_notomb",
     )
     assert not Path(state, "_TOMBSTONES").exists()
+    # ADVICE r11: nor the permanent ledger — an empty retracted-b file
+    # per batch would force a read+join+collect reuse-guard Spark job
+    # on every later batch of a takedown-free stream
+    assert not list(Path(out).glob("retracted-b*.parquet"))
     assert sorted(r.doc_id for r in live_corpus(spark, out).collect()) == [
         0,
         1,
@@ -798,16 +802,22 @@ def test_record_fold_preserves_corpus_and_bounds_files(spark, tmp_path):
     )
     adm = [n for n in names if n.startswith("admitted")]
     led = [n for n in names if n.startswith("retracted")]
-    # one gen + the unsealed batch-2 file per family
+    # one gen + the unsealed batch-2 file for admitted; batch 0 wrote
+    # NO ledger file (r12: empty retract sets skip the write), so the
+    # sealed retracted family has a single source and the fold is a
+    # legitimate no-op there — both per-batch files stay in place
     assert sum(1 for n in adm if "gen" in n) == 1
     assert adm == sorted(["admitted-b2.parquet"] + [n for n in adm if "gen" in n])
-    assert sum(1 for n in led if "gen" in n) == 1
-    assert led == sorted(["retracted-b2.parquet"] + [n for n in led if "gen" in n])
-    # idempotent: folding again (same watermark) keeps the corpus
+    assert led == ["retracted-b1.parquet", "retracted-b2.parquet"]
+    # folding the full stream seals both retract files into one gen
     compact_corpus_record(spark, out, 2)
     assert sorted(
         r.doc_id for r in live_corpus(spark, out, state).collect()
     ) == before
+    led = sorted(
+        p.name for p in Path(out).glob("retracted-*") if p.is_file()
+    )
+    assert len(led) == 1 and "gen" in led[0]
 
 
 def test_record_fold_crash_windows(spark, tmp_path):

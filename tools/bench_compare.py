@@ -12,7 +12,11 @@ NORMALIZED ratio exceeds --bar are listed — that list, not raw deltas,
 is what "regressed" means on this ±26%-swing host (BASELINE.md,
 sentinel-normalized restatement). Failed queries (t < 0) are skipped.
 
-Exit code 1 when any query exceeds the bar (CI-able); 0 otherwise.
+Exit code 3 when any query exceeds the bar (CI-able); 0 otherwise.
+3 is deliberately distinct from the interpreter's crash code (1): the
+regen gate treats 3 as "regression", any other nonzero as "the
+comparison itself failed" and surfaces the stderr instead of recording
+a garbage attribution (ADVICE r11).
 """
 
 from __future__ import annotations
@@ -93,7 +97,7 @@ def main() -> int:
     print(f"\nbiggest normalized improvements:")
     for ratio, q, t_old, t_new in rows[-5:][::-1]:
         print(f"  {q}: {t_old:.2f}s -> {t_new:.2f}s ({ratio:.2f}x)")
-    return 1 if regressed else 0
+    return 3 if regressed else 0
 
 
 if __name__ == "__main__":

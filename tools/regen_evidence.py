@@ -134,7 +134,18 @@ def main() -> None:
             print("    bench_compare vs r{}:".format(n - 1), flush=True)
             for line in cmp_.stdout.strip().splitlines():
                 print(f"      {line}", flush=True)
-            if cmp_.returncode != 0:
+            if cmp_.returncode not in (0, 3):
+                # the comparison itself crashed (malformed artifact,
+                # missing key): surface the real error instead of
+                # recording a garbage "regression" (ADVICE r11;
+                # bench_compare exits 3 for a genuine regression)
+                sys.stderr.write(cmp_.stderr)
+                raise SystemExit(
+                    f"bench_compare crashed (rc={cmp_.returncode}) — "
+                    "fix the comparison inputs; this is NOT a bench "
+                    "regression"
+                )
+            if cmp_.returncode == 3:
                 if args.allow_regression:
                     notes = REPO / f"BENCH_NOTES_r{n}.md"
                     with notes.open("a") as fh:
