@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import barrier_sort, register
+from .relational import barrier_sort, register, rescue_parallelism
 
 DECONTAM_N = 5  # word n-gram length for benchmark-overlap matching
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> document is "benchmark"
@@ -51,6 +51,10 @@ MIX_RATES: dict[str, int] = {"en": 256, "es": 128, "de": 128, "fr": 64, "zh": 64
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain read: most curation queries are light per-row maps where a
+    # rescue repartition costs more than it parallelizes (measured
+    # family-wide: a handful of -0.2s wins vs +0.3-1.3s losses) — only
+    # the 5-gram decontamination fan-out repays it; q_x8 opts in
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -147,7 +151,10 @@ def contaminated_doc_ids(d: DataFrame) -> DataFrame:
     "(drop them) broadcast — the corpus is never shuffled.",
 )
 def q_x8_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # 5-gram explode on both legs of the gram-set build — heavy enough
+    # to repay the scan rescue (r12 measured 2.26 -> 1.41s at sf0.1;
+    # identity at scale)
+    d = rescue_parallelism(_docs(spark, sf_dir), "doc_id")
     return (
         d.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(F.broadcast(contaminated_doc_ids(d)), "doc_id", "left_anti")
@@ -435,6 +442,12 @@ def q_x42_tokenbudget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(docs)
 
 
+# one-deep persist registry for token_budget_select (ADVICE r11): the
+# previous call's cached input is released when the next call persists
+# its own, bounding executor storage to one frame per session
+_BUDGET_PERSISTED: list[DataFrame] = []
+
+
 def token_budget_select(
     docs: DataFrame, frac: float = _BUDGET_FRAC
 ) -> DataFrame:
@@ -454,6 +467,18 @@ def token_budget_select(
     consumer), and the projection is 3 narrow columns, the same
     working-set class as q_x45's cached shingle postings."""
     docs = docs.persist()
+    # Release the PREVIOUS call's cached projection (ADVICE r11): the
+    # returned frame is lazy, so an in-function unpersist would force
+    # recomputation — instead a one-deep registry bounds the session's
+    # leak to a single cached frame rather than one per call (196-query
+    # sweeps call this via q_x42/q_x45/q_x45b plus composed pipelines).
+    # A caller that still holds an older returned frame just recomputes
+    # from its (valid) lineage on next use.
+    while _BUDGET_PERSISTED:
+        old = _BUDGET_PERSISTED.pop()
+        if old is not docs:
+            old.unpersist()
+    _BUDGET_PERSISTED.append(docs)
     total = docs.agg(
         F.floor(F.sum("n_chars") * frac)
         .cast("long")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import barrier_sort, register
+from .relational import barrier_sort, register, rescue_parallelism
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
@@ -62,7 +62,13 @@ MINHASH_BUCKET_CAP = 256
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every consumer fans the text out ~50x (shingle explode + hashing)
+    # before its first exchange, so an undersized scan serializes the
+    # hot path on one core — rescue_parallelism is identity at scale
+    # (r12; measured 2.29s -> 0.85s on the exact-tier pair pipeline)
+    return rescue_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
 
 
 def shingle_hash_arrays(
@@ -301,7 +307,10 @@ def jaccard_verify_sets(
     "64-byte keys; one aggregation, AQE-coalesced.",
 )
 def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # plain read, NOT _docs: one sha2 per row is too little map work to
+    # repay the rescue repartition's shuffle (measured +0.15s with it);
+    # the groupBy's own exchange parallelizes everything downstream
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # Group on a 256-bit digest of the text: collision probability is
     # negligible and the shuffle payload is constant-size per row.
     return (
@@ -1237,7 +1246,14 @@ def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings in /tmp across runs
     work = tempfile.mkdtemp(prefix="spark_graft_st6_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # plain read, NOT _docs: the fold derives ~3 jobs per micro-batch
+    # from this frame (postings build, admitted write's anti-join leg,
+    # retract collects) and each would re-execute _docs' rescue
+    # exchange — measured 5.7s -> 18s with it; the ThreadPool postings
+    # prebuild is this fold's parallelism story instead
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     step = hi // ST6_BATCHES + 1
     batches = [
@@ -1356,7 +1372,11 @@ def q_st8_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="spark_graft_st8_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # plain read, NOT _docs — same reason as q_st6 (per-batch jobs
+    # would each re-execute the rescue exchange)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
     step = hi // ST6_BATCHES + 1
     batches = []

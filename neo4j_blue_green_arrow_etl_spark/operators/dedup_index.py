@@ -80,11 +80,20 @@ from .dedup import (
     INCR_MOD,
     JACCARD_THRESHOLD,
     _INCR_ORACLE,
-    _docs,
     _incr_oracle,
     shingles,
 )
 from .relational import barrier_sort, register
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    """Plain documents read — deliberately NOT dedup._docs: the index
+    queries derive several small frames from it per call (tiny probe
+    batches, marker counts, rebuild corpora) and each consuming job
+    would re-execute dedup._docs' rescue exchange; measured r12, the
+    rescue cost the warm x44b-e probes +0.3-1.0s each while only the
+    one-time rebuild branch would benefit."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 # Bucket count of the at-rest index. Sized to the test harness
 # (local[32]: one scan task per bucket); a production corpus would use

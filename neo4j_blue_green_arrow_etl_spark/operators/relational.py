@@ -86,6 +86,38 @@ def barrier_sort(*sort_cols):
     return _apply
 
 
+def rescue_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive scan rescue (guide: 'input skew — one huge
+    unsplittable file... repartition immediately after the read'): when
+    a scan yields FEWER partitions than cores — a single small file, or
+    one unsplittable row group — every narrow operator above it
+    (shingle explode, per-row hashing, Arrow decode) runs on ONE core
+    until the first exchange. Hash-repartition by ``keys`` to
+    defaultParallelism so the fan-out work parallelizes.
+
+    Deliberately a no-op whenever the scan already has >= cores
+    partitions: at 100 TB inputs arrive in thousands of splits and this
+    adds NOTHING (no shuffle, no plan change) — the repartition only
+    fires on undersized inputs, where the shuffled bytes are by
+    definition small. Hash (not round-robin) keying skips the
+    sort-before-repartition pass and keeps the row->partition
+    assignment deterministic under task retry (SPARK-38388 class of
+    bugs). Use a high-cardinality key; callers with order-sensitive
+    float aggregation downstream must NOT use this (reordering partial
+    sums perturbs last-bit double results) — every current caller
+    aggregates ints/exact ratios only.
+
+    Measured (sf0.1, single 0.6 MB documents file -> 1-partition scan):
+    q_dedup_ngram-equivalent pipeline 2.29s -> 0.81-0.88s; the same
+    rescue on a columnar scan->agg (sssp edge build) LOST 0.25s — only
+    rescue scans feeding expensive fan-out, not plain aggregations."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys)
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to TimestampType across data
     generator versions: the current testdata writes timestamp[us]
@@ -1123,8 +1155,11 @@ def q_j11_skewjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_extendedprice",
         # (l_orderkey, l_linenumber) is the PK; the salt column must be
-        # unique so the hot key's rows spread across all buckets
-        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("_uid"),
+        # unique so the hot key's rows spread across all buckets. A
+        # 64-bit hash, not a string concat: the salt source rides the
+        # fact-side shuffle, so 8 fixed bytes beat a ~12-byte string
+        # (and skip the per-row concat) — same salt distribution
+        F.xxhash64("l_orderkey", "l_linenumber").alias("_uid"),
     )
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
@@ -1939,10 +1974,11 @@ def q_a20_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
     )
-    w = Window.orderBy(F.desc("support"), "part_a", "part_b")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BASKET_TOP)
-        .drop("rn")
-        .orderBy(F.desc("support"), "part_a", "part_b")
+    # top-k via sort+limit: compiles to TakeOrderedAndProject (per-
+    # partition heaps + one k-row merge) — the old global row_number
+    # window funneled every surviving pair through a single window
+    # task before the rank filter; same deterministic total order,
+    # identical rows (r12)
+    return pairs.orderBy(F.desc("support"), "part_a", "part_b").limit(
+        BASKET_TOP
     )

@@ -410,29 +410,45 @@ def q_x16_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same single-shuffle running-last shape as the as-of join.",
 )
 def q_ts1_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 single-window form: the old plan materialized per-user
+    # min/max bounds, exploded a grid, LEFT-JOINED the hourly buckets
+    # back and ran a second window for the forward fill — 2 extra
+    # aggregations + a join + a second window exchange. Equivalent in
+    # one pass: each present hour OWNS the gap up to (exclusive) the
+    # user's next present hour, so exploding sequence(h, next_h - 1h)
+    # emits exactly the old grid with the fill values already attached
+    # (value/count ride along; is_gap = generated hour != source hour).
+    # The last present hour contributes only itself — identical to the
+    # old max-bound. One agg + one lead window + one generator, no
+    # join; the window shuffle is the same user_id exchange the old
+    # fill window needed anyway (plan: 4 exchanges -> 2 + sort).
     e = _events(spark, sf_dir)
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.round(F.sum("value"), 2).alias("v"), F.count("*").alias("n"))
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = bounds.select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    spans = hourly.withColumn("next_h", F.lead("h").over(w))
+    filled = spans.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        "v",
+        "n",
+        F.col("h").alias("src_h"),
+        F.explode(
+            F.sequence(
+                "h",
+                F.coalesce(
+                    F.col("next_h") - F.expr("INTERVAL 1 HOUR"), F.col("h")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
     )
-    joined = grid.join(hourly, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return joined.select(
+    return filled.select(
         "user_id",
-        F.col("h").alias("hour"),
-        F.last("v", ignorenulls=True).over(w).alias("value_sum"),
-        F.last("n", ignorenulls=True).over(w).alias("n_events"),
-        F.col("v").isNull().cast("int").alias("is_gap"),
+        "hour",
+        F.col("v").alias("value_sum"),
+        F.col("n").alias("n_events"),
+        (F.col("hour") != F.col("src_h")).cast("int").alias("is_gap"),
     ).transform(barrier_sort("user_id", "hour"))
 
 

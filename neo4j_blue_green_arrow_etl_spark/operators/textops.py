@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .relational import barrier_sort, register
+from .relational import barrier_sort, register, rescue_parallelism
 
 # Ordered: earlier wins score ties (argmax tie-break is deterministic).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -33,6 +33,10 @@ FP_MUL = 31
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain read: most textops are light per-row maps where a rescue
+    # repartition costs more than the single-core scan it parallelizes
+    # (measured: +0.1-0.5s each across the family) — only the char-gram
+    # explode (q_x37) repays it; that call site opts in explicitly
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -837,7 +841,10 @@ CHARGRAM_TOP = 20
 def q_x37_charprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    # per-CHARACTER 3-gram explode (~text_len rows per doc) — the one
+    # textops fan-out heavy enough to repay the scan rescue (r12
+    # measured 2.57 -> 1.82s at sf0.1; identity at scale)
+    d = rescue_parallelism(_docs(spark, sf_dir), "doc_id")
     # substr by dynamic position needs the expr form (F.substring takes
     # literal positions only)
     grams = d.select(
