@@ -479,24 +479,34 @@ def token_budget_select(
         if old is not docs:
             old.unpersist()
     _BUDGET_PERSISTED.append(docs)
-    total = docs.agg(
-        F.floor(F.sum("n_chars") * frac)
-        .cast("long")
-        .alias("budget")
+    # ONE aggregation pass over the persisted frame serves the bin
+    # histogram AND (r12) the budget total AND the doc_id-range stats
+    # the boundary sharding needs: sum(chars) over the bins equals
+    # sum(n_chars) over the corpus exactly (integer sums), and the
+    # global id range is min/max of the per-bin ranges — the r11 form
+    # paid two extra full passes (total agg, bstats agg) for numbers
+    # already derivable from this <= _BUDGET_BINS+1-row summary.
+    bins = docs.groupBy("qbin").agg(
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("_lo_b"),
+        F.max("doc_id").alias("_hi_b"),
     )
-    bins = docs.groupBy("qbin").agg(F.sum("n_chars").alias("chars"))
-    # <= _BUDGET_BINS+1 rows: the single-partition window is over the
+    # <= _BUDGET_BINS+1 rows: the single-partition windows are over the
     # histogram summary, never the corpus
     wb = Window.orderBy(F.desc("qbin"))
-    bins = (
-        bins.select(
-            "qbin",
-            "chars",
-            F.sum("chars").over(wb).alias("cum_incl"),
-        )
-        .withColumn("cum_before", F.col("cum_incl") - F.col("chars"))
-        .crossJoin(F.broadcast(total))
+    w_all = Window.orderBy(F.desc("qbin")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    bins = bins.select(
+        "qbin",
+        "chars",
+        F.sum("chars").over(wb).alias("cum_incl"),
+        F.floor(F.sum("chars").over(w_all) * frac)
+        .cast("long")
+        .alias("budget"),
+        F.min("_lo_b").over(w_all).alias("_lo"),
+        F.max("_hi_b").over(w_all).alias("_hi"),
+    ).withColumn("cum_before", F.col("cum_incl") - F.col("chars"))
     full_bins = bins.filter(F.col("cum_incl") <= F.col("budget"))
     kept_full = docs.join(
         F.broadcast(full_bins.select("qbin")), "qbin", "left_semi"
@@ -507,7 +517,9 @@ def token_budget_select(
         & (F.col("cum_incl") > F.col("budget"))
     )
     bdocs = docs.join(
-        F.broadcast(boundary.select("qbin", "cum_before", "budget")),
+        F.broadcast(
+            boundary.select("qbin", "cum_before", "budget", "_lo", "_hi")
+        ),
         "qbin",
     )
     # Exact doc_id-ordered running sum inside the boundary bin, SHARDED
@@ -519,22 +531,19 @@ def token_budget_select(
     # (monotone in the sort key, so per-shard sums compose), per-shard
     # cumsum in parallel, then one <= _BOUNDARY_SHARDS-row offsets
     # window (bounded by construction, like the bins histogram above).
-    # Cost discipline: the id-range stats come from the WHOLE (cached)
-    # docs frame — a superset of the bin's ids is equally valid for
-    # sharding (empty shards cost nothing; in the degenerate
-    # all-docs-one-bin case the two ranges coincide), and it avoids a
-    # dedicated pass over the join. All reads below hit the persisted
-    # projection, never the caller's lineage.
-    bstats = docs.agg(
-        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
-    )
+    # Cost discipline: the id-range stats ride the bins aggregation
+    # (whole-corpus min/max — a superset of the bin's ids is equally
+    # valid for sharding: empty shards cost nothing, and in the
+    # degenerate all-docs-one-bin case the two ranges coincide), so no
+    # dedicated pass over the join or the corpus. All reads below hit
+    # the persisted projection, never the caller's lineage.
     stride = F.greatest(
         F.lit(1),
         F.ceil(
             (F.col("_hi") - F.col("_lo") + 1) / F.lit(_BOUNDARY_SHARDS)
         ),
     )
-    sharded = bdocs.crossJoin(F.broadcast(bstats)).withColumn(
+    sharded = bdocs.withColumn(
         "_shard",
         F.floor((F.col("doc_id") - F.col("_lo")) / stride).cast("int"),
     )

@@ -1271,11 +1271,18 @@ def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup_index import postings_with_sizes
 
-    with ThreadPoolExecutor(ST6_BATCHES) as pool:
+    with ThreadPoolExecutor(ST6_BATCHES * 2) as pool:
         posts = list(
             pool.map(
                 lambda bd: postings_with_sizes(bd).localCheckpoint(),
                 batches,
+            )
+        )
+        # id frames too (r12): the admitted sink's anti-join otherwise
+        # re-scans the parquet range filter once per batch
+        idfs = list(
+            pool.map(
+                lambda bd: bd.select("doc_id").localCheckpoint(), batches
             )
         )
     for b in range(ST6_BATCHES):
@@ -1286,6 +1293,7 @@ def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{work}/out",
             b,
             batch_post=posts[b],
+            batch_ids=idfs[b],
         )
     return (
         admitted_ids(spark, f"{work}/out")
@@ -1410,7 +1418,7 @@ def q_st8_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup_index import postings_with_sizes
 
-    with ThreadPoolExecutor(ST6_BATCHES) as pool:
+    with ThreadPoolExecutor(ST6_BATCHES * 2) as pool:
         posts = list(
             pool.map(
                 lambda ev: postings_with_sizes(
@@ -1418,6 +1426,15 @@ def q_st8_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id", "text"
                     )
                 ).localCheckpoint(),
+                batches,
+            )
+        )
+        # doc-id frames for the admitted sink + reuse-guard probe (r12)
+        idfs = list(
+            pool.map(
+                lambda ev: ev.filter(F.col("kind") == "doc")
+                .select("doc_id")
+                .localCheckpoint(),
                 batches,
             )
         )
@@ -1429,6 +1446,7 @@ def q_st8_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{work}/out",
             b,
             batch_post=posts[b],
+            batch_ids=idfs[b],
         )
     return (
         live_corpus(spark, f"{work}/out", f"{work}/state")

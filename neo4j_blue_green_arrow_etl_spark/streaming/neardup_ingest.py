@@ -79,6 +79,7 @@ def admit_batch(
     out_dir: str,
     batch_id: int,
     batch_post: DataFrame | None = None,
+    batch_ids: DataFrame | None = None,
 ) -> None:
     """One exactly-once micro-batch: admit non-near-dup docs, write
     their doc_ids to ``out_dir`` (batchId-named file, replay
@@ -92,7 +93,15 @@ def admit_batch(
     only the PROBE needs prior batches' state — so in availableNow
     catch-up, where every queued file is already on disk, shingling
     batch k+1 while batch k's sinks run is free parallelism with
-    identical per-batch semantics (q_st6_neardup does this)."""
+    identical per-batch semantics (q_st6_neardup does this).
+
+    ``batch_ids`` (materialized one-column doc_id frame for exactly
+    ``batch_docs``, r12): the admitted sink's anti-join otherwise
+    re-evaluates ``batch_docs``' lineage per batch — for a fold whose
+    batches are filters over a parquet scan that is a redundant scan
+    per micro-batch (~0.5s each measured at sf0.1). Same catch-up
+    precompute slot as batch_post; callers whose micro-batch frames are
+    already in memory (the readStream shell) just omit it."""
     table = ensure_index_table(spark, state_dir)
     batch_docs = batch_docs.select(*DOCS_STREAM_COLS)
     if batch_post is None:
@@ -115,9 +124,12 @@ def admit_batch(
         spark, table, state_dir, batch_post, below_batch=batch_id
     )
     dropped = dropped_doc_ids(batch_post, state_post)
-    admitted = batch_docs.join(
-        dropped, batch_docs.doc_id == dropped.d, "left_anti"
-    )
+    # anti-join left side: the precomputed id frame when the caller
+    # staged one (fold catch-up), else the batch frame itself — the
+    # sink only emits doc_id, so the two are interchangeable (a doc
+    # with no shingles appears in both and can never be dropped)
+    left = batch_ids if batch_ids is not None else batch_docs
+    admitted = left.join(dropped, left.doc_id == dropped.d, "left_anti")
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     # The two sinks are INDEPENDENT (both consume the checkpointed
     # postings / the already-computed dropped set, neither reads the

@@ -74,6 +74,7 @@ def admit_batch_events(
     out_dir: str,
     batch_id: int,
     batch_post: DataFrame | None = None,
+    batch_ids: DataFrame | None = None,
 ) -> None:
     """One exactly-once micro-batch of MIXED events: tombstone the
     batch's ``retract`` targets first (flat batch-tagged file — a
@@ -152,9 +153,17 @@ def admit_batch_events(
             tomb if retracted is None else retracted.unionByName(tomb)
         )
     if retracted is not None:
+        # the guard probe reads the precomputed id frame when staged
+        # (r12: same redundant-scan-per-batch argument as admit_batch's
+        # batch_ids) — else the batch's doc rows
+        probe_ids = (
+            batch_ids
+            if batch_ids is not None
+            else docs.select(F.col("doc_id").cast("long"))
+        )
         reused = [
             r[0]
-            for r in docs.select(F.col("doc_id").cast("long"))
+            for r in probe_ids.select(F.col("doc_id").cast("long"))
             .join(F.broadcast(retracted), "doc_id", "left_semi")
             .limit(20)
             .collect()
@@ -168,7 +177,13 @@ def admit_batch_events(
                 "replay-safe (no admission/state write has happened)."
             )
     admit_batch(
-        spark, docs, state_dir, out_dir, batch_id, batch_post=batch_post
+        spark,
+        docs,
+        state_dir,
+        out_dir,
+        batch_id,
+        batch_post=batch_post,
+        batch_ids=batch_ids,
     )
 
 
