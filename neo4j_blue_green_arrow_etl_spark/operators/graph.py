@@ -425,17 +425,24 @@ def connected_components_star(
     - small-star: every node and its smaller neighbors link to the
       neighborhood minimum — contracts toward the root.
 
-    Each half-round is ONE window-min over the neighborhood (r12: the
-    former groupBy-min + self-join pair computed the same per-key min
-    and re-attached it with a join — a window partitioned by the key
-    IS that attach, one exchange instead of two plan legs, no join
-    build; measured 9 -> 7 AQE jobs and ~20% wall per round, outputs
-    byte-identical on path/star/clique/self-loop shapes), and the edge
-    set converges to per-component stars in O(log n) rounds — a
-    2^k-deep path collapses in ~k alternations where plain min-label
+    The edge set converges to per-component stars in O(log n) rounds —
+    a 2^k-deep path collapses in ~k alternations where plain min-label
     propagation needs 2^k rounds (pinned by test). Driver work is one
     scalar fingerprint per round; lineage truncated per round with
-    localCheckpoint exactly like the other iterative ops."""
+    localCheckpoint exactly like the other iterative ops.
+
+    r12: each half-round is ONE window-min over the neighborhood —
+    the former groupBy-min + self-join pair computed the same per-key
+    min and re-attached it with a join; a window partitioned by the
+    key IS that attach. Measured at BOTH ends of the scale: tiny
+    rounds drop 9 -> 7 AQE jobs and ~20% wall (job-latency bound), and
+    on the x100 adversarial capstone's 27M-pair graph the whole CC
+    stage is 13-16 s windowed vs 29-52 s with the join form in a
+    same-session A/B — at volume the mins relation is as large as the
+    node set (not broadcastable), so the join form pays TWO exchanges
+    plus the sort-merge sorts where the window pays one exchange and
+    one sort. Outputs byte-identical on path/random/star+chain/
+    self-loop/clique shapes and at both oracle SFs."""
     # checkpoint the RAW pair lineage once — all_nodes and the working
     # edge set both derive from it, so an expensive upstream pair
     # generator (fuzzy join, shingle Jaccard) runs exactly one time
