@@ -210,14 +210,18 @@ def pagerank(
     by :func:`write_bucketed_edges` + the round >= 2 no-edge-exchange
     assertion in tests/test_bucketing.py.
 
-    r12: the two static loop inputs are checkpointed PRE-PARTITIONED on
-    their join keys (e by src, nd by node) — localCheckpoint preserves
-    outputPartitioning, and each round's rank table inherits
-    HashPartitioning(node) from the nd-side join, so BOTH per-round
-    joins (edges x ranks on src, nd x contrib on node=dst) are
-    co-partitioned and exchange-free; the only per-round exchange left
-    is the contribution groupBy(dst) — the in-session equivalent of the
-    bucketed-edge layout the docstring above promises at rest."""
+    r12: the two static loop inputs are repartitioned on their join
+    keys BEFORE the checkpoint. This is a data-layout fix, not an
+    exchange-elimination one: in this Spark version a localCheckpoint
+    reads back as Scan ExistingRDD with NO outputPartitioning (verified
+    by plan — EnsureRequirements re-adds exchanges over it), so the
+    rounds keep their planned shuffles; what the keyed repartition buys
+    is an AQE-SIZED checkpointed state — a tiny loop state coalesces to
+    few partitions (fewer per-round task launches; measured 3.3 -> 2.8s
+    for the 10-round loop at sf0.1) while a large one spreads evenly by
+    key instead of inheriting whatever the upstream scan had (a single
+    small parquet file checkpoints as ONE partition and serializes
+    every round's map side without this)."""
     e = edges.toDF("src", "dst").repartition("src").localCheckpoint(eager=True)
     nd = (
         _pagerank_inputs(e).repartition("node").localCheckpoint(eager=True)
@@ -364,11 +368,12 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
     small-star contraction), proven result-equivalent in
     tests/test_pipeline_ops.py and against q_x5's oracle. The driver
     executes control flow only — no data rows ever cross to it."""
-    # r12: sym pre-partitioned on the probe endpoint (b) and labels on
-    # node — each round's sym x labels join is then co-partitioned and
-    # exchange-free (localCheckpoint preserves outputPartitioning), as
-    # is the labels x nbr join (nbr inherits HashPartitioning(a) from
-    # its groupBy); per round only the groupBy(a) exchange remains
+    # r12: sym repartitioned on the probe endpoint (b) before its
+    # checkpoint — layout, not exchange elimination (a localCheckpoint
+    # reads back with NO outputPartitioning in this Spark version, so
+    # round plans keep their shuffles): AQE sizes the checkpointed
+    # state to the data instead of inheriting the upstream scan's
+    # split count (one small file = one partition = single-task rounds)
     sym = (
         edges.toDF("a", "b")
         .union(edges.toDF("b", "a").select("a", "b"))
@@ -376,8 +381,6 @@ def connected_components(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> D
         .localCheckpoint(eager=True)
     )
     labels = (
-        # the distinct's own aggregation already leaves this
-        # HashPartitioning(node) — no explicit repartition needed
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
@@ -660,9 +663,10 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     same lineage-truncation discipline. Communities (unlike CC) can
     stabilize into local neighborhoods well before global connectivity
     is resolved — rounds is a quality knob, not a convergence bound."""
-    # r12: sym pre-partitioned on the probe endpoint (b); each round's
-    # labels inherit HashPartitioning(node=a) from the vote aggregation,
-    # so the per-round join is co-partitioned and exchange-free
+    # r12: sym repartitioned on the probe endpoint (b) before the
+    # checkpoint — AQE-sized state layout (see pagerank's docstring:
+    # checkpoint partitioning is NOT preserved, so this buys balanced
+    # partitions, not fewer exchanges)
     sym = (
         edges.toDF("a", "b")
         .union(edges.toDF("b", "a").select("a", "b"))
@@ -896,10 +900,11 @@ def kcore_edges(edges_ab: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_M
     truncated per round with localCheckpoint; the convergence check is
     the scalar count of low-degree survivors (one job per round), the
     same driver-control-flow-only discipline as connected_components."""
-    # r12: sym held partitioned by a (localCheckpoint preserves it, and
-    # the broadcast anti-joins are narrow) so EVERY round's degree
-    # aggregation is a single exchange-free HashAggregate over the
-    # checkpointed partitions instead of a shuffle per round
+    # r12: sym repartitioned by a before the checkpoint — AQE-sized
+    # state layout (checkpoint partitioning is NOT preserved in this
+    # Spark version, so each round's degree agg keeps its exchange;
+    # the repartition sizes the checkpointed edge state to the data
+    # instead of the upstream distinct's partition count)
     sym = (
         edges_ab.toDF("a", "b")
         .union(edges_ab.toDF("b", "a").select("a", "b"))
