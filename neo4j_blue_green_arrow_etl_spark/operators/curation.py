@@ -418,16 +418,18 @@ FROM o, t WHERE rs <= budget ORDER BY doc_id
     "'select 1T tokens from 10T by quality' step of an LM data "
     "pipeline. The oracle is the obvious global-window running sum; "
     "the engine is the shape that survives 100 TB: quantize quality "
-    "into 1000 histogram bins, take the per-bin (count, chars) "
-    "summary (tiny), find the cutoff bin with a window over bins "
-    "only, keep WHOLE bins above the cutoff via a broadcast semi-join "
-    "(map-side, no doc shuffle), and run the exact per-doc running "
-    "sum only inside the single boundary bin (~1/1000 of the corpus). "
+    "into 1000 histogram bins, COLLECT the bounded per-bin (chars, "
+    "id-range) summary (<= bins+1 rows — control-flow scalars, never "
+    "doc rows), pick the cutoff bin in exact integer arithmetic on "
+    "the driver, keep WHOLE bins above the cutoff with one map-side "
+    "comparison filter (no join, no doc shuffle), and run the exact "
+    "per-doc running sum only inside the single boundary bin "
+    "(~1/1000 of the corpus). "
     "r11: the boundary running sum is itself a SHARDED prefix sum "
     "(contiguous doc_id-range shards, per-shard cumsum in parallel, "
-    "tiny offsets window) so even a quality-degenerate corpus with "
-    "every doc in one bin never funnels through a single-partition "
-    "window. "
+    "shard offsets folded in as a literal map) so even a "
+    "quality-degenerate corpus with every doc in one bin never "
+    "funnels through a single-partition window. "
     "Tie-break inside the boundary bin is doc_id order, so the "
     "selection is total and engine-portable.",
 )
@@ -466,121 +468,135 @@ def token_budget_select(
     four+ of the upstream pipeline. Lazy (populated by the first
     consumer), and the projection is 3 narrow columns, the same
     working-set class as q_x45's cached shingle postings."""
-    docs = docs.persist()
-    # Release the PREVIOUS call's cached projection (ADVICE r11): the
-    # returned frame is lazy, so an in-function unpersist would force
-    # recomputation — instead a one-deep registry bounds the session's
-    # leak to a single cached frame rather than one per call (196-query
-    # sweeps call this via q_x42/q_x45/q_x45b plus composed pipelines).
-    # A caller that still holds an older returned frame just recomputes
-    # from its (valid) lineage on next use.
+    # Release the PREVIOUS call's cached projection BEFORE persisting
+    # the new one (ADVICE r11 + r12): Spark's CacheManager matches
+    # entries by analyzed plan, not Python object, so when a repeated
+    # call carries an identical lineage the old frame and the new one
+    # share ONE cache entry — draining after persist would evict the
+    # entry this call just registered and every consumer would silently
+    # recompute from lineage. Draining first releases the old entry,
+    # then the fresh persist registers cleanly (for identical plans it
+    # simply re-registers the same entry). One-deep registry bounds the
+    # session's leak to a single cached frame rather than one per call
+    # (196-query sweeps call this via q_x42/q_x45/q_x45b plus composed
+    # pipelines); a caller that still holds an older returned frame
+    # just recomputes from its (valid) lineage on next use.
     while _BUDGET_PERSISTED:
         old = _BUDGET_PERSISTED.pop()
-        if old is not docs:
+        try:
             old.unpersist()
+        except Exception:
+            # a frame from a stopped/replaced SparkSession in the same
+            # process: nothing to release, its executors are gone
+            pass
+    docs = docs.persist()
     _BUDGET_PERSISTED.append(docs)
     # ONE aggregation pass over the persisted frame serves the bin
-    # histogram AND (r12) the budget total AND the doc_id-range stats
-    # the boundary sharding needs: sum(chars) over the bins equals
+    # histogram AND the budget total AND the doc_id-range stats the
+    # boundary sharding needs: sum(chars) over the bins equals
     # sum(n_chars) over the corpus exactly (integer sums), and the
-    # global id range is min/max of the per-bin ranges — the r11 form
-    # paid two extra full passes (total agg, bstats agg) for numbers
-    # already derivable from this <= _BUDGET_BINS+1-row summary.
-    bins = docs.groupBy("qbin").agg(
+    # global id range is min/max of the per-bin ranges.
+    #
+    # r13: the <= _BUDGET_BINS+1-row summary is COLLECTED and the
+    # cutoff/boundary/budget arithmetic runs in Python (exact integer
+    # sums, same IEEE floor(total * frac) product) instead of through
+    # single-partition windows + three broadcast joins. The r12 form
+    # re-ran the bins aggregation once per broadcast subtree (full-bin
+    # semi-join, boundary join, shard offsets — 3-4 jobs each
+    # re-reading the persisted projection, the exact repeat VERDICT
+    # r12 flagged); the summary is bounded by the _BUDGET_BINS
+    # constant, not by data size, so the collect is the same
+    # bounded-by-construction driver traffic class as the capstones'
+    # mass-router first() (guide §5: the driver holds control-flow
+    # scalars, never data rows). Downstream, full bins become one
+    # map-side comparison filter (no broadcast), and the boundary
+    # bin's sharded prefix sum keeps its one window shuffle with the
+    # shard offsets folded in as a literal map.
+    hist = docs.groupBy("qbin").agg(
         F.sum("n_chars").alias("chars"),
-        F.min("doc_id").alias("_lo_b"),
-        F.max("doc_id").alias("_hi_b"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()
+    out_cols = ("doc_id", "qbin", "n_chars")
+    if not hist:
+        return docs.select(*out_cols).orderBy("doc_id")
+    import math
+
+    # qbin is non-null by construction at every caller (floor over a
+    # non-null ratio); mirror the old window's DESC NULLS LAST order
+    # anyway so a hypothetical null bin sorts where the join-based form
+    # put it (where equi-join semantics silently excluded it)
+    rows = sorted(
+        hist, key=lambda r: (r.qbin is None, -(r.qbin if r.qbin is not None else 0))
     )
-    # <= _BUDGET_BINS+1 rows: the single-partition windows are over the
-    # histogram summary, never the corpus
-    wb = Window.orderBy(F.desc("qbin"))
-    w_all = Window.orderBy(F.desc("qbin")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    bins = bins.select(
-        "qbin",
-        "chars",
-        F.sum("chars").over(wb).alias("cum_incl"),
-        F.floor(F.sum("chars").over(w_all) * frac)
-        .cast("long")
-        .alias("budget"),
-        F.min("_lo_b").over(w_all).alias("_lo"),
-        F.max("_hi_b").over(w_all).alias("_hi"),
-    ).withColumn("cum_before", F.col("cum_incl") - F.col("chars"))
-    full_bins = bins.filter(F.col("cum_incl") <= F.col("budget"))
-    kept_full = docs.join(
-        F.broadcast(full_bins.select("qbin")), "qbin", "left_semi"
-    )
-    # at most ONE boundary row: budget falls strictly inside this bin
-    boundary = bins.filter(
-        (F.col("cum_before") <= F.col("budget"))
-        & (F.col("cum_incl") > F.col("budget"))
-    )
-    bdocs = docs.join(
-        F.broadcast(
-            boundary.select("qbin", "cum_before", "budget", "_lo", "_hi")
-        ),
-        "qbin",
-    )
+    total = sum(r.chars for r in rows)
+    # identical to F.floor(F.sum("chars") * frac): long * double in
+    # IEEE 754, floored — Python reproduces the same double product
+    budget = int(math.floor(total * frac))
+    lo = min(r.lo for r in rows)
+    hi = max(r.hi for r in rows)
+    cum = 0
+    boundary = None  # (qbin, cum_before) of the bin straddling budget
+    for r in rows:
+        if cum + r.chars <= budget:
+            cum += r.chars
+        else:
+            boundary = (r.qbin, cum)
+            break
+    if boundary is None:
+        # budget >= total: every bin fits
+        return docs.select(*out_cols).orderBy("doc_id")
+    b_qbin, cum_before = boundary
+    # bins are distinct and the cumulative sum is nondecreasing in
+    # DESC qbin order, so the full set is exactly the qbins above the
+    # boundary — a map-side comparison, no broadcast join
+    kept_full = docs.filter(F.col("qbin") > F.lit(b_qbin)).select(*out_cols)
     # Exact doc_id-ordered running sum inside the boundary bin, SHARDED
-    # (VERDICT r10 task 4): the old Window.orderBy("doc_id") was one
-    # partition — bounded to ~1/_BUDGET_BINS of the corpus on a normal
-    # quality distribution, but a quality-DEGENERATE corpus (all docs
-    # in one bin) pushed the whole corpus through a single reducer.
-    # Distributed prefix sum instead: shard by contiguous doc_id RANGE
-    # (monotone in the sort key, so per-shard sums compose), per-shard
-    # cumsum in parallel, then one <= _BOUNDARY_SHARDS-row offsets
-    # window (bounded by construction, like the bins histogram above).
-    # Cost discipline: the id-range stats ride the bins aggregation
-    # (whole-corpus min/max — a superset of the bin's ids is equally
-    # valid for sharding: empty shards cost nothing, and in the
-    # degenerate all-docs-one-bin case the two ranges coincide), so no
-    # dedicated pass over the join or the corpus. All reads below hit
-    # the persisted projection, never the caller's lineage.
-    stride = F.greatest(
-        F.lit(1),
-        F.ceil(
-            (F.col("_hi") - F.col("_lo") + 1) / F.lit(_BOUNDARY_SHARDS)
-        ),
-    )
+    # (VERDICT r10 task 4): shard by contiguous doc_id RANGE (monotone
+    # in the sort key, so per-shard sums compose), per-shard cumsum in
+    # parallel — a quality-degenerate corpus (all docs in one bin)
+    # spreads over _BOUNDARY_SHARDS reducers instead of one. The
+    # whole-corpus id range is a valid superset of the bin's (empty
+    # shards cost nothing). stride mirrors the old column expression:
+    # long subtraction, double division, ceil.
+    stride = max(1, math.ceil((hi - lo + 1) / _BOUNDARY_SHARDS))
+    bdocs = docs.filter(F.col("qbin") == F.lit(b_qbin))
     sharded = bdocs.withColumn(
         "_shard",
-        F.floor((F.col("doc_id") - F.col("_lo")) / stride).cast("int"),
+        F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(stride)).cast("int"),
+    )
+    # <= _BOUNDARY_SHARDS rows of driver traffic, by construction
+    shard_tot = {
+        r[0]: r[1]
+        for r in sharded.groupBy("_shard")
+        .agg(F.sum("n_chars").alias("_stot"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in sorted(shard_tot):
+        offsets[s] = acc
+        acc += shard_tot[s]
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_shard"),
+        )
+        if offsets
+        else F.lit(0)
     )
     wsh = Window.partitionBy("_shard").orderBy("doc_id")
-    local = sharded.withColumn("_local_rs", F.sum("n_chars").over(wsh))
-    shard_tot = sharded.groupBy("_shard").agg(
-        F.sum("n_chars").alias("_stot")
-    )
-    # <= _BOUNDARY_SHARDS rows: single-partition window over the shard
-    # summary only, never doc rows
-    wso = Window.orderBy("_shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = shard_tot.select(
-        "_shard",
-        F.coalesce(F.sum("_stot").over(wso), F.lit(0)).alias("_offset"),
-    )
     kept_boundary = (
-        local.join(F.broadcast(offsets), "_shard")
-        .select(
-            "doc_id",
-            "qbin",
-            "n_chars",
-            (
-                F.col("cum_before")
-                + F.col("_offset")
-                + F.col("_local_rs")
-            ).alias("rs"),
-            "budget",
+        sharded.withColumn("_local_rs", F.sum("n_chars").over(wsh))
+        .filter(
+            F.lit(cum_before) + off_expr + F.col("_local_rs")
+            <= F.lit(budget)
         )
-        .filter(F.col("rs") <= F.col("budget"))
+        .select(*out_cols)
     )
-    return (
-        kept_full.select("doc_id", "qbin", "n_chars")
-        .unionByName(kept_boundary.select("doc_id", "qbin", "n_chars"))
-        .orderBy("doc_id")
-    )
+    return kept_full.unionByName(kept_boundary).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

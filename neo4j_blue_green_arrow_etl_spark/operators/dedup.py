@@ -326,22 +326,22 @@ def q_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document, computed
-    with pure array expressions (no Python on the data path).
-
-    Built as zip_with over shifted copies of the word array — a single
-    pass with per-element concat. (The first version sliced+joined the
-    array once PER POSITION: O(len²) allocations inside an interpreted
+def _distinct_gram_array(text_col: str = "text"):
+    """Column: the document's DISTINCT word 3-gram array, built as
+    zip_with over shifted copies of the word array — a single pass with
+    per-element concat. (The first version sliced+joined the array once
+    PER POSITION: O(len²) allocations inside an interpreted
     higher-order function, ~2.8 s of the 5 s minhash total at sf0.1;
     this form is ~4x faster and matches the oracle's strict
-    3-consecutive-words semantics for sub-3-word docs.) The partial
-    grams are filtered AFTER the explode: a post-explode row filter
-    compiles into whole-stage codegen, where an in-array F.filter
-    lambda would run interpreted per element (an r8 experiment that
-    moved the filter array-side to expose the set size map-only
-    measured slower end-to-end and was reverted)."""
-    assert n == 3, "shingle builder is specialized for 3-grams"
+    3-consecutive-words semantics for sub-3-word docs.)
+
+    zip_with pads the shorter side with NULL -> the LAST TWO positions
+    are partial grams; slicing to the first len-2 positions drops
+    exactly those (r9: a native slice beats 260k per-posting string
+    splits; the r8 note about interpreted in-array filtering applied to
+    F.filter's per-element LAMBDA, which slice does not use). Sub-3-word
+    docs yield an empty slice, matching the oracle's strict
+    3-consecutive-words semantics."""
     words = F.split(F.col(text_col), " ")
     sz = F.size(words)
     w2 = F.slice(words, 2, F.greatest(sz - 1, F.lit(0)))
@@ -351,19 +351,17 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataF
         w3,
         lambda xy, z: F.concat_ws(" ", xy, z),
     )
-    # zip_with pads the shorter side with NULL -> the LAST TWO positions
-    # are partial grams; slicing to the first len-2 positions drops
-    # exactly those (r9: replaces the post-explode
-    # size(split(shingle)) == 3 row filter — a native slice beats 260k
-    # per-posting string splits; the r8 note about interpreted in-array
-    # filtering applied to F.filter's per-element LAMBDA, which slice
-    # does not use). Sub-3-word docs yield an empty slice, matching the
-    # oracle's strict 3-consecutive-words semantics.
+    return F.array_distinct(F.slice(grams, 1, F.greatest(sz - 2, F.lit(0))))
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document, computed
+    with pure column expressions (no Python on the data path); see
+    :func:`_distinct_gram_array` for the build shape."""
+    assert n == 3, "shingle builder is specialized for 3-grams"
     return df.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.slice(grams, 1, F.greatest(sz - 2, F.lit(0))))
-        ).alias("shingle"),
+        F.explode(_distinct_gram_array(text_col)).alias("shingle"),
     )
 
 
@@ -414,11 +412,36 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hashed_shingle_postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle BIGINT) — the exact tier's posting table with
-    xxhash64 keys (fixed 8-byte shuffle keys; see q_dedup_ngram's
-    docstring for the string-vs-hash measurement)."""
-    return shingles(docs).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    """(doc_id, shingle BIGINT, n INT) — the exact tier's posting table
+    with xxhash64 keys (fixed 8-byte shuffle keys; see q_dedup_ngram's
+    docstring for the string-vs-hash measurement), HASH-CLUSTERED BY
+    SHINGLE and carrying the per-doc set size.
+
+    r13 shape (guide §2.4 — two ops keyed the same way share one
+    exchange): every consumer of this table keys on ``shingle`` — the
+    duplicate-mass histogram (groupBy shingle) and BOTH sides of the
+    exact-tier self-join — so ONE repartition("shingle") here replaces
+    the three shingle exchanges those consumers otherwise planned over
+    the cached table (callers cache the result, and a cached frame
+    preserves its outputPartitioning, so the self-join runs
+    exchange-free on both sides). ``n`` is the per-doc DISTINCT-gram
+    count, computed MAP-SIDE from the gram array before the explode
+    (two-step select so the array evaluates once) — it replaces
+    ngram_pairs' separate sizes aggregation + two doc_id size joins,
+    the same denormalization the at-rest index uses
+    (dedup_index.postings_with_sizes), without that builder's window
+    shuffle. Row-count identical to the r12 (doc_id, shingle) table:
+    n = size of the distinct STRING gram array == the old
+    per-doc posting count."""
+    return (
+        docs.select("doc_id", _distinct_gram_array().alias("_grams"))
+        .select(
+            "doc_id",
+            F.size("_grams").alias("n"),
+            F.explode("_grams").alias("_g"),
+        )
+        .select("doc_id", F.xxhash64("_g").alias("shingle"), "n")
+        .repartition("shingle")
     )
 
 
@@ -455,33 +478,55 @@ def shingle_pair_mass(sh: DataFrame) -> float:
     return float(row.m or 0.0)
 
 
-def ngram_pairs(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — q_dedup_ngram's exact-tier pair
-    pipeline over an already-built hashed posting table (factored out
-    so q_x45's duplicate-mass router can reuse the postings its
-    estimator just scanned)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+def ngram_match_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) UNSORTED — the exact-tier pair pipeline
+    over a hashed_shingle_postings table. r13 shape: the self-join runs
+    exchange-free over the shingle-clustered cached table (both sides
+    read the same partitioning — guide §2.4), and the per-doc set sizes
+    ride the postings as the denormalized ``n`` column, so the Jaccard
+    denominators are first() aggregates of the pair groupBy instead of
+    a separate sizes aggregation + two doc_id joins (the r12 plan paid
+    2 self-join exchanges + 1 sizes exchange + 2 joins for the same
+    rows). Callers that RETURN the pairs sort them (q_dedup_ngram);
+    callers that feed connected components consume them unsorted — the
+    CC checkpoint is ingest-order-insensitive and the global sort was
+    pure waste there (guide §2.4: an orderBy used only to make output
+    deterministic)."""
     a = sh.alias("x")
     b = sh.alias("y")
     common = (
         a.join(b, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        common.join(sa, F.col("a") == F.col("sa.doc_id"))
-        .join(sb, F.col("b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+        .agg(
+            F.count("*").alias("c"),
+            F.first(F.col("x.n")).alias("na"),
+            F.first(F.col("y.n")).alias("nb"),
         )
-        .transform(barrier_sort("doc_a", "doc_b"))
     )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return common.filter(jac >= JACCARD_THRESHOLD).select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+def ngram_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — q_dedup_ngram's exact-tier pair
+    pipeline over an already-built hashed posting table (factored out
+    so q_x45's duplicate-mass router can reuse the postings its
+    estimator just scanned); sorted for the registered output."""
+    return ngram_match_pairs(sh).transform(barrier_sort("doc_a", "doc_b"))
+
+
+def ngram_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) UNSORTED — the exact-tier near-dup edge set for
+    connected-components consumers (q_x5/q_x5b): q_dedup_ngram's
+    pipeline minus the registered output's global sort, which the CC
+    checkpoint never needed (r13; the sort was one extra barrier
+    repartition + range exchange per capstone)."""
+    sh = hashed_shingle_postings(_docs(spark, sf_dir)).cache()
+    return ngram_match_pairs(sh).select("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1272,19 +1317,24 @@ def q_st6_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_index import postings_with_sizes
 
     with ThreadPoolExecutor(ST6_BATCHES * 2) as pool:
-        posts = list(
-            pool.map(
-                lambda bd: postings_with_sizes(bd).localCheckpoint(),
-                batches,
+        # submit BOTH frame families before collecting either (ADVICE
+        # r12: sequential pool.map pairs never used the doubled pool —
+        # the cheap id-frame checkpoints now overlap the postings
+        # builds instead of queueing behind them)
+        post_f = [
+            pool.submit(
+                lambda bd=bd: postings_with_sizes(bd).localCheckpoint()
             )
-        )
+            for bd in batches
+        ]
         # id frames too (r12): the admitted sink's anti-join otherwise
         # re-scans the parquet range filter once per batch
-        idfs = list(
-            pool.map(
-                lambda bd: bd.select("doc_id").localCheckpoint(), batches
-            )
-        )
+        idf_f = [
+            pool.submit(lambda bd=bd: bd.select("doc_id").localCheckpoint())
+            for bd in batches
+        ]
+        posts = [f.result() for f in post_f]
+        idfs = [f.result() for f in idf_f]
     for b in range(ST6_BATCHES):
         admit_batch(
             spark,
@@ -1419,25 +1469,30 @@ def q_st8_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_index import postings_with_sizes
 
     with ThreadPoolExecutor(ST6_BATCHES * 2) as pool:
-        posts = list(
-            pool.map(
-                lambda ev: postings_with_sizes(
+        # both frame families submitted before collecting either, so
+        # the id-frame checkpoints overlap the postings builds (ADVICE
+        # r12 — the sequential map pairs never used the doubled pool)
+        post_f = [
+            pool.submit(
+                lambda ev=ev: postings_with_sizes(
                     ev.filter(F.col("kind") == "doc").select(
                         "doc_id", "text"
                     )
-                ).localCheckpoint(),
-                batches,
+                ).localCheckpoint()
             )
-        )
+            for ev in batches
+        ]
         # doc-id frames for the admitted sink + reuse-guard probe (r12)
-        idfs = list(
-            pool.map(
-                lambda ev: ev.filter(F.col("kind") == "doc")
+        idf_f = [
+            pool.submit(
+                lambda ev=ev: ev.filter(F.col("kind") == "doc")
                 .select("doc_id")
-                .localCheckpoint(),
-                batches,
+                .localCheckpoint()
             )
-        )
+            for ev in batches
+        ]
+        posts = [f.result() for f in post_f]
+        idfs = [f.result() for f in idf_f]
     for b in range(ST6_BATCHES):
         admit_batch_events(
             spark,

@@ -34,7 +34,6 @@ from .dedup import (
     FUZZY_BLOCK_CAP,
     FUZZY_HEAD_CHARS,
     FUZZY_MAX_DIST,
-    q_dedup_ngram,
 )
 from .relational import barrier_sort, register
 
@@ -104,13 +103,17 @@ FROM reach GROUP BY node ORDER BY doc_id
     "singleton cluster.",
 )
 def q_x5_dupclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ngram_pair_edges
     from .graph import connected_components
 
     # the pair pipeline is materialized ONCE inside connected_components
     # (every propagation round joins the edge set; without that each
     # round would re-run the whole shingle/Jaccard lineage — measured
-    # 13.6s -> ~3s at sf0.1)
-    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    # 13.6s -> ~3s at sf0.1). UNSORTED edges (r13): the registered
+    # q_dedup_ngram output sorts its pairs, but the CC checkpoint is
+    # order-insensitive — the sort's barrier repartition + range
+    # exchange were pure waste on this path.
+    pairs = ngram_pair_edges(spark, sf_dir)
     labels = connected_components(pairs, max_rounds=MAX_CC_ROUNDS)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -282,9 +285,11 @@ def curate_corpus(
     "(pinned by tests/test_pipeline_ops.py on a 64-node path).",
 )
 def q_x5b_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ngram_pair_edges
     from .graph import connected_components_star
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    # unsorted edges — same r13 reasoning as q_x5_dupclusters
+    pairs = ngram_pair_edges(spark, sf_dir)
     labels = connected_components_star(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -344,10 +349,11 @@ def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         FUZZY_BLOCK_MASS_PER_DOC,
         _docs,
+        _fuzzy_input,
         fuzzy_block_mass,
         fuzzy_block_pairs,
+        fuzzy_block_pairs_capped,
         fuzzy_blocking_table,
-        q_x24b_fuzzy_capped,
     )
     from .graph import connected_components_star
 
@@ -367,11 +373,17 @@ def q_x31_erclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if route_by_mass(
         "q_x31_erclusters",
         fuzzy_block_mass(d),
-        docs.count(),
+        # plain-read count: the row count is layout-independent and the
+        # un-rescued scan counts without paying the rescue exchange
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
         FUZZY_BLOCK_MASS_PER_DOC,
         "SPARK_GRAFT_FUZZY_BLOCK_MASS_PER_DOC",
     ):
-        pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+        # UNSORTED capped pairs (r13): q_x24b's registered output sorts
+        # them; the CC checkpoint never needed the sort
+        pairs = fuzzy_block_pairs_capped(_fuzzy_input(spark, sf_dir)).select(
+            "doc_a", "doc_b"
+        )
     else:
         pairs = fuzzy_block_pairs(d).select("doc_a", "doc_b")
     labels = connected_components_star(pairs)
@@ -420,10 +432,14 @@ FROM reach GROUP BY node ORDER BY doc_id
     "over the same capped pair SQL, shared verbatim with q_x24b.",
 )
 def q_x31b_erclusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import q_x24b_fuzzy_capped
+    from .dedup import _fuzzy_input, fuzzy_block_pairs_capped
     from .graph import connected_components_star
 
-    pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+    # unsorted capped pairs (r13): q_x24b's registered output sorts
+    # them; the CC checkpoint never needed the sort
+    pairs = fuzzy_block_pairs_capped(_fuzzy_input(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
     labels = connected_components_star(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -507,9 +523,10 @@ def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         PAIR_MASS_PER_DOC,
         _docs,
+        _fuzzy_input,
+        fuzzy_block_pairs_capped,
         hashed_shingle_postings,
-        ngram_pairs,
-        q_x24b_fuzzy_capped,
+        ngram_match_pairs,
         shingle_pair_mass,
     )
     from .graph import connected_components_star
@@ -522,7 +539,9 @@ def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if route_by_mass(
         "q_x45_curate",
         mass,
-        docs.count(),
+        # plain-read count — the rescue exchange buys nothing for a
+        # row count (r13; the rescued frame paid scan+exchange+agg)
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
         PAIR_MASS_PER_DOC,
         "SPARK_GRAFT_PAIR_MASS_PER_DOC",
     ):
@@ -531,9 +550,13 @@ def q_x45_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair stage) instead. The shingle postings are dropped; their
         # build cost is noise next to the quadratic join avoided.
         sh.unpersist()
-        pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+        pairs = fuzzy_block_pairs_capped(_fuzzy_input(spark, sf_dir)).select(
+            "doc_a", "doc_b"
+        )
     else:
-        pairs = ngram_pairs(sh).select("doc_a", "doc_b")
+        # unsorted pairs (r13): the CC checkpoint never needed
+        # q_dedup_ngram's registered global sort
+        pairs = ngram_match_pairs(sh).select("doc_a", "doc_b")
     labels = connected_components_star(pairs)
     dropped = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
@@ -606,10 +629,13 @@ FROM o, t WHERE rs <= budget ORDER BY doc_id
 )
 def q_x45b_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import token_budget_select
-    from .dedup import q_x24b_fuzzy_capped
+    from .dedup import _fuzzy_input, fuzzy_block_pairs_capped
     from .graph import connected_components_star
 
-    pairs = q_x24b_fuzzy_capped(spark, sf_dir).select("doc_a", "doc_b")
+    # unsorted capped pairs (r13) — same reasoning as q_x31b
+    pairs = fuzzy_block_pairs_capped(_fuzzy_input(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
     labels = connected_components_star(pairs)
     dropped = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")

@@ -401,13 +401,18 @@ def q_x16_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last activity) with forward fill across gaps (the filled pair "
     "(value_sum, n_events) comes from the same latest bucket, so avg "
     "stays derivable downstream without avg-rounding cross-engine "
-    "instability) — the hypertable "
-    "gap-fill/locf operator. Plan: one agg to hourly buckets, per-user "
-    "min/max bounds, sequence+explode generates each user's grid IN THE "
-    "EXECUTORS (rows ∝ span/granularity, never driver-side), left join "
-    "back, and ONE window shuffle for last(ignorenulls) forward fill. "
-    "At 100 TB the grid explode is bounded per key and the fill is the "
-    "same single-shuffle running-last shape as the as-of join.",
+    "instability) — the hypertable gap-fill/locf operator. Plan (r12 "
+    "single-pass form): one agg to hourly buckets, then each present "
+    "hour OWNS its gap span — explode sequence(h, next_h - 1h) from "
+    "lead(h) emits the grid with fill values attached by construction "
+    "(is_gap = generated hour != source hour); rows ∝ span/granularity, "
+    "generated IN THE EXECUTORS, no bounds agg, no grid join, one "
+    "window shuffle. ASSUMES non-null `value` per event (the fixture "
+    "guarantees it): a present hour whose SUM(value) is NULL would be "
+    "is_gap=0/value_sum NULL here while the oracle's IGNORE NULLS fill "
+    "marks it is_gap=1 with the previous non-null v. At 100 TB the "
+    "grid explode is bounded per key and the fill is the same "
+    "single-shuffle running-last shape as the as-of join.",
 )
 def q_ts1_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 single-window form: the old plan materialized per-user
